@@ -1,0 +1,339 @@
+"""DuckDB oracle mirror of the ODS synthesizers.
+
+Every CTE here replicates, in ANSI/DuckDB SQL over the driver's parquet
+views (region nation customer supplier part orders lineitem events documents
+embeddings), the exact rows produced by
+:mod:`flink_realtime_datawarehouse_v3_spark.sources.cdc` and
+:mod:`...sources.logs` — but flattened (the ``data``/``old`` maps become
+columns, since every pipeline only reads specific keys). Pipeline oracles
+compose these CTEs; the driver executes them side-by-side with the Spark
+pipelines and compares row counts, schemas and value hashes.
+
+Parity rules (see sources/cdc.py docstring): money = DECIMAL(18,2) casts of
+2-decimal doubles or integer-valued decimals; timestamps formatted
+'%Y-%m-%d %H:%M:%S' (Spark session pinned to UTC); CDC ts = epoch seconds.
+"""
+
+from __future__ import annotations
+
+from .sources.dic import base_dic_values_sql
+
+_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def _f(expr: str) -> str:
+    return f"strftime({expr}, '{_FMT}')"
+
+
+def _dec2(expr: str) -> str:
+    return f"CAST(CAST({expr} AS DECIMAL(18,2)) AS VARCHAR)"
+
+
+def _epoch_s(expr: str) -> str:
+    return f"CAST(CAST(epoch({expr}) AS BIGINT) AS VARCHAR)"
+
+
+DETAIL_ID = (
+    "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)"
+    " || '_' || CAST(l_partkey AS VARCHAR) || '_' || CAST(l_suppkey AS VARCHAR)"
+)
+
+_FINAL_STATUS = """
+    CASE WHEN o_orderstatus = 'F' THEN
+        CASE o_orderkey % 10 WHEN 0 THEN '1003' WHEN 1 THEN '1005'
+             WHEN 2 THEN '1006' ELSE '1004' END
+    WHEN o_orderstatus = 'P' THEN '1002' ELSE '1001' END
+"""
+
+_ORDER_INFO_COMMON = f"""
+    CAST(o_orderkey AS VARCHAR) AS id,
+    'c_' || CAST(o_custkey AS VARCHAR) AS consignee,
+    '137' || CAST(o_orderkey % 100000000 AS VARCHAR) AS consignee_tel,
+    {_dec2('o_totalprice')} AS total_amount,
+    CAST(o_custkey AS VARCHAR) AS user_id,
+    '3501' AS payment_way,
+    'addr_' || CAST(c_nationkey AS VARCHAR) AS delivery_address,
+    CAST(NULL AS VARCHAR) AS order_comment,
+    'trade_no_' || CAST(o_orderkey AS VARCHAR) AS out_trade_no,
+    'body_' || CAST(o_orderkey AS VARCHAR) AS trade_body,
+    {_f('o_orderdate')} AS create_time,
+    {_f("o_orderdate + INTERVAL 15 MINUTE")} AS expire_time,
+    CAST(NULL AS VARCHAR) AS process_status,
+    CAST(NULL AS VARCHAR) AS tracking_no,
+    CAST(NULL AS VARCHAR) AS parent_order_id,
+    CAST(c_nationkey AS VARCHAR) AS province_id,
+    {_dec2('o_orderkey % 50')} AS activity_reduce_amount,
+    {_dec2('o_orderkey % 20')} AS coupon_reduce_amount,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(o_orderkey % 50 AS DECIMAL(18,2))
+         + CAST(o_orderkey % 20 AS DECIMAL(18,2)) AS VARCHAR) AS original_total_amount,
+    {_dec2('o_orderkey % 15')} AS feight_fee,
+    CAST(NULL AS VARCHAR) AS feight_fee_reduce,
+    {_f("o_orderdate + INTERVAL 7 DAY")} AS refundable_time
+"""
+
+# Flat CDC relations. Column set = the keys each pipeline reads, plus
+# type/ts and flattened old_* columns used in predicates.
+CTES: dict[str, str] = {}
+
+CTES["order_info_cdc"] = f"""
+order_info_cdc AS (
+    SELECT 'insert' AS type, {_ORDER_INFO_COMMON},
+           '1001' AS order_status, CAST(NULL AS VARCHAR) AS operate_time,
+           CAST(NULL AS VARCHAR) AS old_order_status,
+           {_epoch_s('o_orderdate')} AS ts
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'update' AS type, {_ORDER_INFO_COMMON},
+           {_FINAL_STATUS} AS order_status,
+           {_f("o_orderdate + INTERVAL 1 HOUR")} AS operate_time,
+           '1001' AS old_order_status,
+           CAST(CAST(epoch(o_orderdate) AS BIGINT) + 3600 AS VARCHAR) AS ts
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE ({_FINAL_STATUS}) <> '1001'
+)
+"""
+
+_SRC_TYPE = "'240' || CAST(l_partkey % 4 + 1 AS VARCHAR)"
+_SPLIT_ACT = f"CASE WHEN l_discount > 0.05 THEN {_dec2('l_suppkey % 20')} END"
+_SPLIT_CPN = f"CASE WHEN l_tax > 0.04 THEN {_dec2('l_suppkey % 10')} END"
+_SPLIT_TOTAL = """CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+    - COALESCE(CASE WHEN l_discount > 0.05 THEN CAST(l_suppkey % 20 AS DECIMAL(18,2)) END, 0)
+    - COALESCE(CASE WHEN l_tax > 0.04 THEN CAST(l_suppkey % 10 AS DECIMAL(18,2)) END, 0)
+    AS VARCHAR)"""
+
+CTES["order_detail_cdc"] = f"""
+order_detail_cdc AS (
+    SELECT 'insert' AS type,
+           {DETAIL_ID} AS id,
+           CAST(l_orderkey AS VARCHAR) AS order_id,
+           CAST(l_partkey AS VARCHAR) AS sku_id,
+           'sku_' || CAST(l_partkey AS VARCHAR) AS sku_name,
+           {_dec2('l_extendedprice')} AS order_price,
+           CAST(CAST(l_quantity AS INT) AS VARCHAR) AS sku_num,
+           {_f('l_shipdate')} AS create_time,
+           {_SRC_TYPE} AS source_type,
+           CAST(l_suppkey AS VARCHAR) AS source_id,
+           {_SPLIT_TOTAL} AS split_total_amount,
+           {_SPLIT_ACT} AS split_activity_amount,
+           {_SPLIT_CPN} AS split_coupon_amount,
+           {_epoch_s('l_shipdate')} AS ts
+    FROM lineitem
+)
+"""
+
+CTES["order_detail_activity_cdc"] = f"""
+order_detail_activity_cdc AS (
+    SELECT 'insert' AS type,
+           'act_' || {DETAIL_ID} AS id,
+           CAST(l_orderkey AS VARCHAR) AS order_id,
+           {DETAIL_ID} AS order_detail_id,
+           CAST(l_partkey % 5 + 1 AS VARCHAR) AS activity_id,
+           CAST(l_partkey % 3 + 1 AS VARCHAR) AS activity_rule_id,
+           CAST(l_partkey AS VARCHAR) AS sku_id,
+           {_f('l_shipdate')} AS create_time
+    FROM lineitem WHERE l_discount > 0.05
+)
+"""
+
+CTES["order_detail_coupon_cdc"] = f"""
+order_detail_coupon_cdc AS (
+    SELECT 'insert' AS type,
+           'cpn_' || {DETAIL_ID} AS id,
+           CAST(l_orderkey AS VARCHAR) AS order_id,
+           {DETAIL_ID} AS order_detail_id,
+           CAST(l_partkey % 7 + 1 AS VARCHAR) AS coupon_id,
+           'cu_' || {DETAIL_ID} AS coupon_use_id,
+           CAST(l_partkey AS VARCHAR) AS sku_id,
+           {_f('l_shipdate')} AS create_time
+    FROM lineitem WHERE l_tax > 0.04
+)
+"""
+
+_CART_COMMON = f"""
+    'cart_' || {DETAIL_ID} AS id,
+    CAST(o_custkey AS VARCHAR) AS user_id,
+    CAST(l_partkey AS VARCHAR) AS sku_id,
+    {_dec2('l_extendedprice')} AS cart_price,
+    'sku_' || CAST(l_partkey AS VARCHAR) AS sku_name,
+    {_f('l_shipdate')} AS create_time,
+    '0' AS is_ordered,
+    CAST(NULL AS VARCHAR) AS order_time,
+    {_SRC_TYPE} AS source_type,
+    CAST(l_suppkey AS VARCHAR) AS source_id
+"""
+
+CTES["cart_info_cdc"] = f"""
+cart_info_cdc AS (
+    SELECT 'insert' AS type, {_CART_COMMON},
+           CAST(CAST(l_quantity AS INT) AS VARCHAR) AS sku_num,
+           CAST(NULL AS VARCHAR) AS is_checked,
+           CAST(NULL AS VARCHAR) AS operate_time,
+           CAST(NULL AS VARCHAR) AS old_sku_num,
+           {_epoch_s('l_shipdate')} AS ts
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_linenumber = 1
+    UNION ALL
+    SELECT 'update' AS type, {_CART_COMMON},
+           CAST(CAST(l_quantity AS INT) + 2 AS VARCHAR) AS sku_num,
+           CAST(NULL AS VARCHAR) AS is_checked,
+           {_f("l_shipdate + INTERVAL 30 MINUTE")} AS operate_time,
+           CAST(CAST(l_quantity AS INT) AS VARCHAR) AS old_sku_num,
+           CAST(CAST(epoch(l_shipdate) AS BIGINT) + 1800 AS VARCHAR) AS ts
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_linenumber = 1 AND l_orderkey % 5 = 0
+    UNION ALL
+    SELECT 'update' AS type, {_CART_COMMON},
+           CAST(CAST(l_quantity AS INT) AS VARCHAR) AS sku_num,
+           '1' AS is_checked,
+           {_f("l_shipdate + INTERVAL 30 MINUTE")} AS operate_time,
+           CAST(NULL AS VARCHAR) AS old_sku_num,
+           CAST(CAST(epoch(l_shipdate) AS BIGINT) + 1800 AS VARCHAR) AS ts
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_linenumber = 1 AND l_orderkey % 5 = 1
+)
+"""
+
+CTES["payment_info_cdc"] = f"""
+payment_info_cdc AS (
+    SELECT 'update' AS type,
+           CAST(o_custkey AS VARCHAR) AS user_id,
+           CAST(o_orderkey AS VARCHAR) AS order_id,
+           '110' || CAST(o_orderkey % 3 + 1 AS VARCHAR) AS payment_type,
+           {_dec2('o_totalprice')} AS total_amount,
+           {_f("o_orderdate + INTERVAL 30 MINUTE")} AS callback_time,
+           {_f("o_orderdate + INTERVAL 15 MINUTE")} AS create_time,
+           '1602' AS payment_status,
+           '1601' AS old_payment_status,
+           CAST(CAST(epoch(o_orderdate) AS BIGINT) + 1800 AS VARCHAR) AS ts
+    FROM orders WHERE o_orderstatus IN ('F', 'P')
+)
+"""
+
+CTES["order_refund_info_cdc"] = f"""
+order_refund_info_cdc AS (
+    SELECT 'insert' AS type,
+           'ref_' || {DETAIL_ID} AS id,
+           CAST(o_custkey AS VARCHAR) AS user_id,
+           CAST(l_orderkey AS VARCHAR) AS order_id,
+           CAST(l_partkey AS VARCHAR) AS sku_id,
+           '150' || CAST(l_linenumber % 2 + 1 AS VARCHAR) AS refund_type,
+           CAST(CAST(l_quantity AS INT) AS VARCHAR) AS refund_num,
+           {_dec2('l_extendedprice')} AS refund_amount,
+           '130' || CAST(l_partkey % 3 + 1 AS VARCHAR) AS refund_reason_type,
+           'txt_' || CAST(l_partkey % 3 AS VARCHAR) AS refund_reason_txt,
+           {_f('l_shipdate')} AS create_time,
+           {_epoch_s('l_shipdate')} AS ts
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+)
+"""
+
+CTES["refund_payment_cdc"] = f"""
+refund_payment_cdc AS (
+    SELECT 'update' AS type,
+           'rp_' || {DETAIL_ID} AS id,
+           CAST(l_orderkey AS VARCHAR) AS order_id,
+           CAST(l_partkey AS VARCHAR) AS sku_id,
+           '110' || CAST(l_orderkey % 3 + 1 AS VARCHAR) AS payment_type,
+           {_f("l_shipdate + INTERVAL 1 DAY")} AS callback_time,
+           {_dec2('l_extendedprice')} AS total_amount,
+           '1602' AS refund_status,
+           CAST(CAST(epoch(l_shipdate) AS BIGINT) + 86400 AS VARCHAR) AS ts
+    FROM lineitem WHERE l_returnflag = 'R'
+)
+"""
+
+CTES["user_info_cdc"] = f"""
+user_info_cdc AS (
+    SELECT 'insert' AS type,
+           CAST(c_custkey AS VARCHAR) AS id,
+           c_name AS name,
+           {_f("TIMESTAMP '2024-01-01 00:00:00' + (c_custkey % 30) * INTERVAL 1 DAY + (c_custkey % 86400) * INTERVAL 1 SECOND")} AS create_time,
+           {_epoch_s("TIMESTAMP '2024-01-01 00:00:00' + (c_custkey % 30) * INTERVAL 1 DAY + (c_custkey % 86400) * INTERVAL 1 SECOND")} AS ts
+    FROM customer
+)
+"""
+
+CTES["comment_info_cdc"] = f"""
+comment_info_cdc AS (
+    SELECT 'insert' AS type,
+           'cm_' || {DETAIL_ID} AS id,
+           CAST(o_custkey AS VARCHAR) AS user_id,
+           CAST(l_partkey AS VARCHAR) AS sku_id,
+           CAST(l_orderkey AS VARCHAR) AS order_id,
+           {_f('l_shipdate')} AS create_time,
+           '120' || CAST(l_partkey % 4 + 1 AS VARCHAR) AS appraise,
+           {_epoch_s('l_shipdate')} AS ts
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_linenumber = 2
+)
+"""
+
+_FAVOR_COMMON = f"""
+    'fav_' || {DETAIL_ID} AS id,
+    CAST(o_custkey AS VARCHAR) AS user_id,
+    CAST(l_partkey AS VARCHAR) AS sku_id,
+    {_f('l_shipdate')} AS create_time
+"""
+
+CTES["favor_info_cdc"] = f"""
+favor_info_cdc AS (
+    SELECT 'insert' AS type, {_FAVOR_COMMON}, '0' AS is_cancel,
+           {_epoch_s('l_shipdate')} AS ts
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_linenumber = 3
+    UNION ALL
+    SELECT 'update' AS type, {_FAVOR_COMMON}, '0' AS is_cancel,
+           CAST(CAST(epoch(l_shipdate) AS BIGINT) + 60 AS VARCHAR) AS ts
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_linenumber = 3 AND l_partkey % 3 = 0
+    UNION ALL
+    SELECT 'update' AS type, {_FAVOR_COMMON}, '1' AS is_cancel,
+           CAST(CAST(epoch(l_shipdate) AS BIGINT) + 60 AS VARCHAR) AS ts
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_linenumber = 3 AND l_partkey % 3 = 1
+)
+"""
+
+_COUPON_COMMON = """
+    'use_' || CAST(o_orderkey AS VARCHAR) AS id,
+    CAST(o_orderkey % 7 + 1 AS VARCHAR) AS coupon_id,
+    CAST(o_custkey AS VARCHAR) AS user_id,
+    CAST(o_orderkey AS VARCHAR) AS order_id
+"""
+
+CTES["coupon_use_cdc"] = f"""
+coupon_use_cdc AS (
+    SELECT 'insert' AS type, {_COUPON_COMMON},
+           '1401' AS coupon_status, {_f('o_orderdate')} AS get_time,
+           CAST(NULL AS VARCHAR) AS using_time, CAST(NULL AS VARCHAR) AS used_time,
+           CAST(NULL AS VARCHAR) AS old_coupon_status,
+           {_epoch_s('o_orderdate')} AS ts
+    FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT 'update' AS type, {_COUPON_COMMON},
+           '1402' AS coupon_status, {_f('o_orderdate')} AS get_time,
+           {_f("o_orderdate + INTERVAL 10 MINUTE")} AS using_time,
+           CAST(NULL AS VARCHAR) AS used_time,
+           '1401' AS old_coupon_status,
+           CAST(CAST(epoch(o_orderdate) AS BIGINT) + 600 AS VARCHAR) AS ts
+    FROM orders WHERE o_orderkey % 8 = 0
+    UNION ALL
+    SELECT 'update' AS type, {_COUPON_COMMON},
+           '1402' AS coupon_status, {_f('o_orderdate')} AS get_time,
+           {_f("o_orderdate + INTERVAL 10 MINUTE")} AS using_time,
+           {_f("o_orderdate + INTERVAL 20 MINUTE")} AS used_time,
+           CAST(NULL AS VARCHAR) AS old_coupon_status,
+           CAST(CAST(epoch(o_orderdate) AS BIGINT) + 1200 AS VARCHAR) AS ts
+    FROM orders WHERE o_orderkey % 16 = 0
+)
+"""
+
+CTES["base_dic"] = f"base_dic AS (SELECT * FROM {base_dic_values_sql()})"
+
+
+def sql(body: str, *cte_names: str) -> str:
+    """Compose ``WITH <ctes> <body>`` from named fragments."""
+    if not cte_names:
+        return body
+    parts = ",\n".join(CTES[n].strip().rstrip() for n in cte_names)
+    return f"WITH {parts}\n{body}"

@@ -1,0 +1,598 @@
+"""Deterministic Maxwell-style CDC envelope (``topic_db``) synthesis.
+
+The reference consumes a Kafka topic of Maxwell binlog JSON with schema
+``{database, table, type in {insert,update,delete,bootstrap-insert}, data
+map, old map, ts}`` (reference DDL: RT/utils/MyKafkaUtil.java:128-137). Here
+the business tables are synthesized deterministically from the driver's
+TPC-H-ish star schema (mapping documented per builder below, mirrored 1:1 in
+DuckDB SQL by :mod:`..oracle` so pipelines stay oracle-checkable):
+
+- orders            -> order_info, payment_info, coupon_use
+- lineitem          -> order_detail, order_detail_activity,
+                       order_detail_coupon, cart_info, order_refund_info,
+                       refund_payment, comment_info, favor_info
+- customer          -> user_info
+
+Determinism rules (parity with the DuckDB oracle):
+- money values are either direct casts of 2-decimal doubles to
+  DECIMAL(18,2) or integer-valued decimals (``k % m``); never float
+  multiplication, so Spark and DuckDB render identical strings;
+- timestamps are formatted 'yyyy-MM-dd HH:mm:ss' under a UTC session;
+- the CDC ``ts`` is epoch **seconds** as a string (Maxwell convention).
+
+Scale note: each builder is a narrow projection + optional broadcast-able
+join (orders x customer); no wide shuffle. The union of builders is only a
+test-harness stand-in for the Kafka topic — Catalyst constant-folds
+``table = 'x'`` filters through the union, so each DWD pipeline reads only
+the branches it needs (verified via .explain in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import tables
+
+DB = "gmall_0105"
+
+FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _s(c: Column) -> Column:
+    return c.cast("string")
+
+
+def _dec2(c: Column) -> Column:
+    """2-decimal money string (exact: input is a 2-decimal double or int)."""
+    return c.cast("decimal(18,2)").cast("string")
+
+
+def _fmt(c: Column) -> Column:
+    return F.date_format(c, FMT)
+
+
+def _epoch_s(c: Column) -> Column:
+    return _s(F.unix_timestamp(c))
+
+
+def _map(pairs: dict[str, Column]) -> Column:
+    args: list[Column] = []
+    for k, v in pairs.items():
+        args.append(F.lit(k))
+        args.append(v.cast("string"))
+    return F.create_map(*args)
+
+
+def _envelope(
+    table: str, typ: Column | str, data: Column, old: Column, ts: Column
+) -> list[Column]:
+    typ_col = F.lit(typ) if isinstance(typ, str) else typ
+    return [
+        F.lit(DB).alias("database"),
+        F.lit(table).alias("table"),
+        typ_col.alias("type"),
+        data.alias("data"),
+        old.cast("map<string,string>").alias("old"),
+        ts.alias("ts"),
+    ]
+
+
+def _null_old() -> Column:
+    return F.lit(None)
+
+
+def detail_id() -> Column:
+    """Synthetic unique order_detail PK (l_orderkey,l_linenumber,l_partkey,
+    l_suppkey is unique in the driver data)."""
+    return F.concat_ws(
+        "_", F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey"), F.col("l_suppkey")
+    )
+
+
+def _orders_with_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # customer is small relative to orders -> broadcast, no shuffle.
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+
+
+def _final_status() -> Column:
+    k = F.col("o_orderkey") % 10
+    return (
+        F.when(
+            F.col("o_orderstatus") == "F",
+            F.when(k == 0, "1003")
+            .when(k == 1, "1005")
+            .when(k == 2, "1006")
+            .otherwise("1004"),
+        )
+        .when(F.col("o_orderstatus") == "P", "1002")
+        .otherwise("1001")
+    )
+
+
+def order_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order_info CDC rows: one ``insert`` (status 1001) per order; one
+    ``update`` to the final status for non-1001 orders, with ``old``
+    carrying the prior status (exercises the cancel/refund predicates at
+    RT/app/dwd/DwdTradeCancelDetail.java:110-113 etc.)."""
+    src = _orders_with_cust(spark, sf_dir)
+
+    def data(status: Column, operate: Column) -> Column:
+        return _map(
+            {
+                "id": F.col("o_orderkey"),
+                "consignee": F.concat(F.lit("c_"), F.col("o_custkey")),
+                "consignee_tel": F.concat(F.lit("137"), F.col("o_orderkey") % 100000000),
+                "total_amount": _dec2(F.col("o_totalprice")),
+                "order_status": status,
+                "user_id": F.col("o_custkey"),
+                "payment_way": F.lit("3501"),
+                "delivery_address": F.concat(F.lit("addr_"), F.col("c_nationkey")),
+                "order_comment": F.lit(None),
+                "out_trade_no": F.concat(F.lit("trade_no_"), F.col("o_orderkey")),
+                "trade_body": F.concat(F.lit("body_"), F.col("o_orderkey")),
+                "create_time": _fmt(F.col("o_orderdate")),
+                "operate_time": operate,
+                "expire_time": _fmt(F.col("o_orderdate") + F.expr("INTERVAL 15 MINUTES")),
+                "process_status": F.lit(None),
+                "tracking_no": F.lit(None),
+                "parent_order_id": F.lit(None),
+                "province_id": F.col("c_nationkey"),
+                "activity_reduce_amount": _dec2(F.col("o_orderkey") % 50),
+                "coupon_reduce_amount": _dec2(F.col("o_orderkey") % 20),
+                "original_total_amount": _s(
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                    + (F.col("o_orderkey") % 50).cast("decimal(18,2)")
+                    + (F.col("o_orderkey") % 20).cast("decimal(18,2)")
+                ),
+                "feight_fee": _dec2(F.col("o_orderkey") % 15),
+                "feight_fee_reduce": F.lit(None),
+                "refundable_time": _fmt(F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")),
+            }
+        )
+
+    inserts = src.select(
+        *_envelope(
+            "order_info",
+            "insert",
+            data(F.lit("1001"), F.lit(None).cast("string")),
+            _null_old(),
+            _epoch_s(F.col("o_orderdate")),
+        )
+    )
+    updates = src.filter(_final_status() != "1001").select(
+        *_envelope(
+            "order_info",
+            "update",
+            data(
+                _final_status(),
+                _fmt(F.col("o_orderdate") + F.expr("INTERVAL 1 HOUR")),
+            ),
+            _map({"order_status": F.lit("1001"), "operate_time": F.lit(None)}),
+            _s(F.unix_timestamp(F.col("o_orderdate")) + 3600),
+        )
+    )
+    return inserts.unionByName(updates)
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "lineitem")
+
+
+def _source_type() -> Column:
+    return F.concat(F.lit("240"), (F.col("l_partkey") % 4) + 1)
+
+
+def _split_activity() -> Column:
+    return F.when(F.col("l_discount") > 0.05, _dec2(F.col("l_suppkey") % 20))
+
+
+def _split_coupon() -> Column:
+    return F.when(F.col("l_tax") > 0.04, _dec2(F.col("l_suppkey") % 10))
+
+
+def order_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _lineitem(spark, sf_dir)
+    split_total = _s(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        - F.coalesce(
+            F.when(F.col("l_discount") > 0.05, (F.col("l_suppkey") % 20).cast("decimal(18,2)")),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        - F.coalesce(
+            F.when(F.col("l_tax") > 0.04, (F.col("l_suppkey") % 10).cast("decimal(18,2)")),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+    )
+    data = _map(
+        {
+            "id": detail_id(),
+            "order_id": F.col("l_orderkey"),
+            "sku_id": F.col("l_partkey"),
+            "sku_name": F.concat(F.lit("sku_"), F.col("l_partkey")),
+            "order_price": _dec2(F.col("l_extendedprice")),
+            "sku_num": F.col("l_quantity").cast("int"),
+            "create_time": _fmt(F.col("l_shipdate")),
+            "source_type": _source_type(),
+            "source_id": F.col("l_suppkey"),
+            "split_total_amount": split_total,
+            "split_activity_amount": _split_activity(),
+            "split_coupon_amount": _split_coupon(),
+        }
+    )
+    return l.select(
+        *_envelope("order_detail", "insert", data, _null_old(), _epoch_s(F.col("l_shipdate")))
+    )
+
+
+def order_detail_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _lineitem(spark, sf_dir).filter(F.col("l_discount") > 0.05)
+    data = _map(
+        {
+            "id": F.concat(F.lit("act_"), detail_id()),
+            "order_id": F.col("l_orderkey"),
+            "order_detail_id": detail_id(),
+            "activity_id": (F.col("l_partkey") % 5) + 1,
+            "activity_rule_id": (F.col("l_partkey") % 3) + 1,
+            "sku_id": F.col("l_partkey"),
+            "create_time": _fmt(F.col("l_shipdate")),
+        }
+    )
+    return l.select(
+        *_envelope(
+            "order_detail_activity", "insert", data, _null_old(), _epoch_s(F.col("l_shipdate"))
+        )
+    )
+
+
+def order_detail_coupon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _lineitem(spark, sf_dir).filter(F.col("l_tax") > 0.04)
+    data = _map(
+        {
+            "id": F.concat(F.lit("cpn_"), detail_id()),
+            "order_id": F.col("l_orderkey"),
+            "order_detail_id": detail_id(),
+            "coupon_id": (F.col("l_partkey") % 7) + 1,
+            "coupon_use_id": F.concat(F.lit("cu_"), detail_id()),
+            "sku_id": F.col("l_partkey"),
+            "create_time": _fmt(F.col("l_shipdate")),
+        }
+    )
+    return l.select(
+        *_envelope(
+            "order_detail_coupon", "insert", data, _null_old(), _epoch_s(F.col("l_shipdate"))
+        )
+    )
+
+
+def cart_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cart_info rows (lineitem line 1 of each order): ``insert`` for all,
+    plus an ``update`` raising sku_num for orderkey%5==0 (passes the
+    cart-add predicate, RT/app/dwd/DwdTradeCartAdd.java:57-62) and an
+    ``update`` touching only is_checked for orderkey%5==1 (filtered out —
+    negative case)."""
+    l = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") == 1)
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    src = l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+
+    def data(sku_num: Column, operate: Column, checked: Column) -> Column:
+        return _map(
+            {
+                "id": F.concat(F.lit("cart_"), detail_id()),
+                "user_id": F.col("o_custkey"),
+                "sku_id": F.col("l_partkey"),
+                "cart_price": _dec2(F.col("l_extendedprice")),
+                "sku_num": sku_num,
+                "sku_name": F.concat(F.lit("sku_"), F.col("l_partkey")),
+                "is_checked": checked,
+                "create_time": _fmt(F.col("l_shipdate")),
+                "operate_time": operate,
+                "is_ordered": F.lit("0"),
+                "order_time": F.lit(None),
+                "source_type": _source_type(),
+                "source_id": F.col("l_suppkey"),
+            }
+        )
+
+    qty = F.col("l_quantity").cast("int")
+    inserts = src.select(
+        *_envelope(
+            "cart_info",
+            "insert",
+            data(qty, F.lit(None).cast("string"), F.lit(None).cast("string")),
+            _null_old(),
+            _epoch_s(F.col("l_shipdate")),
+        )
+    )
+    up_time = _fmt(F.col("l_shipdate") + F.expr("INTERVAL 30 MINUTES"))
+    up_ts = _s(F.unix_timestamp(F.col("l_shipdate")) + 1800)
+    more = src.filter(F.col("l_orderkey") % 5 == 0).select(
+        *_envelope(
+            "cart_info",
+            "update",
+            data(qty + 2, up_time, F.lit(None).cast("string")),
+            _map({"sku_num": qty}),
+            up_ts,
+        )
+    )
+    checked_only = src.filter(F.col("l_orderkey") % 5 == 1).select(
+        *_envelope(
+            "cart_info",
+            "update",
+            data(qty, up_time, F.lit("1")),
+            _map({"is_checked": F.lit("0")}),
+            up_ts,
+        )
+    )
+    return inserts.unionByName(more).unionByName(checked_only)
+
+
+def payment_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("F", "P"))
+    data = _map(
+        {
+            "user_id": F.col("o_custkey"),
+            "order_id": F.col("o_orderkey"),
+            "payment_type": F.concat(F.lit("110"), (F.col("o_orderkey") % 3) + 1),
+            "total_amount": _dec2(F.col("o_totalprice")),
+            "callback_time": _fmt(F.col("o_orderdate") + F.expr("INTERVAL 30 MINUTES")),
+            "create_time": _fmt(F.col("o_orderdate") + F.expr("INTERVAL 15 MINUTES")),
+            "payment_status": F.lit("1602"),
+        }
+    )
+    return o.select(
+        *_envelope(
+            "payment_info",
+            "update",
+            data,
+            _map({"payment_status": F.lit("1601")}),
+            _s(F.unix_timestamp(F.col("o_orderdate")) + 1800),
+        )
+    )
+
+
+def order_refund_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _lineitem(spark, sf_dir).filter(F.col("l_returnflag") == "R")
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    src = l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+    data = _map(
+        {
+            "id": F.concat(F.lit("ref_"), detail_id()),
+            "user_id": F.col("o_custkey"),
+            "order_id": F.col("l_orderkey"),
+            "sku_id": F.col("l_partkey"),
+            "refund_type": F.concat(F.lit("150"), (F.col("l_linenumber") % 2) + 1),
+            "refund_num": F.col("l_quantity").cast("int"),
+            "refund_amount": _dec2(F.col("l_extendedprice")),
+            "refund_reason_type": F.concat(F.lit("130"), (F.col("l_partkey") % 3) + 1),
+            "refund_reason_txt": F.concat(F.lit("txt_"), F.col("l_partkey") % 3),
+            "create_time": _fmt(F.col("l_shipdate")),
+        }
+    )
+    return src.select(
+        *_envelope("order_refund_info", "insert", data, _null_old(), _epoch_s(F.col("l_shipdate")))
+    )
+
+
+def refund_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _lineitem(spark, sf_dir).filter(F.col("l_returnflag") == "R")
+    data = _map(
+        {
+            "id": F.concat(F.lit("rp_"), detail_id()),
+            "order_id": F.col("l_orderkey"),
+            "sku_id": F.col("l_partkey"),
+            "payment_type": F.concat(F.lit("110"), (F.col("l_orderkey") % 3) + 1),
+            "callback_time": _fmt(F.col("l_shipdate") + F.expr("INTERVAL 1 DAY")),
+            "total_amount": _dec2(F.col("l_extendedprice")),
+            "refund_status": F.lit("1602"),
+        }
+    )
+    return l.select(
+        *_envelope(
+            "refund_payment",
+            "update",
+            data,
+            _map({"refund_status": F.lit("1601")}),
+            _s(F.unix_timestamp(F.col("l_shipdate")) + 86400),
+        )
+    )
+
+
+def user_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer")
+    create = (
+        F.lit("2024-01-01 00:00:00").cast("timestamp")
+        + F.make_interval(days=(F.col("c_custkey") % 30).cast("int"))
+        + F.make_interval(secs=(F.col("c_custkey") % 86400).cast("double"))
+    )
+    data = _map(
+        {
+            "id": F.col("c_custkey"),
+            "name": F.col("c_name"),
+            "create_time": _fmt(create),
+        }
+    )
+    return c.select(*_envelope("user_info", "insert", data, _null_old(), _epoch_s(create)))
+
+
+def comment_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") == 2)
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    src = l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+    data = _map(
+        {
+            "id": F.concat(F.lit("cm_"), detail_id()),
+            "user_id": F.col("o_custkey"),
+            "sku_id": F.col("l_partkey"),
+            "order_id": F.col("l_orderkey"),
+            "create_time": _fmt(F.col("l_shipdate")),
+            "appraise": F.concat(F.lit("120"), (F.col("l_partkey") % 4) + 1),
+        }
+    )
+    return src.select(
+        *_envelope("comment_info", "insert", data, _null_old(), _epoch_s(F.col("l_shipdate")))
+    )
+
+
+def favor_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """favor_info: ``insert`` for every line-3 item; re-favor ``update``
+    (is_cancel 1->0, kept by the predicate) for partkey%3==0; cancel
+    ``update`` (is_cancel 0->1, filtered) for partkey%3==1."""
+    l = _lineitem(spark, sf_dir).filter(F.col("l_linenumber") == 3)
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    src = l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+
+    def data(is_cancel: Column) -> Column:
+        return _map(
+            {
+                "id": F.concat(F.lit("fav_"), detail_id()),
+                "user_id": F.col("o_custkey"),
+                "sku_id": F.col("l_partkey"),
+                "is_cancel": is_cancel,
+                "create_time": _fmt(F.col("l_shipdate")),
+            }
+        )
+
+    inserts = src.select(
+        *_envelope("favor_info", "insert", data(F.lit("0")), _null_old(), _epoch_s(F.col("l_shipdate")))
+    )
+    refavor = src.filter(F.col("l_partkey") % 3 == 0).select(
+        *_envelope(
+            "favor_info",
+            "update",
+            data(F.lit("0")),
+            _map({"is_cancel": F.lit("1")}),
+            _s(F.unix_timestamp(F.col("l_shipdate")) + 60),
+        )
+    )
+    cancel = src.filter(F.col("l_partkey") % 3 == 1).select(
+        *_envelope(
+            "favor_info",
+            "update",
+            data(F.lit("1")),
+            _map({"is_cancel": F.lit("0")}),
+            _s(F.unix_timestamp(F.col("l_shipdate")) + 60),
+        )
+    )
+    return inserts.unionByName(refavor).unionByName(cancel)
+
+
+def coupon_use(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coupon_use lifecycle for orderkey%4==0: ``insert`` (1401 get), an
+    order ``update`` (1401->1402 + using_time) for orderkey%8==0, a pay
+    ``update`` (used_time set) for orderkey%16==0."""
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+
+    using_time = _fmt(F.col("o_orderdate") + F.expr("INTERVAL 10 MINUTES"))
+    used_time = _fmt(F.col("o_orderdate") + F.expr("INTERVAL 20 MINUTES"))
+
+    def data(status: Column, using: Column, used: Column) -> Column:
+        return _map(
+            {
+                "id": F.concat(F.lit("use_"), F.col("o_orderkey")),
+                "coupon_id": (F.col("o_orderkey") % 7) + 1,
+                "user_id": F.col("o_custkey"),
+                "order_id": F.col("o_orderkey"),
+                "coupon_status": status,
+                "get_time": _fmt(F.col("o_orderdate")),
+                "using_time": using,
+                "used_time": used,
+            }
+        )
+
+    null_s = F.lit(None).cast("string")
+    inserts = o.select(
+        *_envelope(
+            "coupon_use",
+            "insert",
+            data(F.lit("1401"), null_s, null_s),
+            _null_old(),
+            _epoch_s(F.col("o_orderdate")),
+        )
+    )
+    order_upd = o.filter(F.col("o_orderkey") % 8 == 0).select(
+        *_envelope(
+            "coupon_use",
+            "update",
+            data(F.lit("1402"), using_time, null_s),
+            _map({"coupon_status": F.lit("1401"), "using_time": F.lit(None)}),
+            _s(F.unix_timestamp(F.col("o_orderdate")) + 600),
+        )
+    )
+    pay_upd = o.filter(F.col("o_orderkey") % 16 == 0).select(
+        *_envelope(
+            "coupon_use",
+            "update",
+            data(F.lit("1402"), using_time, used_time),
+            _map({"used_time": F.lit(None)}),
+            _s(F.unix_timestamp(F.col("o_orderdate")) + 1200),
+        )
+    )
+    return inserts.unionByName(order_upd).unionByName(pay_upd)
+
+
+BUILDERS = {
+    "order_info": order_info,
+    "order_detail": order_detail,
+    "order_detail_activity": order_detail_activity,
+    "order_detail_coupon": order_detail_coupon,
+    "cart_info": cart_info,
+    "payment_info": payment_info,
+    "order_refund_info": order_refund_info,
+    "refund_payment": refund_payment,
+    "user_info": user_info,
+    "comment_info": comment_info,
+    "favor_info": favor_info,
+    "coupon_use": coupon_use,
+}
+
+
+def topic_db(spark: SparkSession, sf_dir: str, only: list[str] | None = None) -> DataFrame:
+    """Structured ``topic_db`` stream (union of per-table CDC builders).
+
+    ``only`` restricts to the listed source tables — pipelines use it so the
+    harness does not even construct unrelated branches (at 100 TB the topic
+    would be read once and fanned out; here each pipeline re-derives its
+    slice, which Catalyst prunes to the needed parquet scans).
+    """
+    names = only if only is not None else list(BUILDERS)
+    dfs = [BUILDERS[n](spark, sf_dir) for n in names]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def topic_db_json(spark: SparkSession, sf_dir: str, only: list[str] | None = None) -> DataFrame:
+    """``topic_db`` as raw JSON strings (the Kafka-facing contract), plus
+    deterministic dirty rows (non-JSON) to exercise the P1 dirty filter
+    (reference: RT/app/dim/DimApp.java:53-72)."""
+    structured = topic_db(spark, sf_dir, only)
+    good = structured.select(
+        F.to_json(F.struct("database", "table", "type", "data", "old", "ts")).alias("value")
+    )
+    dirty = (
+        tables.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(F.concat(F.lit("#dirty-binlog#"), F.col("o_orderkey")).alias("value"))
+    )
+    return good.unionByName(dirty)
+
+
+TOPIC_DB_SCHEMA = (
+    "database string, `table` string, type string, "
+    "data map<string,string>, old map<string,string>, ts string"
+)
+
+
+def parse_topic_db(raw: DataFrame) -> DataFrame:
+    """P1: JSON parse + dirty-row drop + CDC type filter (keep insert /
+    update / bootstrap-insert; reference: RT/app/dim/DimApp.java:53-72)."""
+    parsed = raw.select(F.from_json(F.col("value"), TOPIC_DB_SCHEMA).alias("j"))
+    return (
+        parsed.filter(F.col("j").isNotNull() & F.col("j.table").isNotNull())
+        .select("j.*")
+        .filter(F.col("type").isin("insert", "update", "bootstrap-insert"))
+    )
