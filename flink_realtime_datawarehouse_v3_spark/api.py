@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import oracle
-from .plans import dwd_simple
+from .plans import dwd_simple, dwd_trade
 from .sources import cdc, dic
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -119,6 +119,158 @@ register(
            JOIN base_dic dic ON ci.appraise = dic.dic_code
            WHERE ci.type = 'insert'""",
         "comment_info_cdc",
+        "base_dic",
+    ),
+)
+
+
+# --- DWD: trade-domain join pipelines ----------------------------------------
+
+_PRE_TABLES = [
+    "order_detail",
+    "order_info",
+    "order_detail_activity",
+    "order_detail_coupon",
+]
+
+
+def _pre(spark: SparkSession, sf: str) -> DataFrame:
+    return dwd_trade.order_pre_process(
+        _cdc(spark, sf, _PRE_TABLES), dic.base_dic(spark)
+    )
+
+
+register(
+    "dwd_trade_order_pre_process",
+    _pre,
+    oracle.sql("SELECT * FROM dwd_order_pre", *oracle.PRE_CTES),
+)
+
+register(
+    "dwd_trade_order_detail",
+    lambda spark, sf: dwd_trade.order_detail(_pre(spark, sf)),
+    oracle.sql("SELECT * FROM dwd_order_detail", *oracle.DETAIL_CTES),
+)
+
+register(
+    "dwd_trade_cancel_detail",
+    lambda spark, sf: dwd_trade.cancel_detail(_pre(spark, sf)),
+    oracle.sql(
+        """SELECT id, order_id, user_id, sku_id, sku_name, province_id,
+                  activity_id, activity_rule_id, coupon_id,
+                  operate_time AS cancel_time, source_id, source_type_id,
+                  source_type_name, sku_num, order_price,
+                  split_activity_amount, split_coupon_amount,
+                  split_total_amount
+           FROM dwd_order_pre
+           WHERE type = 'update' AND old_order_status IS NOT NULL
+             AND order_status = '1003'""",
+        *oracle.PRE_CTES,
+    ),
+)
+
+register(
+    "dwd_trade_cart_add",
+    lambda spark, sf: dwd_trade.cart_add(
+        _cdc(spark, sf, ["cart_info"]), dic.base_dic(spark)
+    ),
+    oracle.sql(
+        """SELECT ci.id, ci.user_id, ci.sku_id, ci.cart_price,
+                  CASE WHEN ci.type = 'insert' THEN ci.sku_num
+                       ELSE CAST(CAST(ci.sku_num AS INT) - CAST(ci.old_sku_num AS INT) AS VARCHAR)
+                  END AS sku_num,
+                  ci.sku_name, ci.is_checked, ci.create_time, ci.operate_time,
+                  ci.is_ordered, ci.order_time,
+                  ci.source_type AS source_type_id,
+                  dic.dic_name AS source_type_name,
+                  ci.source_id
+           FROM cart_info_cdc ci
+           JOIN base_dic dic ON ci.source_type = dic.dic_code
+           WHERE ci.type = 'insert'
+              OR (ci.type = 'update' AND ci.old_sku_num IS NOT NULL
+                  AND CAST(ci.sku_num AS INT) > CAST(ci.old_sku_num AS INT))""",
+        "cart_info_cdc",
+        "base_dic",
+    ),
+)
+
+register(
+    "dwd_trade_pay_detail_suc",
+    lambda spark, sf: dwd_trade.pay_detail_suc(
+        _cdc(spark, sf, ["payment_info"]),
+        dwd_trade.order_detail(_pre(spark, sf)),
+        dic.base_dic(spark),
+    ),
+    oracle.sql(
+        """SELECT od.id AS order_detail_id, od.order_id, od.user_id,
+                  od.sku_id, od.sku_name, od.province_id, od.activity_id,
+                  od.activity_rule_id, od.coupon_id,
+                  pi.payment_type AS payment_type_code,
+                  dic.dic_name AS payment_type_name,
+                  pi.callback_time, od.source_id, od.source_type_id,
+                  od.source_type_name, od.sku_num, od.order_price,
+                  od.split_activity_amount, od.split_coupon_amount,
+                  od.split_total_amount AS split_payment_amount
+           FROM payment_info_cdc pi
+           JOIN dwd_order_detail od ON pi.order_id = od.order_id
+           JOIN base_dic dic ON pi.payment_type = dic.dic_code
+           WHERE pi.type = 'update' AND pi.payment_status = '1602'""",
+        "payment_info_cdc",
+        *oracle.DETAIL_CTES,
+    ),
+)
+
+register(
+    "dwd_trade_order_refund",
+    lambda spark, sf: dwd_trade.order_refund(
+        _cdc(spark, sf, ["order_refund_info", "order_info"]), dic.base_dic(spark)
+    ),
+    oracle.sql(
+        """SELECT ri.id, ri.user_id, ri.order_id, ri.sku_id, oi.province_id,
+                  strftime(CAST(ri.create_time AS TIMESTAMP), '%Y-%m-%d') AS date_id,
+                  ri.create_time,
+                  ri.refund_type AS refund_type_code,
+                  tdic.dic_name AS refund_type_name,
+                  ri.refund_reason_type AS refund_reason_type_code,
+                  rdic.dic_name AS refund_reason_type_name,
+                  ri.refund_reason_txt, ri.refund_num, ri.refund_amount, ri.ts
+           FROM order_refund_info_cdc ri
+           JOIN (SELECT * FROM order_info_cdc
+                 WHERE type = 'update' AND order_status = '1005'
+                   AND old_order_status IS NOT NULL) oi
+             ON ri.order_id = oi.id
+           JOIN base_dic tdic ON ri.refund_type = tdic.dic_code
+           JOIN base_dic rdic ON ri.refund_reason_type = rdic.dic_code
+           WHERE ri.type = 'insert'""",
+        "order_refund_info_cdc",
+        "order_info_cdc",
+        "base_dic",
+    ),
+)
+
+register(
+    "dwd_trade_refund_pay_suc",
+    lambda spark, sf: dwd_trade.refund_pay_suc(
+        _cdc(spark, sf, ["refund_payment", "order_info", "order_refund_info"]),
+        dic.base_dic(spark),
+    ),
+    oracle.sql(
+        """SELECT rp.id, oi.user_id, rp.order_id, rp.sku_id, oi.province_id,
+                  rp.payment_type AS payment_type_code,
+                  dic.dic_name AS payment_type_name,
+                  strftime(CAST(rp.callback_time AS TIMESTAMP), '%Y-%m-%d') AS date_id,
+                  rp.callback_time, ri.refund_num, rp.total_amount, rp.ts
+           FROM refund_payment_cdc rp
+           JOIN (SELECT * FROM order_info_cdc
+                 WHERE type = 'update' AND order_status = '1006'
+                   AND old_order_status IS NOT NULL) oi
+             ON rp.order_id = oi.id
+           JOIN order_refund_info_cdc ri
+             ON rp.order_id = ri.order_id AND rp.sku_id = ri.sku_id
+           JOIN base_dic dic ON rp.payment_type = dic.dic_code""",
+        "refund_payment_cdc",
+        "order_info_cdc",
+        "order_refund_info_cdc",
         "base_dic",
     ),
 )

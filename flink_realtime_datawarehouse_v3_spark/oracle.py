@@ -330,6 +330,63 @@ coupon_use_cdc AS (
 
 CTES["base_dic"] = f"base_dic AS (SELECT * FROM {base_dic_values_sql()})"
 
+# DWD order pre-process wide row (reference:
+# RT/app/dwd/DwdTradeOrderPreProcess.java:141-198): detail join order_info
+# (insert+update changelog) left-join activity/coupon, join base_dic.
+# Requires CTEs: order_detail_cdc, order_info_cdc, order_detail_activity_cdc,
+# order_detail_coupon_cdc, base_dic (list them before this one).
+CTES["dwd_order_pre"] = """
+dwd_order_pre AS (
+    SELECT od.id, od.order_id, od.sku_id, od.sku_name, od.order_price,
+           od.sku_num, od.create_time,
+           od.source_type AS source_type_id, dic.dic_name AS source_type_name,
+           od.source_id, od.split_total_amount, od.split_activity_amount,
+           od.split_coupon_amount,
+           oi.consignee, oi.consignee_tel, oi.total_amount, oi.order_status,
+           oi.user_id, oi.payment_way, oi.delivery_address, oi.order_comment,
+           oi.out_trade_no, oi.trade_body, oi.operate_time, oi.expire_time,
+           oi.process_status, oi.tracking_no, oi.parent_order_id,
+           oi.province_id, oi.activity_reduce_amount, oi.coupon_reduce_amount,
+           oi.original_total_amount, oi.feight_fee, oi.feight_fee_reduce,
+           oi.refundable_time,
+           oa.id AS order_detail_activity_id, oa.activity_id,
+           oa.activity_rule_id,
+           oc.id AS order_detail_coupon_id, oc.coupon_id, oc.coupon_use_id,
+           oi.type, oi.old_order_status
+    FROM (SELECT * FROM order_detail_cdc WHERE type = 'insert') od
+    JOIN order_info_cdc oi ON od.order_id = oi.id
+    LEFT JOIN order_detail_activity_cdc oa ON od.id = oa.order_detail_id
+    LEFT JOIN order_detail_coupon_cdc oc ON od.id = oc.order_detail_id
+    JOIN base_dic dic ON od.source_type = dic.dic_code
+)
+"""
+
+PRE_CTES = (
+    "order_detail_cdc",
+    "order_info_cdc",
+    "order_detail_activity_cdc",
+    "order_detail_coupon_cdc",
+    "base_dic",
+    "dwd_order_pre",
+)
+
+# Columns of the DWD order-detail fact (pre-process rows with type='insert';
+# reference: RT/app/dwd/DwdTradeOrderDetail.java:80-146).
+ORDER_DETAIL_COLS = (
+    "id, order_id, user_id, sku_id, sku_name, sku_num, order_price, "
+    "province_id, activity_id, activity_rule_id, coupon_id, create_time, "
+    "source_id, source_type_id, source_type_name, split_activity_amount, "
+    "split_coupon_amount, split_total_amount"
+)
+
+CTES["dwd_order_detail"] = f"""
+dwd_order_detail AS (
+    SELECT {ORDER_DETAIL_COLS} FROM dwd_order_pre WHERE type = 'insert'
+)
+"""
+
+DETAIL_CTES = PRE_CTES + ("dwd_order_detail",)
+
 
 def sql(body: str, *cte_names: str) -> str:
     """Compose ``WITH <ctes> <body>`` from named fragments."""

@@ -54,6 +54,7 @@ def get_spark(app_name: str = "flink_realtime_datawarehouse_v3_spark") -> SparkS
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
     spark = builder.getOrCreate()
