@@ -274,3 +274,134 @@ register(
         "base_dic",
     ),
 )
+
+
+# --- DWD: traffic (app-log) pipelines ----------------------------------------
+
+from .plans import dwd_traffic  # noqa: E402
+from .sources import logs  # noqa: E402
+
+
+def _log(spark: SparkSession, sf: str) -> DataFrame:
+    return dwd_traffic.repair_is_new(
+        logs.parse_topic_log(logs.topic_log_json(spark, sf))
+    )
+
+
+register(
+    "dwd_traffic_page_log",
+    lambda spark, sf: dwd_traffic.page_log(_log(spark, sf)),
+    oracle.sql(f"SELECT {oracle.PAGE_COLS} FROM dwd_page_log", *oracle.LOG_CTES),
+)
+
+register(
+    "dwd_traffic_start_log",
+    lambda spark, sf: dwd_traffic.start_log(_log(spark, sf)),
+    oracle.sql(
+        """SELECT f.ar, f.ch, r.is_new, f.md, f.mid, f.os, f.uid, f.vc,
+                  f.event_id, f.ts_ms AS ts,
+                  CASE WHEN f.k % 2 = 0 THEN 'icon' ELSE 'notice' END AS entry,
+                  CAST(f.k % 2000 AS INT) AS loading_time,
+                  CAST(f.k % 20 AS INT) AS open_ad_id,
+                  CAST(f.k % 1000 AS INT) AS open_ad_ms,
+                  CAST(f.k % 100 AS INT) AS open_ad_skip_ms
+           FROM log_full f JOIN log_repair r USING (event_id)
+           WHERE f.event_type = 'signup'""",
+        "log_full",
+        "log_item",
+        "log_repair",
+    ),
+)
+
+register(
+    "dwd_traffic_error_log",
+    lambda spark, sf: dwd_traffic.error_log(_log(spark, sf)),
+    oracle.sql(
+        """SELECT f.ar, f.ch, r.is_new, f.md, f.mid, f.os, f.uid, f.vc,
+                  f.event_id, f.ts_ms AS ts,
+                  CAST(2000 + f.k % 10 AS INT) AS error_code,
+                  'err_' || CAST(f.k % 10 AS VARCHAR) AS msg
+           FROM log_full f JOIN log_repair r USING (event_id)
+           WHERE f.event_type = 'error'""",
+        "log_full",
+        "log_item",
+        "log_repair",
+    ),
+)
+
+register(
+    "dwd_traffic_display_log",
+    lambda spark, sf: dwd_traffic.display_log(_log(spark, sf)),
+    oracle.sql(
+        """SELECT p.ar, p.ch, r.is_new, p.md, p.mid, p.os, p.uid, p.vc,
+                  p.event_id, p.ts_ms AS ts, p.page_id,
+                  CASE (p.k + g.i) % 3 WHEN 0 THEN 'promotion'
+                       WHEN 1 THEN 'query' ELSE 'recommend' END AS display_type,
+                  CAST((p.k * 31 + g.i) % 2000 AS VARCHAR) AS item,
+                  'sku_id' AS item_type,
+                  CAST(g.i AS INT) AS pos_id
+           FROM log_pages p
+           JOIN log_repair r USING (event_id)
+           CROSS JOIN LATERAL (SELECT UNNEST(generate_series(1, 1 + p.k % 3)) AS i) g
+           WHERE p.event_type = 'click'""",
+        "log_full",
+        "log_item",
+        "log_pages",
+        "log_repair",
+    ),
+)
+
+register(
+    "dwd_traffic_action_log",
+    lambda spark, sf: dwd_traffic.action_log(_log(spark, sf)),
+    oracle.sql(
+        """SELECT p.ar, p.ch, r.is_new, p.md, p.mid, p.os, p.uid, p.vc,
+                  p.event_id, p.page_id,
+                  CASE (p.k + g.i) % 2 WHEN 0 THEN 'cart_add'
+                       ELSE 'favor_add' END AS action_id,
+                  CAST((p.k * 17 + g.i) % 2000 AS VARCHAR) AS item,
+                  'sku_id' AS item_type,
+                  p.ts_ms + g.i * 1000 AS action_ts
+           FROM log_pages p
+           JOIN log_repair r USING (event_id)
+           CROSS JOIN LATERAL (SELECT UNNEST(generate_series(1, 1 + p.k % 2)) AS i) g
+           WHERE p.event_type = 'purchase'""",
+        "log_full",
+        "log_item",
+        "log_pages",
+        "log_repair",
+    ),
+)
+
+register(
+    "dwd_traffic_unique_visitor_detail",
+    lambda spark, sf: dwd_traffic.unique_visitor_detail(
+        dwd_traffic.page_log(_log(spark, sf))
+    ),
+    oracle.sql(
+        f"""SELECT {oracle.PAGE_COLS}
+            FROM (SELECT *, row_number() OVER
+                      (PARTITION BY mid, dt ORDER BY ts, event_id) AS rn
+                  FROM dwd_page_log WHERE last_page_id IS NULL)
+            WHERE rn = 1""",
+        *oracle.LOG_CTES,
+    ),
+)
+
+register(
+    "dwd_traffic_user_jump_detail",
+    lambda spark, sf: dwd_traffic.user_jump_detail(
+        dwd_traffic.page_log(_log(spark, sf))
+    ),
+    oracle.sql(
+        f"""SELECT {oracle.PAGE_COLS}
+            FROM (SELECT *, lead(ts) OVER w AS next_ts,
+                         lead(last_page_id) OVER w AS next_last_page
+                  FROM dwd_page_log
+                  WINDOW w AS (PARTITION BY mid ORDER BY ts, event_id))
+            WHERE last_page_id IS NULL
+              AND (next_ts IS NULL OR next_ts - ts > 10000
+                   OR next_last_page IS NULL)""",
+        *oracle.LOG_CTES,
+    ),
+)

@@ -388,6 +388,97 @@ dwd_order_detail AS (
 DETAIL_CTES = PRE_CTES + ("dwd_order_detail",)
 
 
+# --- app-log (topic_log) mirror ---------------------------------------------
+# Mirrors sources/logs.py exactly; see its docstring for the mapping.
+
+def _word(idx_expr: str) -> str:
+    return (
+        f"CASE ({idx_expr}) % 8 WHEN 0 THEN 'spark' WHEN 1 THEN 'flink' "
+        "WHEN 2 THEN 'kafka' WHEN 3 THEN 'hudi' WHEN 4 THEN 'iceberg' "
+        "WHEN 5 THEN 'delta' WHEN 6 THEN 'doris' ELSE 'paimon' END"
+    )
+
+
+CTES["log_full"] = f"""
+log_full AS (
+    SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, k,
+           'mid_' || CAST(user_id AS VARCHAR) AS mid,
+           CAST(user_id AS VARCHAR) AS uid,
+           CAST(user_id % 10 AS VARCHAR) AS ar,
+           CASE k % 5 WHEN 0 THEN 'Appstore' WHEN 1 THEN 'xiaomi'
+                WHEN 2 THEN 'wandoujia' WHEN 3 THEN 'oppo' ELSE 'vivo' END AS ch,
+           'v2.1.' || CAST(k % 3 AS VARCHAR) AS vc,
+           CASE WHEN k % 3 = 0 THEN '1' ELSE '0' END AS is_new_raw,
+           'model_' || CAST(user_id % 7 AS VARCHAR) AS md,
+           CASE WHEN user_id % 4 = 0 THEN 'iOS' ELSE 'Android' END AS os,
+           CASE WHEN event_type = 'view' THEN
+                    CASE k % 3 WHEN 0 THEN 'home' WHEN 1 THEN 'good_detail'
+                         ELSE 'search' END
+                WHEN event_type = 'click' THEN 'good_detail'
+                WHEN event_type = 'purchase' THEN 'trade'
+                WHEN event_type = 'error' THEN 'home' END AS page_id,
+           CAST(round(value * 1000, 0) AS BIGINT) AS during_time,
+           strftime(ts, '%Y-%m-%d') AS dt
+    FROM (SELECT *, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k
+          FROM events)
+)
+"""
+
+CTES["log_item"] = f"""
+log_item AS (
+    SELECT *,
+           CASE WHEN page_id = 'search'
+                    THEN {_word('k')} || ' ' || {_word('k + user_id')}
+                WHEN page_id = 'good_detail' THEN CAST(k % 2000 AS VARCHAR)
+           END AS item,
+           CASE WHEN page_id = 'search' THEN 'keyword'
+                WHEN page_id = 'good_detail' THEN 'sku_id' END AS item_type
+    FROM log_full
+)
+"""
+
+CTES["log_pages"] = """
+log_pages AS (
+    SELECT * EXCLUDE (prev_page, prev_ts),
+           CASE WHEN prev_ts IS NOT NULL AND ts_ms - prev_ts <= 1800000
+                THEN prev_page END AS last_page_id
+    FROM (SELECT *, lag(page_id) OVER w AS prev_page,
+                 lag(ts_ms) OVER w AS prev_ts
+          FROM log_item WHERE event_type <> 'signup'
+          WINDOW w AS (PARTITION BY mid ORDER BY ts_ms, event_id))
+)
+"""
+
+CTES["log_repair"] = """
+log_repair AS (
+    SELECT event_id,
+           CASE WHEN is_new_raw = '1' AND first_claim = '1' AND dt = first_dt
+                THEN '1' ELSE '0' END AS is_new
+    FROM (SELECT event_id, is_new_raw, dt,
+                 first_value(is_new_raw) OVER w AS first_claim,
+                 first_value(dt) OVER w AS first_dt
+          FROM log_full
+          WINDOW w AS (PARTITION BY mid ORDER BY ts_ms, event_id))
+)
+"""
+
+CTES["dwd_page_log"] = """
+dwd_page_log AS (
+    SELECT p.ar, p.ch, r.is_new, p.md, p.mid, p.os, p.uid, p.vc,
+           p.event_id, p.ts_ms AS ts, p.page_id, p.last_page_id,
+           p.item, p.item_type, p.during_time, p.dt
+    FROM log_pages p JOIN log_repair r USING (event_id)
+)
+"""
+
+LOG_CTES = ("log_full", "log_item", "log_pages", "log_repair", "dwd_page_log")
+
+PAGE_COLS = (
+    "ar, ch, is_new, md, mid, os, uid, vc, event_id, ts, page_id, "
+    "last_page_id, item, item_type, during_time"
+)
+
+
 def sql(body: str, *cte_names: str) -> str:
     """Compose ``WITH <ctes> <body>`` from named fragments."""
     if not cte_names:
