@@ -25,11 +25,13 @@ from flink_realtime_datawarehouse_v3_spark import api  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Currently: the comment-decode DWD pipeline (CDC parse -> filter ->
-    map-key projection -> broadcast dic join) — exercises the whole ODS ->
-    DWD spine.
+    The province-order DWS window: CDC parse -> 5-table DWD join ->
+    keep-latest dedup -> 10 s tumbling window with exact countDistinct ->
+    broadcast province dim join. Exercises the full ODS -> DWD -> DWS spine.
     """
-    return api.QUERIES["dwd_interaction_comment"](spark, "/root/testdata/sf0.001")
+    return api.QUERIES["dws_trade_province_order_window"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -405,3 +405,271 @@ register(
         *oracle.LOG_CTES,
     ),
 )
+
+
+# --- DWS: windowed aggregation pipelines -------------------------------------
+
+from .plans import dws  # noqa: E402
+from .sources import dims  # noqa: E402
+
+
+def _page(spark: SparkSession, sf: str) -> DataFrame:
+    return dwd_traffic.page_log(_log(spark, sf))
+
+
+_WS_MS = "(((ts // 1000) // 10) * 10)"
+
+
+def _stt_edt(ws: str = "ws") -> str:
+    return oracle.stt_edt_sql(ws)
+
+
+register(
+    "dws_traffic_source_keyword_page_view_window",
+    lambda spark, sf: dws.traffic_source_keyword_page_view_window(_page(spark, sf)),
+    oracle.sql(
+        f"""SELECT 'search' AS source, {_stt_edt()}, word AS keyword,
+                   count(*) AS keyword_count
+            FROM (SELECT g.word, {_WS_MS} AS ws
+                  FROM dwd_page_log p
+                  CROSS JOIN LATERAL (SELECT UNNEST(string_split_regex(p.item, '\\s+')) AS word) g
+                  WHERE p.page_id = 'search' AND p.item_type = 'keyword'
+                    AND p.item IS NOT NULL AND g.word <> '')
+            GROUP BY ws, word""",
+        *oracle.LOG_CTES,
+    ),
+)
+
+register(
+    "dws_traffic_vc_ch_ar_is_new_page_view_window",
+    lambda spark, sf: dws.traffic_vc_ch_ar_is_new_page_view_window(
+        _page(spark, sf),
+        dwd_traffic.unique_visitor_detail(_page(spark, sf)),
+        dwd_traffic.user_jump_detail(_page(spark, sf)),
+    ),
+    oracle.sql(
+        f"""SELECT {_stt_edt()}, vc, ch, ar, is_new,
+                   sum(uv) AS uv_ct, sum(sv) AS sv_ct, sum(pv) AS pv_ct,
+                   sum(dur) AS dur_sum, sum(uj) AS uj_ct
+            FROM (
+              SELECT vc, ch, ar, is_new, {_WS_MS} AS ws,
+                     0 AS uv,
+                     CASE WHEN last_page_id IS NULL THEN 1 ELSE 0 END AS sv,
+                     1 AS pv, during_time AS dur, 0 AS uj
+              FROM dwd_page_log
+              UNION ALL
+              SELECT vc, ch, ar, is_new, {_WS_MS}, 1, 0, 0, 0, 0 FROM dwd_uv
+              UNION ALL
+              SELECT vc, ch, ar, is_new, {_WS_MS}, 0, 0, 0, 0, 1 FROM dwd_jump
+            )
+            GROUP BY ws, vc, ch, ar, is_new""",
+        *oracle.LOG_CTES,
+        "dwd_uv",
+        "dwd_jump",
+    ),
+)
+
+register(
+    "dws_traffic_page_view_window",
+    lambda spark, sf: dws.traffic_page_view_window(_page(spark, sf)),
+    oracle.sql(
+        f"""SELECT {_stt_edt()},
+                   sum(CASE WHEN page_id = 'home' THEN 1 ELSE 0 END) AS home_uv_ct,
+                   sum(CASE WHEN page_id = 'good_detail' THEN 1 ELSE 0 END) AS good_detail_uv_ct
+            FROM (SELECT page_id, {_WS_MS} AS ws, row_number() OVER
+                      (PARTITION BY mid, page_id, dt ORDER BY ts, event_id) AS rn
+                  FROM dwd_page_log WHERE page_id IN ('home', 'good_detail'))
+            WHERE rn = 1
+            GROUP BY ws""",
+        *oracle.LOG_CTES,
+    ),
+)
+
+register(
+    "dws_user_user_login_window",
+    lambda spark, sf: dws.user_user_login_window(_page(spark, sf)),
+    oracle.sql(
+        f"""SELECT {_stt_edt()},
+                   sum(CASE WHEN prev_dt IS NOT NULL AND
+                            date_diff('day', CAST(prev_dt AS DATE), CAST(dt AS DATE)) >= 8
+                       THEN 1 ELSE 0 END) AS back_ct,
+                   count(*) AS uu_ct
+            FROM (SELECT *, lag(dt) OVER (PARTITION BY uid ORDER BY dt) AS prev_dt
+                  FROM (SELECT uid, dt, {_WS_MS} AS ws, row_number() OVER
+                            (PARTITION BY uid, dt ORDER BY ts, event_id) AS rn
+                        FROM dwd_page_log
+                        WHERE uid IS NOT NULL
+                          AND (last_page_id IS NULL OR last_page_id = 'login'))
+                  WHERE rn = 1)
+            GROUP BY ws""",
+        *oracle.LOG_CTES,
+    ),
+)
+
+register(
+    "dws_user_user_register_window",
+    lambda spark, sf: dws.user_user_register_window(
+        dwd_simple.dwd_user_register(_cdc(spark, sf, ["user_info"]))
+    ),
+    oracle.sql(
+        f"""SELECT {_stt_edt()}, count(*) AS register_ct
+            FROM (SELECT {oracle.ws_from_string('create_time')} AS ws
+                  FROM user_info_cdc WHERE type = 'insert')
+            GROUP BY ws""",
+        "user_info_cdc",
+    ),
+)
+
+register(
+    "dws_trade_cart_add_uu_window",
+    lambda spark, sf: dws.trade_cart_add_uu_window(
+        dwd_trade.cart_add(_cdc(spark, sf, ["cart_info"]), dic.base_dic(spark))
+    ),
+    oracle.sql(
+        f"""SELECT {_stt_edt()}, count(*) AS cart_add_uu_ct
+            FROM (SELECT user_id, dt, ws, row_number() OVER
+                      (PARTITION BY user_id, dt ORDER BY rt, id) AS rn
+                  FROM (SELECT id, user_id,
+                               CAST(COALESCE(operate_time, create_time) AS TIMESTAMP) AS rt,
+                               strftime(CAST(COALESCE(operate_time, create_time) AS TIMESTAMP), '%Y-%m-%d') AS dt,
+                               {oracle.ws_from_string('COALESCE(operate_time, create_time)')} AS ws
+                        FROM dwd_cart_add))
+            WHERE rn = 1
+            GROUP BY ws""",
+        *oracle.CART_CTES,
+    ),
+)
+
+register(
+    "dws_trade_payment_suc_window",
+    lambda spark, sf: dws.trade_payment_suc_window(
+        QUERIES["dwd_trade_pay_detail_suc"](spark, sf)
+    ),
+    oracle.sql(
+        f"""SELECT {_stt_edt()},
+                   count(*) AS payment_suc_unique_user_count,
+                   sum(CASE WHEN rne = 1 THEN 1 ELSE 0 END) AS payment_suc_new_user_count
+            FROM (SELECT ws, row_number() OVER
+                      (PARTITION BY user_id, dt ORDER BY rt, order_detail_id) AS rnd,
+                  row_number() OVER
+                      (PARTITION BY user_id ORDER BY rt, order_detail_id) AS rne
+                  FROM (SELECT *, CAST(callback_time AS TIMESTAMP) AS rt,
+                               strftime(CAST(callback_time AS TIMESTAMP), '%Y-%m-%d') AS dt,
+                               {oracle.ws_from_string('callback_time')} AS ws
+                        FROM (SELECT *, row_number() OVER
+                                  (PARTITION BY order_detail_id
+                                   ORDER BY callback_time DESC, order_detail_id DESC) AS rl
+                              FROM dwd_pay_detail_suc)
+                        WHERE rl = 1))
+            WHERE rnd = 1
+            GROUP BY ws""",
+        *oracle.PAY_CTES,
+    ),
+)
+
+register(
+    "dws_trade_order_window",
+    lambda spark, sf: dws.trade_order_window(
+        dwd_trade.order_detail(_pre(spark, sf))
+    ),
+    oracle.sql(
+        f"""SELECT {_stt_edt()},
+                   sum(CASE WHEN rnd = 1 THEN 1 ELSE 0 END) AS order_unique_user_count,
+                   sum(CASE WHEN rne = 1 THEN 1 ELSE 0 END) AS order_new_user_count,
+                   sum(COALESCE(CAST(split_activity_amount AS DECIMAL(18,2)), 0)) AS order_activity_reduce_amount,
+                   sum(COALESCE(CAST(split_coupon_amount AS DECIMAL(18,2)), 0)) AS order_coupon_reduce_amount,
+                   sum(CAST(sku_num AS INT) * CAST(order_price AS DECIMAL(18,2))) AS order_original_total_amount
+            FROM (SELECT *, row_number() OVER
+                      (PARTITION BY user_id, dt ORDER BY rt, id) AS rnd,
+                  row_number() OVER (PARTITION BY user_id ORDER BY rt, id) AS rne
+                  FROM (SELECT *, CAST(create_time AS TIMESTAMP) AS rt,
+                               strftime(CAST(create_time AS TIMESTAMP), '%Y-%m-%d') AS dt,
+                               {oracle.ws_from_string('create_time')} AS ws
+                        FROM (SELECT *, row_number() OVER
+                                  (PARTITION BY id ORDER BY create_time, id) AS rf
+                              FROM dwd_order_detail)
+                        WHERE rf = 1))
+            GROUP BY ws""",
+        *oracle.DETAIL_CTES,
+    ),
+)
+
+_SPU_KEYS = (
+    "user_id, spu_id, spu_name, tm_id, tm_name, category1_id, category1_name, "
+    "category2_id, category2_name, category3_id, category3_name"
+)
+
+register(
+    "dws_trade_user_spu_order_window",
+    lambda spark, sf: dws.trade_user_spu_order_window(
+        dwd_trade.order_detail(_pre(spark, sf)), dims.dim_sku_full(spark, sf)
+    ),
+    oracle.sql(
+        f"""SELECT {_stt_edt()}, user_id, spu_id, spu_name,
+                   tm_id AS trademark_id, tm_name AS trademark_name,
+                   category1_id, category1_name, category2_id, category2_name,
+                   category3_id, category3_name,
+                   count(DISTINCT order_id) AS order_count,
+                   sum(CAST(split_total_amount AS DECIMAL(18,2))) AS order_amount
+            FROM (SELECT d.*, {oracle.ws_from_string('d.create_time')} AS ws,
+                         s.spu_id, s.spu_name, s.tm_id, s.tm_name,
+                         s.category1_id, s.category1_name, s.category2_id,
+                         s.category2_name, s.category3_id, s.category3_name
+                  FROM (SELECT * FROM (SELECT *, row_number() OVER
+                            (PARTITION BY id ORDER BY create_time, id) AS rf
+                        FROM dwd_order_detail) WHERE rf = 1) d
+                  JOIN dim_sku s ON d.sku_id = s.sku_id)
+            GROUP BY ws, {_SPU_KEYS}""",
+        *oracle.DETAIL_CTES,
+        "dim_sku",
+    ),
+)
+
+register(
+    "dws_trade_province_order_window",
+    lambda spark, sf: dws.trade_province_order_window(
+        dwd_trade.order_detail(_pre(spark, sf)), dims.dim_base_province(spark, sf)
+    ),
+    oracle.sql(
+        f"""SELECT {_stt_edt()}, province_id, p.name AS province_name,
+                   count(DISTINCT order_id) AS order_count,
+                   sum(CAST(split_total_amount AS DECIMAL(18,2))) AS order_amount
+            FROM (SELECT *, {oracle.ws_from_string('create_time')} AS ws
+                  FROM (SELECT *, row_number() OVER
+                            (PARTITION BY id ORDER BY create_time DESC, id DESC) AS rl
+                        FROM dwd_order_detail)
+                  WHERE rl = 1) d
+            JOIN dim_province p ON d.province_id = p.id
+            GROUP BY ws, province_id, p.name""",
+        *oracle.DETAIL_CTES,
+        "dim_province",
+    ),
+)
+
+_TM_KEYS = (
+    "tm_id, tm_name, category1_id, category1_name, category2_id, "
+    "category2_name, category3_id, category3_name, user_id"
+)
+
+register(
+    "dws_trade_trademark_category_user_refund_window",
+    lambda spark, sf: dws.trade_trademark_category_user_refund_window(
+        QUERIES["dwd_trade_order_refund"](spark, sf), dims.dim_sku_full(spark, sf)
+    ),
+    oracle.sql(
+        f"""SELECT {_stt_edt()},
+                   tm_id AS trademark_id, tm_name AS trademark_name,
+                   category1_id, category1_name, category2_id, category2_name,
+                   category3_id, category3_name, user_id,
+                   count(DISTINCT order_id) AS refund_count
+            FROM (SELECT r.*, {oracle.ws_from_string('r.create_time')} AS ws,
+                         s.tm_id, s.tm_name, s.category1_id, s.category1_name,
+                         s.category2_id, s.category2_name, s.category3_id,
+                         s.category3_name
+                  FROM dwd_order_refund r
+                  JOIN dim_sku s ON r.sku_id = s.sku_id)
+            GROUP BY ws, {_TM_KEYS}""",
+        *oracle.REFUND_CTES,
+        "dim_sku",
+    ),
+)

@@ -479,6 +479,141 @@ PAGE_COLS = (
 )
 
 
+# --- DWS window helpers ------------------------------------------------------
+# Tumbling 10 s windows, epoch-aligned (== Spark window() == Flink TUMBLE).
+
+def ws_from_ms(ts_ms_expr: str) -> str:
+    """Window-start epoch seconds from an epoch-ms column."""
+    return f"((({ts_ms_expr}) // 1000) // 10) * 10"
+
+
+def ws_from_string(ts_str_expr: str) -> str:
+    return f"(CAST(epoch(CAST({ts_str_expr} AS TIMESTAMP)) AS BIGINT) // 10) * 10"
+
+
+def stt_edt_sql(ws_col: str = "ws") -> str:
+    return (
+        f"strftime(make_timestamp({ws_col} * 1000000), '{_FMT}') AS stt, "
+        f"strftime(make_timestamp(({ws_col} + 10) * 1000000), '{_FMT}') AS edt"
+    )
+
+
+# --- DWD fact CTEs reused by the DWS layer -----------------------------------
+
+CTES["dwd_cart_add"] = """
+dwd_cart_add AS (
+    SELECT ci.id, ci.user_id, ci.sku_id, ci.cart_price,
+           CASE WHEN ci.type = 'insert' THEN ci.sku_num
+                ELSE CAST(CAST(ci.sku_num AS INT) - CAST(ci.old_sku_num AS INT) AS VARCHAR)
+           END AS sku_num,
+           ci.sku_name, ci.is_checked, ci.create_time, ci.operate_time,
+           ci.is_ordered, ci.order_time,
+           ci.source_type AS source_type_id,
+           dic.dic_name AS source_type_name,
+           ci.source_id
+    FROM cart_info_cdc ci
+    JOIN base_dic dic ON ci.source_type = dic.dic_code
+    WHERE ci.type = 'insert'
+       OR (ci.type = 'update' AND ci.old_sku_num IS NOT NULL
+           AND CAST(ci.sku_num AS INT) > CAST(ci.old_sku_num AS INT))
+)
+"""
+CART_CTES = ("cart_info_cdc", "base_dic", "dwd_cart_add")
+
+CTES["dwd_pay_detail_suc"] = """
+dwd_pay_detail_suc AS (
+    SELECT od.id AS order_detail_id, od.order_id, od.user_id,
+           od.sku_id, od.sku_name, od.province_id, od.activity_id,
+           od.activity_rule_id, od.coupon_id,
+           pi.payment_type AS payment_type_code,
+           dic.dic_name AS payment_type_name,
+           pi.callback_time, od.source_id, od.source_type_id,
+           od.source_type_name, od.sku_num, od.order_price,
+           od.split_activity_amount, od.split_coupon_amount,
+           od.split_total_amount AS split_payment_amount
+    FROM payment_info_cdc pi
+    JOIN dwd_order_detail od ON pi.order_id = od.order_id
+    JOIN base_dic dic ON pi.payment_type = dic.dic_code
+    WHERE pi.type = 'update' AND pi.payment_status = '1602'
+)
+"""
+PAY_CTES = DETAIL_CTES + ("payment_info_cdc", "dwd_pay_detail_suc")
+
+CTES["dwd_order_refund"] = """
+dwd_order_refund AS (
+    SELECT ri.id, ri.user_id, ri.order_id, ri.sku_id, oi.province_id,
+           strftime(CAST(ri.create_time AS TIMESTAMP), '%Y-%m-%d') AS date_id,
+           ri.create_time,
+           ri.refund_type AS refund_type_code,
+           tdic.dic_name AS refund_type_name,
+           ri.refund_reason_type AS refund_reason_type_code,
+           rdic.dic_name AS refund_reason_type_name,
+           ri.refund_reason_txt, ri.refund_num, ri.refund_amount, ri.ts
+    FROM order_refund_info_cdc ri
+    JOIN (SELECT * FROM order_info_cdc
+          WHERE type = 'update' AND order_status = '1005'
+            AND old_order_status IS NOT NULL) oi
+      ON ri.order_id = oi.id
+    JOIN base_dic tdic ON ri.refund_type = tdic.dic_code
+    JOIN base_dic rdic ON ri.refund_reason_type = rdic.dic_code
+    WHERE ri.type = 'insert'
+)
+"""
+REFUND_CTES = (
+    "order_refund_info_cdc",
+    "order_info_cdc",
+    "base_dic",
+    "dwd_order_refund",
+)
+
+# --- dimension mirror (sources/dims.py) --------------------------------------
+
+CTES["dim_sku"] = """
+dim_sku AS (
+    SELECT CAST(p_partkey AS VARCHAR) AS sku_id,
+           'spu_' || CAST(p_partkey % 500 AS VARCHAR) AS spu_id,
+           'spu_name_' || CAST(p_partkey % 500 AS VARCHAR) AS spu_name,
+           p_brand AS tm_id,
+           'tm_' || p_brand AS tm_name,
+           p_type || '_' || CAST(p_size % 5 AS VARCHAR) AS category3_id,
+           p_type || '_' || CAST(p_size % 5 AS VARCHAR) AS category3_name,
+           p_type AS category2_id,
+           p_type AS category2_name,
+           CASE WHEN p_type IN ('ECONOMY', 'PROMO', 'SMALL') THEN 'VALUE'
+                ELSE 'PREMIUM' END AS category1_id,
+           CASE WHEN p_type IN ('ECONOMY', 'PROMO', 'SMALL') THEN 'VALUE'
+                ELSE 'PREMIUM' END AS category1_name
+    FROM part
+)
+"""
+
+CTES["dim_province"] = """
+dim_province AS (
+    SELECT CAST(n_nationkey AS VARCHAR) AS id, n_name AS name FROM nation
+)
+"""
+
+CTES["dwd_uv"] = """
+dwd_uv AS (
+    SELECT * FROM (SELECT *, row_number() OVER
+                       (PARTITION BY mid, dt ORDER BY ts, event_id) AS rn
+                   FROM dwd_page_log WHERE last_page_id IS NULL)
+    WHERE rn = 1
+)
+"""
+
+CTES["dwd_jump"] = """
+dwd_jump AS (
+    SELECT * FROM (SELECT *, lead(ts) OVER w AS next_ts,
+                          lead(last_page_id) OVER w AS next_last_page
+                   FROM dwd_page_log
+                   WINDOW w AS (PARTITION BY mid ORDER BY ts, event_id))
+    WHERE last_page_id IS NULL
+      AND (next_ts IS NULL OR next_ts - ts > 10000 OR next_last_page IS NULL)
+)
+"""
+
+
 def sql(body: str, *cte_names: str) -> str:
     """Compose ``WITH <ctes> <body>`` from named fragments."""
     if not cte_names:

@@ -1,0 +1,361 @@
+"""DWS layer: the 11 windowed-aggregation pipelines (SURVEY.md §2.5-2.6).
+
+Every job is: event-time extraction -> (stateful dedup/flags) -> 10 s
+tumbling window -> field-wise sums / exact count-distinct -> stt/edt
+stamping; trade jobs add broadcast star joins against the dims
+(SURVEY.md J11 — replacing the reference's async Redis/Phoenix chain).
+
+The reference's emit-time ``ts`` (System.currentTimeMillis) is omitted —
+nondeterministic, excluded from hashes (FIXTURES.md F5).
+
+Money sums are decimal(18,2)-exact (matching the CDC contract); the
+reference sums java Doubles — same values on this data, deterministic here.
+
+Scale notes: one shuffle per window agg (partial/final hash agg does the
+map-side combine the reference hand-wrote as incremental ``reduce``); dedup
+windows shuffle on high-cardinality keys; all dim joins broadcast.
+``countDistinct`` matches the reference's exact HashSet semantics (A5) — at
+true 100 TB scale swap for approx_count_distinct per-query if an approximate
+answer is acceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize
+from ..operators import dedup
+from ..operators.windows import rt_from_ms, rt_from_string, stt_edt, tumble
+
+
+def _dt(rt: Column) -> Column:
+    return F.date_format(rt, "yyyy-MM-dd")
+
+
+def _dec(c: Column) -> Column:
+    return c.cast("decimal(18,2)")
+
+
+# --- traffic -----------------------------------------------------------------
+
+
+def traffic_source_keyword_page_view_window(page: DataFrame) -> DataFrame:
+    """A1 + U1: tokenize search keywords, count per word per 10 s window.
+
+    Reference: RT/app/dws/DwsTrafficSourceKeywordPageViewWindow.java:57-89.
+    Divergence (documented): the reference filters ``last_page_id='search'``
+    (gmall logs keywords on the page *after* a search); our synthetic
+    instrumentation carries keywords on the search page itself, so the
+    filter is ``page_id='search'`` — operator shape (filter -> UDTF explode
+    -> windowed count) is identical.
+    """
+    filtered = page.filter(
+        (F.col("page_id") == "search")
+        & (F.col("item_type") == "keyword")
+        & F.col("item").isNotNull()
+    ).select("item", rt_from_ms(F.col("ts")).alias("rt"))
+    words = filtered.select(
+        F.explode(tokenize(F.col("item"))).alias("word"), "rt"
+    )
+    return tumble(words, F.col("rt"), "word").agg(
+        F.count(F.lit(1)).alias("keyword_count")
+    ).select(
+        F.lit("search").alias("source"),
+        *stt_edt(),
+        F.col("word").alias("keyword"),
+        "keyword_count",
+    )
+
+
+def traffic_vc_ch_ar_is_new_page_view_window(
+    page: DataFrame, uv: DataFrame, jump: DataFrame
+) -> DataFrame:
+    """A2/A4 + O1: 3-stream union aggregated per (vc, ch, ar, is_new).
+
+    Reference: RT/app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:60-185
+    (page -> pv/sv/dur, UV topic -> uv_ct, jump topic -> uj_ct, union,
+    keyed 10 s window, field-wise sums).
+    """
+    keys = ["vc", "ch", "ar", "is_new"]
+
+    def shape(df: DataFrame, uv_v, sv: Column, pv_v, dur: Column, uj_v) -> DataFrame:
+        return df.select(
+            *keys,
+            rt_from_ms(F.col("ts")).alias("rt"),
+            F.lit(uv_v).cast("long").alias("uv"),
+            sv.cast("long").alias("sv"),
+            F.lit(pv_v).cast("long").alias("pv"),
+            dur.cast("long").alias("dur"),
+            F.lit(uj_v).cast("long").alias("uj"),
+        )
+
+    z = F.lit(0)
+    unioned = (
+        shape(
+            page,
+            0,
+            F.when(F.col("last_page_id").isNull(), 1).otherwise(0),
+            1,
+            F.col("during_time"),
+            0,
+        )
+        .unionByName(shape(uv, 1, z, 0, z, 0))
+        .unionByName(shape(jump, 0, z, 0, z, 1))
+    )
+    return tumble(unioned, F.col("rt"), *keys).agg(
+        F.sum("uv").alias("uv_ct"),
+        F.sum("sv").alias("sv_ct"),
+        F.sum("pv").alias("pv_ct"),
+        F.sum("dur").alias("dur_sum"),
+        F.sum("uj").alias("uj_ct"),
+    ).select(*stt_edt(), *keys, "uv_ct", "sv_ct", "pv_ct", "dur_sum", "uj_ct")
+
+
+def traffic_page_view_window(page: DataFrame) -> DataFrame:
+    """A3 + D1 (two parallel states): home / good_detail daily UV per window.
+
+    Reference: RT/app/dws/DwsTrafficPageViewWindow.java:75-175.
+    """
+    hd = page.filter(F.col("page_id").isin("home", "good_detail")).withColumn(
+        "rt", rt_from_ms(F.col("ts"))
+    )
+    firsts = dedup.first_per_day(
+        hd, ["mid", "page_id"], _dt(F.col("rt")), ["ts", "event_id"]
+    )
+    flagged = firsts.select(
+        "rt",
+        F.when(F.col("page_id") == "home", 1).otherwise(0).cast("long").alias("hu"),
+        F.when(F.col("page_id") == "good_detail", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("du"),
+    )
+    return tumble(flagged, F.col("rt")).agg(
+        F.sum("hu").alias("home_uv_ct"),
+        F.sum("du").alias("good_detail_uv_ct"),
+    ).select(*stt_edt(), "home_uv_ct", "good_detail_uv_ct")
+
+
+# --- user --------------------------------------------------------------------
+
+
+def user_user_login_window(page: DataFrame) -> DataFrame:
+    """D2 (7-day-returning variant) + A3.
+
+    Reference: RT/app/dws/DwsUserUserLoginWindow.java:67-150 — login rows =
+    uid present and (session start or last_page_id='login'); uu on first
+    row of the user's day; back when the previous active day is >= 8 days
+    older (intended semantics of the buggy line :119 — see operators/dedup).
+    """
+    logins = page.filter(
+        F.col("uid").isNotNull()
+        & (F.col("last_page_id").isNull() | (F.col("last_page_id") == "login"))
+    ).withColumn("rt", rt_from_ms(F.col("ts")))
+    flagged = dedup.uu_new_flags(
+        logins, "uid", _dt(F.col("rt")), ["ts", "event_id"], back_days=8
+    ).filter(F.col("uu") == 1)
+    return tumble(flagged, F.col("rt")).agg(
+        F.sum("back").alias("back_ct"),
+        F.sum("uu").alias("uu_ct"),
+    ).select(*stt_edt(), "back_ct", "uu_ct")
+
+
+def user_user_register_window(register: DataFrame) -> DataFrame:
+    """A3: registrations per 10 s window
+    (reference: RT/app/dws/DwsUserUserRegisterWindow.java:60-100; event time
+    from create_time)."""
+    r = register.withColumn("rt", rt_from_string(F.col("create_time")))
+    return tumble(r, F.col("rt")).agg(
+        F.count(F.lit(1)).cast("long").alias("register_ct")
+    ).select(*stt_edt(), "register_ct")
+
+
+# --- trade -------------------------------------------------------------------
+
+
+def trade_cart_add_uu_window(cart: DataFrame) -> DataFrame:
+    """D1 + A3 + W3: daily-unique cart-add users per window.
+
+    Reference: RT/app/dws/DwsTradeCartAddUuWindow.java:60-145 — event time =
+    operate_time if present else create_time; ValueState last-cart-date.
+    """
+    c = cart.withColumn(
+        "rt",
+        F.coalesce(
+            rt_from_string(F.col("operate_time")), rt_from_string(F.col("create_time"))
+        ),
+    )
+    firsts = dedup.first_per_day(c, ["user_id"], _dt(F.col("rt")), ["rt", "id"])
+    return tumble(firsts, F.col("rt")).agg(
+        F.count(F.lit(1)).cast("long").alias("cart_add_uu_ct")
+    ).select(*stt_edt(), "cart_add_uu_ct")
+
+
+def trade_payment_suc_window(pay: DataFrame) -> DataFrame:
+    """D4 + D2 + A3: payment-success unique / first-ever users per window.
+
+    Reference: RT/app/dws/DwsTradePaymentSucWindow.java:70-200 — keep-latest
+    per order_detail_id (5 s debounce timer), then per-user last-payment-date
+    state; only uu rows reach the window.
+    """
+    deduped = dedup.keep_latest(
+        pay, ["order_detail_id"], ["callback_time", "order_detail_id"]
+    ).withColumn("rt", rt_from_string(F.col("callback_time")))
+    flagged = dedup.uu_new_flags(
+        deduped, "user_id", _dt(F.col("rt")), ["rt", "order_detail_id"]
+    ).filter(F.col("uu") == 1)
+    return tumble(flagged, F.col("rt")).agg(
+        F.sum("uu").alias("payment_suc_unique_user_count"),
+        F.sum("new").alias("payment_suc_new_user_count"),
+    ).select(
+        *stt_edt(), "payment_suc_unique_user_count", "payment_suc_new_user_count"
+    )
+
+
+def trade_order_window(detail: DataFrame) -> DataFrame:
+    """D3 + D2 + A3 + A6: global order metrics per window.
+
+    Reference: RT/app/dws/DwsTradeOrderWindow.java:60-220 — keep-first per
+    detail id, per-user flags, sums of null-coalesced reduce amounts and
+    sku_num * order_price.
+    """
+    deduped = dedup.keep_first(detail, ["id"], ["create_time", "id"]).withColumn(
+        "rt", rt_from_string(F.col("create_time"))
+    )
+    flagged = dedup.uu_new_flags(deduped, "user_id", _dt(F.col("rt")), ["rt", "id"])
+    zero = F.lit(0).cast("decimal(18,2)")
+    return tumble(flagged, F.col("rt")).agg(
+        F.sum("uu").alias("order_unique_user_count"),
+        F.sum("new").alias("order_new_user_count"),
+        F.sum(F.coalesce(_dec(F.col("split_activity_amount")), zero)).alias(
+            "order_activity_reduce_amount"
+        ),
+        F.sum(F.coalesce(_dec(F.col("split_coupon_amount")), zero)).alias(
+            "order_coupon_reduce_amount"
+        ),
+        F.sum(
+            F.col("sku_num").cast("int") * _dec(F.col("order_price"))
+        ).alias("order_original_total_amount"),
+    ).select(
+        *stt_edt(),
+        "order_unique_user_count",
+        "order_new_user_count",
+        "order_activity_reduce_amount",
+        "order_coupon_reduce_amount",
+        "order_original_total_amount",
+    )
+
+
+def trade_user_spu_order_window(detail: DataFrame, dim_sku: DataFrame) -> DataFrame:
+    """D3 + A4 + A5 + J11: per (user, spu, trademark, cat3) order metrics.
+
+    Reference: RT/app/dws/DwsTradeUserSpuOrderWindow.java:69-285 — keep-first
+    dedup, async sku join *before* the window (rollup keys come from sku),
+    10 s window with merged order-id sets, then 5 more name joins. Here the
+    whole 6-hop chain is one broadcast join against the flattened sku dim
+    (same values, no async machinery); countDistinct == |orderIdSet|.
+    """
+    deduped = dedup.keep_first(detail, ["id"], ["create_time", "id"]).withColumn(
+        "rt", rt_from_string(F.col("create_time"))
+    )
+    enriched = deduped.join(
+        F.broadcast(dim_sku), deduped.sku_id == dim_sku.sku_id, "inner"
+    )
+    keys = [
+        "user_id",
+        "spu_id",
+        "spu_name",
+        "tm_id",
+        "tm_name",
+        "category1_id",
+        "category1_name",
+        "category2_id",
+        "category2_name",
+        "category3_id",
+        "category3_name",
+    ]
+    return tumble(enriched, F.col("rt"), *keys).agg(
+        F.countDistinct("order_id").alias("order_count"),
+        F.sum(_dec(F.col("split_total_amount"))).alias("order_amount"),
+    ).select(
+        *stt_edt(),
+        "user_id",
+        "spu_id",
+        "spu_name",
+        F.col("tm_id").alias("trademark_id"),
+        F.col("tm_name").alias("trademark_name"),
+        "category1_id",
+        "category1_name",
+        "category2_id",
+        "category2_name",
+        "category3_id",
+        "category3_name",
+        "order_count",
+        "order_amount",
+    )
+
+
+def trade_province_order_window(detail: DataFrame, dim_province: DataFrame) -> DataFrame:
+    """D4 + A4 + A5: per-province order metrics.
+
+    Reference: RT/app/dws/DwsTradeProvinceOrderWindow.java:60-200 —
+    keep-latest per detail id, province-keyed 10 s window with order-id set,
+    province-name dim join after the agg.
+    """
+    deduped = dedup.keep_latest(detail, ["id"], ["create_time", "id"]).withColumn(
+        "rt", rt_from_string(F.col("create_time"))
+    )
+    agged = tumble(deduped, F.col("rt"), "province_id").agg(
+        F.countDistinct("order_id").alias("order_count"),
+        F.sum(_dec(F.col("split_total_amount"))).alias("order_amount"),
+    ).select(*stt_edt(), "province_id", "order_count", "order_amount")
+    return agged.join(
+        F.broadcast(dim_province), agged.province_id == dim_province.id, "inner"
+    ).select(
+        "stt",
+        "edt",
+        "province_id",
+        F.col("name").alias("province_name"),
+        "order_count",
+        "order_amount",
+    )
+
+
+def trade_trademark_category_user_refund_window(
+    refund: DataFrame, dim_sku: DataFrame
+) -> DataFrame:
+    """A4 + A5 + J11: refunds per (trademark, category3, user).
+
+    Reference: RT/app/dws/DwsTradeTrademarkCategoryUserRefundWindow.java:60-190
+    — sku join before the window for rollup keys, 10 s window merging
+    order-id sets, name joins after.
+    """
+    r = refund.withColumn("rt", rt_from_string(F.col("create_time")))
+    enriched = r.join(F.broadcast(dim_sku), r.sku_id == dim_sku.sku_id, "inner")
+    keys = [
+        "tm_id",
+        "tm_name",
+        "category1_id",
+        "category1_name",
+        "category2_id",
+        "category2_name",
+        "category3_id",
+        "category3_name",
+        "user_id",
+    ]
+    return tumble(enriched, F.col("rt"), *keys).agg(
+        F.countDistinct("order_id").alias("refund_count")
+    ).select(
+        *stt_edt(),
+        F.col("tm_id").alias("trademark_id"),
+        F.col("tm_name").alias("trademark_name"),
+        "category1_id",
+        "category1_name",
+        "category2_id",
+        "category2_name",
+        "category3_id",
+        "category3_name",
+        "user_id",
+        "refund_count",
+    )
