@@ -673,3 +673,251 @@ register(
         "dim_sku",
     ),
 )
+
+
+# --- training-data ops: text dedup / analysis / simsearch / multimodal -------
+
+from .operators import multimodal, simsearch, text_analysis, text_dedup  # noqa: E402
+from .sources import corpus as corpus_mod  # noqa: E402
+from .sources import tables  # noqa: E402
+
+
+def _corpus(spark: SparkSession, sf: str) -> DataFrame:
+    return corpus_mod.corpus(spark, sf)
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return tables.load(spark, sf, "embeddings")
+
+
+_H40 = text_analysis.hash40_sql
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+_STOP_EN = "('the', 'a', 'of', 'and', 'to')"
+
+_CORPUS = corpus_mod.CORPUS_SQL.strip()
+
+
+def _csql(body: str) -> str:
+    return f"WITH {_CORPUS}\n{body}"
+
+
+register(
+    "text_token_stats",
+    lambda spark, sf: text_analysis.token_stats(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id,
+                   len({_TOKS}) AS n_tokens_ws,
+                   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens_bpe,
+                   length(text) AS n_chars
+            FROM corpus"""
+    ),
+)
+
+register(
+    "text_quality_score",
+    lambda spark, sf: text_analysis.quality_score(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id, n_tokens,
+                   round(n_punct / n_chars, 6) AS punct_ratio,
+                   round(n_stop / n_tokens, 6) AS stopword_ratio,
+                   round(0.4 * least(1.0, n_tokens / 400.0)
+                         + 0.3 * (1.0 - n_punct / n_chars)
+                         + 0.3 * least(1.0, (n_stop / n_tokens) * 5.0), 6) AS quality_score
+            FROM (SELECT doc_id,
+                         len({_TOKS}) AS n_tokens,
+                         length(text) AS n_chars,
+                         len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+                         len(list_filter({_TOKS}, t -> t IN {_STOP_EN})) AS n_stop
+                  FROM corpus)"""
+    ),
+)
+
+register(
+    "text_lang_id",
+    lambda spark, sf: text_analysis.lang_id(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id,
+                   round(se, 6) AS score_en, round(sd, 6) AS score_de,
+                   round(sf2, 6) AS score_fr,
+                   CASE WHEN greatest(se, sd, sf2) <= 0 THEN 'und'
+                        WHEN se = greatest(se, sd, sf2) THEN 'en'
+                        WHEN sd = greatest(se, sd, sf2) THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM (SELECT doc_id,
+                         len(list_filter({_TOKS}, t -> t IN {_STOP_EN})) / len({_TOKS}) AS se,
+                         len(list_filter({_TOKS}, t -> t IN ('der','die','das','und','ist'))) / len({_TOKS}) AS sd,
+                         len(list_filter({_TOKS}, t -> t IN ('le','la','et','les','des'))) / len({_TOKS}) AS sf2
+                  FROM corpus)"""
+    ),
+)
+
+_SHINGLE_LIST = (
+    f"list_transform(generate_series(0, greatest(len({_TOKS}) - 3, 0)), "
+    f"i -> concat_ws(' ', {_TOKS}[i + 1], {_TOKS}[i + 2], {_TOKS}[i + 3]))"
+)
+
+register(
+    "text_fingerprint",
+    lambda spark, sf: text_analysis.fingerprint(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint_md5,
+                   list_aggregate(list_transform({_SHINGLE_LIST}, s -> {_H40('s')}), 'min') AS min_shingle_hash
+            FROM corpus"""
+    ),
+)
+
+register(
+    "dedup_exact",
+    lambda spark, sf: text_dedup.dedup_exact(_corpus(spark, sf)),
+    _csql(
+        """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+                  count(*) AS dup_count
+           FROM corpus GROUP BY 1"""
+    ),
+)
+
+_SHINGLES_CTE = f"""
+sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (SELECT doc_id, UNNEST(list_distinct({_SHINGLE_LIST})) AS shingle
+          FROM corpus)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+exact_pairs AS (
+    SELECT c.a, c.b,
+           round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+    FROM (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY 1, 2) c
+    JOIN sizes sa ON c.a = sa.doc_id
+    JOIN sizes sb ON c.b = sb.doc_id
+    WHERE round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) >= 0.5
+)
+"""
+
+register(
+    "dedup_ngram_jaccard",
+    lambda spark, sf: text_dedup.ngram_jaccard_pairs(_corpus(spark, sf)),
+    f"WITH {_CORPUS}, {_SHINGLES_CTE} SELECT a, b, jaccard FROM exact_pairs",
+)
+
+_MINHASH_MIN = ", ".join(
+    f"min(({a} * x + {b}) & {text_dedup.MASK40}) AS m{i}"
+    for i, (a, b) in enumerate(text_dedup.MINHASH_AB)
+)
+_BANDS = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, {j} AS band, md5(concat_ws(',', m{4*j}, m{4*j+1}, m{4*j+2}, m{4*j+3})) AS v FROM sig"
+    for j in range(4)
+)
+
+register(
+    "dedup_minhash_lsh",
+    lambda spark, sf: text_dedup.minhash_lsh_pairs(_corpus(spark, sf)),
+    f"""WITH {_CORPUS}, {_SHINGLES_CTE},
+sig AS (
+    SELECT doc_id, {_MINHASH_MIN}
+    FROM (SELECT doc_id, {_H40('shingle')} AS x FROM sh)
+    GROUP BY doc_id
+),
+banded AS (
+{_BANDS}
+),
+cands AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+)
+SELECT c.a, c.b, e.jaccard FROM cands c JOIN exact_pairs e ON c.a = e.a AND c.b = e.b""",
+)
+
+_SIM_SUMS = ", ".join(
+    f"sum(2 * ((x >> {i}) & 1) - 1) AS s{i}" for i in range(40)
+)
+_SIM_VALUE = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * {1 << i})"
+    for i in range(40)
+)
+
+register(
+    "dedup_simhash",
+    lambda spark, sf: text_dedup.simhash_pairs(_corpus(spark, sf)),
+    f"""WITH {_CORPUS}, {_SHINGLES_CTE},
+sums AS (
+    SELECT doc_id, {_SIM_SUMS}
+    FROM (SELECT doc_id, {_H40('shingle')} AS x FROM sh)
+    GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {_SIM_VALUE} AS simhash FROM sums),
+banded AS (
+    SELECT doc_id, simhash, g.band, (simhash >> (10 * g.band)) & 1023 AS v
+    FROM sig CROSS JOIN LATERAL (SELECT UNNEST(generate_series(0, 3)) AS band) g
+),
+cands AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS ha, y.simhash AS hb
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+FROM cands WHERE bit_count(xor(ha, hb)) <= 3""",
+)
+
+register(
+    "simsearch_cosine_topk",
+    lambda spark, sf: simsearch.cosine_topk(_emb(spark, sf)),
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id % 100 = 0),
+       v AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS vv
+             FROM embeddings)
+SELECT q_id, neighbor_id, rank, cosine_sim
+FROM (SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank,
+             cosine_sim
+      FROM (SELECT q_id, neighbor_id,
+                   round(list_cosine_similarity(qv, vv), 4) AS cosine_sim
+            FROM q CROSS JOIN v WHERE q_id <> neighbor_id))
+WHERE rank <= 10""",
+)
+
+# Approximate variants: deterministic but not naturally SQL-expressible as a
+# single oracle query — driver records rows-only; pytest checks recall
+# against the exact baselines.
+register("simsearch_ivf_topk", lambda spark, sf: simsearch.ivf_topk(_emb(spark, sf)))
+register(
+    "dedup_embedding_cosine",
+    lambda spark, sf: simsearch.cosine_near_dup_pairs(_emb(spark, sf)),
+)
+
+register(
+    "multimodal_decode",
+    lambda spark, sf: multimodal.decode_features(
+        multimodal.with_binary_payload(_corpus(spark, sf))
+    ),
+    _csql(
+        """SELECT doc_id,
+                  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'wav' ELSE 'mp4' END AS fmt,
+                  strlen(text) AS byte_len,
+                  md5(text) AS checksum,
+                  CAST(strlen(text) % 640 AS INT) AS width,
+                  CAST(strlen(text) % 480 AS INT) AS height,
+                  CAST(CASE WHEN doc_id % 4 = 3 THEN 16 ELSE 1 END AS INT) AS n_frames
+           FROM corpus"""
+    ),
+)
+
+register(
+    "multimodal_frame_sample",
+    lambda spark, sf: multimodal.frame_sample(
+        multimodal.decode_features(
+            multimodal.with_binary_payload(_corpus(spark, sf))
+        )
+    ),
+    _csql(
+        """SELECT doc_id, md5(text) AS checksum, CAST(g.f AS INT) AS frame_idx
+           FROM corpus
+           CROSS JOIN LATERAL (SELECT UNNEST(generate_series(0, 15, 4)) AS f) g
+           WHERE doc_id % 4 = 3"""
+    ),
+)

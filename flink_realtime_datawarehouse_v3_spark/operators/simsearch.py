@@ -1,0 +1,170 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+- :func:`cosine_topk` — brute-force exact top-k per query vector. The
+  baseline; O(|Q| x |V|) but fully JVM-side (zip_with/aggregate, no UDF).
+- :func:`ivf_topk` — IVF-style approximate variant: deterministic centroid
+  subset, vectors assigned to nearest centroid, queries probe the nprobe
+  nearest buckets. The 100 TB path: the bucket join replaces the full cross
+  product; recall checked against the brute-force baseline in tests.
+- :func:`cosine_near_dup_pairs` — random-hyperplane LSH bucketing over
+  sign bits, then exact cosine verify: embedding near-dup detection.
+
+Cosine values are rounded to 4 decimals and ranked with (sim, vec_id)
+tie-breaks so results are stable across engines/summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text_analysis import hash40
+
+
+def _dvec(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _queries(embeddings: DataFrame, every: int = 100) -> DataFrame:
+    return embeddings.filter(F.col("vec_id") % every == 0).select(
+        F.col("vec_id").alias("q_id"), _dvec(F.col("embedding")).alias("q_vec")
+    )
+
+
+def cosine_topk(embeddings: DataFrame, k: int = 10, every: int = 100) -> DataFrame:
+    """Exact top-k cosine neighbors for each query (vec_id % every == 0);
+    self-matches excluded. Output: q_id, neighbor_id, rank, cosine_sim."""
+    q = _queries(embeddings, every)
+    v = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), _dvec(F.col("embedding")).alias("v_vec")
+    )
+    scored = q.crossJoin(v).filter(F.col("q_id") != F.col("neighbor_id")).select(
+        "q_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("v_vec")), 4).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, k: int = 10, every: int = 100, centroid_every: int = 37,
+    nprobe: int = 8,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k.
+
+    Centroids = vectors with vec_id % centroid_every == 0 (deterministic
+    stand-in for a k-means fit — the Spark-side plumbing, assignment join
+    and probe join, is the real operator). Each vector is assigned to its
+    nearest centroid; each query probes its nprobe nearest centroid buckets.
+    """
+    cen = embeddings.filter(F.col("vec_id") % centroid_every == 0).select(
+        F.col("vec_id").alias("c_id"), _dvec(F.col("embedding")).alias("c_vec")
+    )
+    v = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), _dvec(F.col("embedding")).alias("v_vec")
+    )
+    # assignment: nearest centroid per vector (broadcast centroids).
+    va = v.crossJoin(F.broadcast(cen)).select(
+        "neighbor_id",
+        "v_vec",
+        "c_id",
+        F.round(cosine(F.col("v_vec"), F.col("c_vec")), 4).alias("sim"),
+    )
+    wv = Window.partitionBy("neighbor_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    assigned = (
+        va.withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
+        .select("neighbor_id", "v_vec", F.col("c_id").alias("bucket"))
+    )
+    # probe: nprobe nearest centroids per query.
+    q = _queries(embeddings, every)
+    qc = q.crossJoin(F.broadcast(cen)).select(
+        "q_id", "q_vec", "c_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_vec", F.col("c_id").alias("bucket"))
+    )
+    scored = (
+        probes.join(assigned, "bucket")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("v_vec")), 4).alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame, n_planes: int = 12, threshold: float = 0.97
+) -> DataFrame:
+    """Embedding near-dup pairs: random-hyperplane sign-bit LSH bucket, then
+    exact cosine verify >= threshold.
+
+    Hyperplane j weight for dimension d = (hash40('hp_j_d') / 2^40) * 2 - 1
+    (deterministic pseudo-random in [-1, 1)).
+    """
+    dims = 64
+    planes = []
+    for j in range(n_planes):
+        weights = F.array(
+            *[
+                (
+                    hash40(F.lit(f"hp_{j}_{d}")) / F.lit(float(1 << 40)) * 2 - 1
+                )
+                for d in range(dims)
+            ]
+        )
+        planes.append(weights)
+    v = embeddings.select(
+        F.col("vec_id"), _dvec(F.col("embedding")).alias("vec")
+    )
+    bucket = None
+    for j, w_arr in enumerate(planes):
+        bit = F.when(_dot(F.col("vec"), w_arr) > 0, F.lit(1).cast("bigint")).otherwise(
+            0
+        ) * F.lit(1 << j).cast("bigint")
+        bucket = bit if bucket is None else bucket + bit
+    bucketed = v.withColumn("bucket", bucket)
+    a = bucketed.select(F.col("vec_id").alias("a"), F.col("vec").alias("va"), "bucket")
+    b = bucketed.select(F.col("vec_id").alias("b"), F.col("vec").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

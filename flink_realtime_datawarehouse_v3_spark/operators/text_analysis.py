@@ -1,0 +1,129 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — each a pure
+Catalyst plan (regex + arithmetic, no UDF) so it scales as an
+embarrassingly parallel single pass and hash-matches the DuckDB oracle.
+
+Shared hashing convention (both engines): ``hash40(s)`` = first 10 hex
+chars of md5 as a 40-bit integer — overflow-safe for the (a*x+b) & mask
+minhash family in text_dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def hash40(c: Column) -> Column:
+    """40-bit integer from md5 hex prefix (same value as the DuckDB
+    mirror's ``CAST('0x' || substr(md5(x),1,10) AS UBIGINT)``)."""
+    return F.conv(F.substring(F.md5(c), 1, 10), 16, 10).cast("bigint")
+
+
+def hash40_sql(expr: str) -> str:
+    return f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 10)) AS UBIGINT) AS BIGINT)"
+
+
+def tokens(c: Column) -> Column:
+    return F.filter(F.split(c, TOKEN_RE), lambda t: t != "")
+
+
+def token_stats(corpus: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count +
+    char count."""
+    return corpus.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).alias(
+            "n_tokens_bpe"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def quality_score(corpus: DataFrame) -> DataFrame:
+    """Deterministic quality heuristic: length, punctuation ratio, stopword
+    ratio -> score in [0,1]. Formula is identical expression-for-expression
+    with the oracle so double arithmetic agrees bit-for-bit."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), 0))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_tokens
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(400.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * F.lit(5.0))
+    )
+    return corpus.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(corpus: DataFrame) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic family): fraction of
+    tokens hitting each language's profile, argmax wins, 'und' if nothing
+    matches."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))) / n
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(best <= 0, "und")
+        .when(scores["en"] == best, "en")
+        .when(scores["de"] == best, "de")
+        .otherwise("fr")
+    )
+    return corpus.select(
+        "doc_id",
+        F.round(scores["en"], 6).alias("score_en"),
+        F.round(scores["de"], 6).alias("score_de"),
+        F.round(scores["fr"], 6).alias("score_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(corpus: DataFrame) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text plus the minimum
+    40-bit 3-gram shingle hash (rolling-hash-style content signature usable
+    as a cheap near-dup prefilter)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, (i + 1).cast("int")),
+            F.element_at(toks, (i + 2).cast("int")),
+            F.element_at(toks, (i + 3).cast("int")),
+        ),
+    )
+    min_shingle = F.array_min(
+        F.transform(shingles, lambda s: hash40(s))
+    )
+    return corpus.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint_md5"),
+        min_shingle.alias("min_shingle_hash"),
+    )
