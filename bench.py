@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""BENCH harness: run every registered pipeline at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line:
+
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is materialized via a count-style action (``df.count()`` after a
+no-op cache-free pass) so the full plan executes but no rows cross to the
+driver.  Timings are per-query wall clock on a shared warm SparkSession
+(JVM startup excluded — the driver contract is query latency, not cold
+start).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_realtime_datawarehouse_v3_spark import api  # noqa: E402
+from flink_realtime_datawarehouse_v3_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    spark = get_spark("bench")
+
+    # Warm the JVM + parquet footers once so q1 isn't charged for cold start.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in api.QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # record and keep going — one JSON line always
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+    out = {
+        "metric": "total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

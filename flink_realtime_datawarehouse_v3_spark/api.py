@@ -34,7 +34,7 @@ def register(name: str, fn: QueryFn, oracle_sql: str | None = None) -> None:
 
 
 def _cdc(spark: SparkSession, sf_dir: str, only: list[str]) -> DataFrame:
-    return cdc.parse_topic_db(cdc.topic_db_json(spark, sf_dir, only=only))
+    return cdc.topic_db_parsed(spark, sf_dir, only=only)
 
 
 # --- DWD: single-table CDC pipelines -----------------------------------------
