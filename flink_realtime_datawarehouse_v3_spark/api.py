@@ -880,13 +880,34 @@ FROM (SELECT q_id, neighbor_id,
 WHERE rank <= 10""",
 )
 
-# Approximate variants: deterministic but not naturally SQL-expressible as a
+# Approximate variant: deterministic but not naturally SQL-expressible as a
 # single oracle query — driver records rows-only; pytest checks recall
-# against the exact baselines.
+# against the exact baseline.
 register("simsearch_ivf_topk", lambda spark, sf: simsearch.ivf_topk(_emb(spark, sf)))
+
+# Embedding near-dup: the hyperplane weights are Python-computed double
+# literals embedded in BOTH the Spark plan and the oracle SQL, so the
+# sign-bit buckets agree exactly.
+_EMB_CORPUS = corpus_mod.EMB_CORPUS_SQL.strip()
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(embedding, [{', '.join(repr(w) for w in ws)}]) > 0"
+    f" THEN CAST(1 AS BIGINT) ELSE 0 END * {1 << j})"
+    for j, ws in enumerate(simsearch.plane_weights())
+)
+
 register(
     "dedup_embedding_cosine",
-    lambda spark, sf: simsearch.cosine_near_dup_pairs(_emb(spark, sf)),
+    lambda spark, sf: simsearch.cosine_near_dup_pairs(
+        corpus_mod.emb_corpus(spark, sf)
+    ),
+    f"""WITH {_EMB_CORPUS},
+bucketed AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM emb)
+SELECT a, b, cosine_sim
+FROM (SELECT x.vec_id AS a, y.vec_id AS b,
+             round(list_cosine_similarity(x.embedding, y.embedding), 4) AS cosine_sim
+      FROM bucketed x JOIN bucketed y
+        ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+WHERE cosine_sim >= 0.97""",
 )
 
 register(

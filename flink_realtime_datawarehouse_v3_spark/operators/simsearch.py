@@ -18,9 +18,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text_analysis import hash40
-
-
 def _dvec(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
@@ -127,32 +124,37 @@ def ivf_topk(
     )
 
 
+def plane_weights(n_planes: int = 12, dims: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1): weight of
+    plane j, dimension d = (md5-prefix-40bit('hp_j_d') / 2^40) * 2 - 1.
+    Computed driver-side so the identical double literals appear in the
+    Spark plan AND the DuckDB oracle SQL."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"hp_{j}_{d}".encode()).hexdigest()[:10], 16)
+            / float(1 << 40)
+            * 2
+            - 1
+            for d in range(dims)
+        ]
+        for j in range(n_planes)
+    ]
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame, n_planes: int = 12, threshold: float = 0.97
 ) -> DataFrame:
     """Embedding near-dup pairs: random-hyperplane sign-bit LSH bucket, then
-    exact cosine verify >= threshold.
-
-    Hyperplane j weight for dimension d = (hash40('hp_j_d') / 2^40) * 2 - 1
-    (deterministic pseudo-random in [-1, 1)).
+    exact cosine verify >= threshold. Vectors agreeing on every sign bit
+    land in one bucket; the bucket equi-join replaces the |V|^2 cross
+    product (the 100 TB path), and only bucket-mates pay the exact cosine.
     """
-    dims = 64
-    planes = []
-    for j in range(n_planes):
-        weights = F.array(
-            *[
-                (
-                    hash40(F.lit(f"hp_{j}_{d}")) / F.lit(float(1 << 40)) * 2 - 1
-                )
-                for d in range(dims)
-            ]
-        )
-        planes.append(weights)
-    v = embeddings.select(
-        F.col("vec_id"), _dvec(F.col("embedding")).alias("vec")
-    )
+    v = embeddings.select(F.col("vec_id"), _dvec(F.col("embedding")).alias("vec"))
     bucket = None
-    for j, w_arr in enumerate(planes):
+    for j, weights in enumerate(plane_weights(n_planes)):
+        w_arr = F.array(*[F.lit(w) for w in weights])
         bit = F.when(_dot(F.col("vec"), w_arr) > 0, F.lit(1).cast("bigint")).otherwise(
             0
         ) * F.lit(1 << j).cast("bigint")

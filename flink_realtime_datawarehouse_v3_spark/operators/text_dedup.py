@@ -140,8 +140,30 @@ def minhash_lsh_pairs(
     cands = (
         a.join(b, ["band", "v"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
     )
-    exact = ngram_jaccard_pairs(corpus, threshold=threshold)
-    return cands.join(exact, ["a", "b"], "inner").select("a", "b", "jaccard")
+    # Verify ONLY the candidate pairs (the point of LSH): broadcast the
+    # small candidate set into the shingle index instead of materializing
+    # the full all-pairs Jaccard join.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("a"), "shingle").join(F.broadcast(cands), "a")
+    common = (
+        sha.join(sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
 
 
 def _simhash(sh: DataFrame, bits: int = 40) -> DataFrame:

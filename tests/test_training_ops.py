@@ -18,6 +18,7 @@ ORACLED = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "simsearch_cosine_topk",
+    "dedup_embedding_cosine",
     "multimodal_decode",
     "multimodal_frame_sample",
 ]
@@ -62,5 +63,6 @@ def test_ivf_recall(spark):
 def test_embedding_near_dup_pairs_shape(spark):
     df = api.QUERIES["dedup_embedding_cosine"](spark, SF_SMOKE)
     rows = df.collect()
+    assert rows, "synthetic near-dup embeddings must be detected"
     for r in rows:
         assert r.a < r.b and r.cosine_sim >= 0.97
