@@ -675,6 +675,39 @@ register(
 )
 
 
+# --- DIM layer: config-driven routing (J10/P6/K5) ----------------------------
+
+from .plans import dim as dim_plan  # noqa: E402
+
+_DIM_LATEST = (
+    "QUALIFY row_number() OVER (PARTITION BY id ORDER BY CAST(ts AS BIGINT) DESC, "
+    "CASE WHEN type = 'update' THEN 1 ELSE 0 END DESC) = 1"
+)
+
+register(
+    "dim_user_info",
+    lambda spark, sf: dim_plan.route_one(
+        _cdc(spark, sf, ["user_info"]), dim_plan.DIM_CONFIG[0]
+    ),
+    oracle.sql(
+        f"SELECT id, name, create_time FROM user_info_cdc {_DIM_LATEST}",
+        "user_info_cdc",
+    ),
+)
+
+register(
+    "dim_coupon_use",
+    lambda spark, sf: dim_plan.route_one(
+        _cdc(spark, sf, ["coupon_use"]), dim_plan.DIM_CONFIG[1]
+    ),
+    oracle.sql(
+        "SELECT id, coupon_id, user_id, order_id, coupon_status, get_time, "
+        f"using_time, used_time FROM coupon_use_cdc {_DIM_LATEST}",
+        "coupon_use_cdc",
+    ),
+)
+
+
 # --- training-data ops: text dedup / analysis / simsearch / multimodal -------
 
 from .operators import multimodal, simsearch, text_analysis, text_dedup  # noqa: E402

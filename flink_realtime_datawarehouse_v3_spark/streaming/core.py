@@ -1,0 +1,113 @@
+"""Streaming harness: finite-input replay + availableNow runners.
+
+The reference's jobs consume unbounded Kafka topics; the driver's data is
+finite parquet. The replay harness makes a faithful finite stream out of
+any batch DataFrame:
+
+- :func:`write_stream_input` materializes a batch DataFrame as ``n_files``
+  time-ordered parquet files;
+- :func:`read_stream` re-reads them with ``maxFilesPerTrigger=1``, so each
+  file becomes its own micro-batch — state, watermarks and timers advance
+  across real micro-batch boundaries exactly as they would on Kafka;
+- a ``sentinel`` row far past the last event time can be appended as the
+  final file, advancing the watermark so that closing windows / timers
+  flush before ``availableNow`` terminates (Flink's job-end watermark+Long.MAX
+  flush does the same on bounded input).
+
+Runners execute a streaming DataFrame to a memory sink or through
+``foreachBatch`` and block until completion.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_stream_input(
+    df: DataFrame, path: str, n_files: int = 4, order_by: list[str] | None = None
+) -> str:
+    """Materialize ``df`` as ``n_files`` parquet files under ``path``.
+
+    With ``order_by`` (typically the event-time column) rows are range-split
+    into time-contiguous files, so replaying file-per-batch preserves
+    coarse event-time order across batches — the Kafka-ish arrival pattern
+    the reference's state TTLs assume.
+    """
+    if order_by:
+        df = df.repartitionByRange(n_files, *[F.col(c) for c in order_by])
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def read_stream(
+    spark: SparkSession, path: str, schema=None, files_per_trigger: int = 1
+) -> DataFrame:
+    """Re-read a :func:`write_stream_input` directory as a file stream, one
+    micro-batch per ``files_per_trigger`` files."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(path)
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame, output_mode: str = "append", timeout_s: int = 300
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink; return the sink contents as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return sdf.sparkSession.table(name)
+
+
+def run_foreach_batch(
+    sdf: DataFrame, fn: Callable[[DataFrame, int], None], timeout_s: int = 300
+) -> None:
+    """Run a streaming DataFrame through ``foreachBatch(fn)`` to completion."""
+    q = (
+        sdf.writeStream.foreachBatch(fn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+
+
+class TempStreamDir:
+    """Context manager for a throwaway checkpoint/input directory."""
+
+    def __init__(self, prefix: str = "spark_stream_"):
+        self.path = tempfile.mkdtemp(prefix=prefix)
+
+    def sub(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def __enter__(self) -> "TempStreamDir":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)

@@ -1,0 +1,71 @@
+"""Streaming DimApp: broadcast-config routing inside foreachBatch (J10).
+
+The reference connects a broadcast config stream to the main CDC stream and
+routes per-record (RT/app/dim/DimApp.java:90-97). In Structured Streaming
+the natural equivalent is ``foreachBatch``: per micro-batch the (tiny)
+config is re-read driver-side — picking up config changes between batches,
+like the broadcast state — and each configured dim table gets a MERGE of
+the batch's routed slice (keyed last-writer-wins, replacing Phoenix
+UPSERT + Redis invalidation, RT/app/func/DimSinkFunction.java:28-50).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import keep_latest
+from ..plans.dim import DIM_CONFIG, TableProcess
+
+
+def dim_router(
+    out_dir: str, config_provider: Callable[[], list[TableProcess]] | None = None
+):
+    """foreachBatch function: route the micro-batch into per-dim parquet
+    tables under ``out_dir`` (created on first write, like the reference's
+    runtime checkTable DDL, RT/app/func/TableProcessFunction.java:84-106)."""
+
+    provider = config_provider or (lambda: DIM_CONFIG)
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            for cfg in provider():  # re-read config per batch (broadcast state)
+                routed = batch.filter(F.col("table") == cfg.source_table).select(
+                    *[F.col("data").getItem(c).alias(c) for c in cfg.columns],
+                    F.col("ts").cast("long").alias("__ts"),
+                    F.when(F.col("type") == "update", 1).otherwise(0).alias("__upd"),
+                    F.lit(batch_id + 1).alias("__gen"),
+                )
+                path = os.path.join(out_dir, cfg.sink_table)
+                if os.path.exists(path):
+                    current = (
+                        spark.read.parquet(path)
+                        .withColumn("__ts", F.lit(None).cast("long"))
+                        .withColumn("__upd", F.lit(None).cast("int"))
+                        .withColumn("__gen", F.lit(0))
+                    )
+                    # A stored row has already won its in-batch contest; its
+                    # __ts is unknown post-projection, so order by generation
+                    # first (newer batches win), then __ts/__upd in-batch.
+                    merged = keep_latest(
+                        current.unionByName(routed),
+                        [cfg.sink_pk],
+                        ["__gen", "__ts", "__upd"],
+                    )
+                else:
+                    merged = keep_latest(routed, [cfg.sink_pk], ["__ts", "__upd"])
+                tmp = path + ".tmp"
+                merged.drop("__ts", "__upd", "__gen").write.mode("overwrite").parquet(tmp)
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                os.rename(tmp, path)
+        finally:
+            batch.unpersist()
+
+    return fn

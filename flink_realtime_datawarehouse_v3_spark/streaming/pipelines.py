@@ -1,0 +1,234 @@
+"""End-to-end streaming runs of representative pipelines (stream==batch).
+
+Each runner replays the synthesized topic through the file-stream harness
+(:mod:`.core`), applies the pipeline under ``trigger(availableNow=True)``,
+and returns the streamed result as a batch DataFrame for comparison against
+the batch pipeline (tests/test_streaming.py).
+
+Pipelines covered (one per SURVEY.md streaming mechanism):
+- stateless DWD filter (P1/P3/P4)            -> stream_favor_add
+- watermark + 10 s tumbling window agg (A1)  -> stream_keyword_window
+- keyed-state UV dedup (D1/W4)               -> stream_unique_visitor
+- keyed-state CEP bounce w/ timeout (D5/W10) -> stream_jump_detail
+- keyed upsert sink (K3)                     -> stream_order_info_upsert
+- broadcast-config DIM routing (J10/P6/K5)   -> stream_dim_app
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize
+from ..operators.windows import rt_from_ms
+from ..plans import dwd_simple
+from ..sources import cdc, logs
+from . import stateful
+from .core import TempStreamDir, read_stream, run_foreach_batch, run_to_memory
+from .dim_app import dim_router
+
+N_FILES = 4
+
+
+def _stamp_file_order(path: str, sentinels: list[str] | None = None) -> None:
+    """Give the input files strictly increasing mtimes in name order (the
+    file-stream source picks up files in (mtime, path) order; parquet part
+    numbers from repartitionByRange already follow the time ranges)."""
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    files.extend(sentinels or [])
+    base = 1_600_000_000
+    for i, f in enumerate(files):
+        os.utime(f, (base + i * 10, base + i * 10))
+
+
+def _write_replay(
+    df: DataFrame,
+    path: str,
+    order_by: list[str] | None,
+    sentinels: list[DataFrame] | None = None,
+) -> None:
+    """Write ``df`` as N_FILES time-range parquet files (+ optional sentinel
+    rows, each as its own trailing file/micro-batch).
+
+    Two trailing sentinels are the bounded-input flush protocol: the
+    watermark computed from sentinel k only takes effect in batch k+1, so
+    the first sentinel's batch closes every real-data window/timer and the
+    second's batch emits them before availableNow terminates.
+    """
+    if order_by:
+        df = df.repartitionByRange(N_FILES, *[F.col(c) for c in order_by])
+    else:
+        df = df.repartition(N_FILES)
+    df.write.mode("overwrite").parquet(path)
+    sent_files = []
+    for i, sdf in enumerate(sentinels or []):
+        tmp = f"{path}__sent{i}"
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dest = os.path.join(path, f"zzz-sentinel-{i}.parquet")
+        os.replace(src, dest)
+        sent_files.append(dest)
+    _stamp_file_order(path, sent_files)
+
+
+def stream_favor_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless DWD pipeline under streaming: raw JSON -> P1 parse ->
+    favor-add filter/projection."""
+    with TempStreamDir() as d:
+        raw = cdc.topic_db_json(spark, sf_dir, only=["favor_info"])
+        _write_replay(raw, d.sub("in"), order_by=None)
+        stream = cdc.parse_topic_db(read_stream(spark, d.sub("in")))
+        out = dwd_simple.dwd_interaction_favor_add(stream)
+        return run_to_memory(out)
+
+
+def _page_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-synthesized DWD page log (the stream input for DWS jobs —
+    in production this is the dwd_traffic_page topic)."""
+    from ..api import QUERIES
+
+    return QUERIES["dwd_traffic_page_log"](spark, sf_dir)
+
+
+SENTINEL_WORD = "zzsentinelflush"
+
+
+def _page_sentinel(page: DataFrame, hours: int = 1) -> DataFrame:
+    """One synthetic heartbeat page event ``hours`` past the stream's end:
+    pushes the watermark over every open window/timer (Flink's end-of-input
+    Long.MAX watermark flush, for bounded replay).
+
+    The row is shaped to SURVIVE the pipelines' filters (search page with a
+    sentinel keyword): Catalyst pushes deterministic filters below the
+    EventTimeWatermark operator, so a row that a filter drops never advances
+    the watermark. Consumers drop the sentinel on the output side.
+    """
+    mx = page.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    return (
+        page.limit(1)
+        .select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                if f.name not in ("ts", "mid", "event_id", "page_id")
+                else F.col(f.name)
+                for f in page.schema.fields
+            ]
+        )
+        .withColumn("ts", F.lit(mx + hours * 3600 * 1000).cast("long"))
+        .withColumn("mid", F.lit("__sentinel__"))
+        .withColumn("page_id", F.lit("search"))
+        .withColumn("item_type", F.lit("keyword"))
+        .withColumn("item", F.lit(SENTINEL_WORD))
+    )
+
+
+def stream_keyword_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as a native streaming windowed aggregation: watermark 2 s,
+    10 s tumbling count per keyword (append mode — windows emit exactly
+    once, on watermark passage)."""
+    page = _page_log(spark, sf_dir)
+    with TempStreamDir() as d:
+        _write_replay(
+            page,
+            d.sub("in"),
+            order_by=["ts"],
+            sentinels=[_page_sentinel(page, hours=1), _page_sentinel(page, hours=2)],
+        )
+        s = read_stream(spark, d.sub("in"))
+        s = s.withColumn("rt", rt_from_ms(F.col("ts"))).withWatermark("rt", "2 seconds")
+        words = s.filter(
+            (F.col("page_id") == "search")
+            & (F.col("item_type") == "keyword")
+            & F.col("item").isNotNull()
+        ).select(F.explode(tokenize(F.col("item"))).alias("word"), "rt")
+        agg = (
+            words.groupBy(F.window("rt", "10 seconds").alias("w"), "word")
+            .agg(F.count(F.lit(1)).alias("keyword_count"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+                F.lit("search").alias("source"),
+                F.col("word").alias("keyword"),
+                "keyword_count",
+            )
+        )
+        return run_to_memory(agg, output_mode="append").filter(
+            F.col("keyword") != SENTINEL_WORD
+        )
+
+
+def stream_unique_visitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 UV dedup with per-mid date state."""
+    page = _page_log(spark, sf_dir)
+    with TempStreamDir() as d:
+        _write_replay(page, d.sub("in"), order_by=["ts"])
+        s = (
+            read_stream(spark, d.sub("in"))
+            .filter(F.col("last_page_id").isNull())
+            .withColumn(
+                "dt", F.date_format(F.timestamp_millis(F.col("ts")), "yyyy-MM-dd")
+            )
+        )
+        out = stateful.first_per_day_stream(s, key="mid", dt_col="dt")
+        return run_to_memory(out, output_mode="append").drop("dt")
+
+
+def stream_jump_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 bounce detection with event-time timeout."""
+    page = _page_log(spark, sf_dir)
+    with TempStreamDir() as d:
+        _write_replay(
+            page,
+            d.sub("in"),
+            order_by=["ts"],
+            sentinels=[_page_sentinel(page, hours=1), _page_sentinel(page, hours=2)],
+        )
+        s = read_stream(spark, d.sub("in")).withColumn("rt", rt_from_ms(F.col("ts")))
+        out = stateful.jump_detect_stream(s).filter(F.col("mid") != "__sentinel__")
+        return run_to_memory(out, output_mode="append")
+
+
+def stream_order_info_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 keyed upsert sink: order_info changelog MERGEd to one row per id
+    (last writer wins)."""
+    with TempStreamDir() as d:
+        structured = cdc.topic_db(spark, sf_dir, only=["order_info"])
+        flat = structured.select(
+            F.col("data").getItem("id").alias("id"),
+            F.col("data").getItem("order_status").alias("order_status"),
+            F.col("data").getItem("operate_time").alias("operate_time"),
+            F.col("ts").cast("long").alias("ts"),
+        )
+        _write_replay(flat, d.sub("in"), order_by=["ts"])
+        s = read_stream(spark, d.sub("in"))
+        out_path = d.sub("sink")
+        run_foreach_batch(s, stateful.upsert_sink(["id"], "ts", out_path))
+        return spark.read.parquet(out_path).localCheckpoint()
+
+
+def stream_dim_app(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """J10 config-routed DIM layer: replay the full topic, route per batch,
+    MERGE into per-dim parquet tables; returns the final dim tables."""
+    from ..plans.dim import DIM_CONFIG
+
+    with TempStreamDir() as d:
+        # Structured topic rows, time-range split so arrival order == CDC
+        # order across micro-batches (the JSON parse path is exercised by
+        # stream_favor_add; ts is a fixed-width epoch-seconds string, so
+        # string range-partitioning preserves numeric order).
+        structured = cdc.topic_db(
+            spark, sf_dir, only=[c.source_table for c in DIM_CONFIG]
+        )
+        _write_replay(structured, d.sub("in"), order_by=["ts"])
+        s = read_stream(spark, d.sub("in"))
+        out_dir = d.sub("dims")
+        run_foreach_batch(s, dim_router(out_dir))
+        return {
+            cfg.sink_table: spark.read.parquet(
+                os.path.join(out_dir, cfg.sink_table)
+            ).localCheckpoint()
+            for cfg in DIM_CONFIG
+        }

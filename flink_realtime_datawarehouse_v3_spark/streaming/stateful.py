@@ -1,0 +1,212 @@
+"""Keyed-state streaming operators (SURVEY.md §2.6) via applyInPandasWithState.
+
+These are the true-streaming twins of the batch window-function forms in
+:mod:`..operators.dedup`; the batch forms are the oracle in stream==batch
+parity tests (tests/test_streaming.py).
+
+- :func:`first_per_day_stream` — D1 UV dedup: per-key ValueState of the
+  last emitted date (reference: RT/app/dwd/DwdTrafficUniqueVisitorDetail.java:76-105,
+  state TTL 1 day == daily rollover of the date value).
+- :func:`is_new_repair_stream` — P8 new-visitor flag repair: ValueState of
+  the first-visit date, backfilled to "old" for visitors first seen with
+  is_new=0 (reference: RT/app/dwd/BaseLogApp.java:76-105).
+- :func:`jump_detect_stream` — D5 CEP bounce detection: pending
+  session-start buffered in state, closed by the next event or a 10 s
+  event-time timeout (reference: RT/app/dwd/DwdTrafficUserJumpDetail.java:73-119;
+  matched ∪ timed-out first events).
+- :func:`upsert_sink` — K3 keyed last-writer-wins sink (upsert-kafka
+  equivalent; reference: RT/utils/MyKafkaUtil.java:112-121) as a
+  foreachBatch parquet MERGE.
+
+Rows are processed in (ts, tiebreak) order inside each key group and the
+replay harness feeds time-ordered micro-batches, so the state transitions
+see the same event order as the reference's Kafka consumption.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructField, StructType, StringType, LongType
+
+
+def _sorted_concat(pdfs: Iterator[pd.DataFrame], order: list[str]) -> pd.DataFrame:
+    chunks = [p for p in pdfs]
+    if not chunks:
+        return pd.DataFrame()
+    return pd.concat(chunks).sort_values(order, kind="mergesort")
+
+
+def first_per_day_stream(
+    df: DataFrame,
+    key: str = "mid",
+    dt_col: str = "dt",
+    order: list[str] | None = None,
+) -> DataFrame:
+    """Emit each key's first row per calendar day (streaming D1)."""
+    order = order or ["ts", "event_id"]
+    out_schema = df.schema
+    state_schema = StructType([StructField("last_dt", StringType())])
+
+    def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        pdf = _sorted_concat(pdfs, order)
+        if pdf.empty:
+            return
+        (last_dt,) = state.get if state.exists else (None,)
+        keep = []
+        for i, row_dt in enumerate(pdf[dt_col]):
+            if row_dt != last_dt:
+                keep.append(i)
+                last_dt = row_dt
+        state.update((last_dt,))
+        yield pdf.iloc[keep]
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def is_new_repair_stream(
+    df: DataFrame,
+    key: str = "mid",
+    dt_col: str = "dt",
+    is_new_col: str = "is_new",
+    order: list[str] | None = None,
+) -> DataFrame:
+    """Repair the is_new flag with per-key first-visit-date state (P8).
+
+    State holds the first-visit date when the key's first event claimed
+    is_new=1, else the sentinel '' (visitor known old). is_new stays 1 only
+    while raw=1 and the event date equals the stored first-visit date.
+    """
+    order = order or ["ts", "event_id"]
+    out_schema = df.schema
+    state_schema = StructType([StructField("first_dt", StringType())])
+
+    def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        pdf = _sorted_concat(pdfs, order)
+        if pdf.empty:
+            return
+        (first_dt,) = state.get if state.exists else (None,)
+        fixed = []
+        for raw, row_dt in zip(pdf[is_new_col], pdf[dt_col]):
+            if first_dt is None:
+                first_dt = row_dt if raw == "1" else ""
+            fixed.append("1" if (raw == "1" and row_dt == first_dt) else "0")
+        state.update((first_dt,))
+        pdf = pdf.assign(**{is_new_col: fixed})
+        yield pdf
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+JUMP_GAP_MS = 10_000
+
+
+def jump_detect_stream(
+    page: DataFrame,
+    key: str = "mid",
+    ts_col: str = "ts",
+    last_page_col: str = "last_page_id",
+    watermark_col: str = "rt",
+    order: list[str] | None = None,
+) -> DataFrame:
+    """Bounce detection (D5): a session start (last_page_id IS NULL) is a
+    bounce unless a non-session-start event follows within 10 s.
+
+    The pending session start sits in keyed state with an event-time timeout
+    at pending_ts + 10 s; the watermark (driven by ``watermark_col``)
+    closes it when no successor arrives — the CEP ``within(10s)`` timeout
+    side-output of the reference.
+    """
+    order = order or [ts_col, "event_id"]
+    out_schema = page.drop(watermark_col).schema
+    out_cols = [f.name for f in out_schema.fields]
+    state_schema = StructType(
+        [StructField("pending", StringType()), StructField("pending_ts", LongType())]
+    )
+
+    def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import json
+
+        pending = None
+        if state.exists:
+            blob, _ts = state.get
+            if blob:
+                pending = json.loads(blob)
+        if state.hasTimedOut:
+            state.remove()
+            if pending is not None:
+                yield pd.DataFrame([pending])[out_cols]
+            return
+        pdf = _sorted_concat(pdfs, order)
+        bounces = []
+        if not pdf.empty:
+            for row in pdf[out_cols].to_dict("records"):
+                is_start = pd.isna(row[last_page_col]) or row[last_page_col] is None
+                if pending is not None:
+                    gap = row[ts_col] - pending[ts_col]
+                    if gap > JUMP_GAP_MS:
+                        bounces.append(pending)  # timed out in-stream
+                        pending = row if is_start else None
+                    elif is_start:
+                        bounces.append(pending)  # matched: start -> start
+                        pending = row
+                    else:
+                        pending = None  # successor page: not a bounce
+                elif is_start:
+                    pending = row
+        if pending is not None:
+            state.update((json.dumps(pending, default=str), int(pending[ts_col])))
+            state.setTimeoutTimestamp(int(pending[ts_col]) + JUMP_GAP_MS)
+        else:
+            state.remove()
+        if bounces:
+            yield pd.DataFrame(bounces)[out_cols]
+
+    return (
+        page.withWatermark(watermark_col, "2 seconds")
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def upsert_sink(keys: list[str], order_col: str, path: str):
+    """K3 upsert-kafka-equivalent sink: per micro-batch, MERGE the batch
+    into a keyed parquet table, keeping the row with the greatest
+    ``order_col`` per key (last-writer-wins; ties go to the incoming batch).
+
+    Returns a ``foreachBatch`` function. The merge is a full-file rewrite
+    swap — the parquet stand-in for Delta ``MERGE INTO`` (reference sink
+    contract: primary-keyed upsert, RT/app/dwd/DwdTradeOrderPreProcess.java:200-250).
+    """
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        from ..operators.dedup import keep_latest
+
+        incoming = batch.withColumn("__gen", F.lit(batch_id + 1))
+        if os.path.exists(path):
+            current = spark.read.parquet(path).withColumn("__gen", F.lit(0))
+            merged = keep_latest(
+                current.unionByName(incoming), keys, [order_col, "__gen"]
+            )
+        else:
+            merged = keep_latest(incoming, keys, [order_col, "__gen"])
+        tmp = path + ".tmp"
+        merged.drop("__gen").write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    return fn

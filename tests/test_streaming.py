@@ -1,0 +1,77 @@
+"""Stream==batch parity for the Structured Streaming layer.
+
+Each streaming pipeline replays the synthesized topic through the
+file-stream harness (one micro-batch per file, availableNow) and must
+reproduce the batch pipeline's rows exactly (SURVEY.md §7.1 batch/stream
+duality; the batch forms are themselves oracle-checked in the other test
+files, so transitively stream == batch == DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_realtime_datawarehouse_v3_spark import api
+from flink_realtime_datawarehouse_v3_spark.operators.dedup import keep_latest
+from flink_realtime_datawarehouse_v3_spark.plans import dim as dim_plan
+from flink_realtime_datawarehouse_v3_spark.sources import cdc
+from flink_realtime_datawarehouse_v3_spark.streaming import pipelines as sp
+
+from .conftest import SF_SMOKE, normalize
+
+
+def _same(stream_df, batch_df, name):
+    s_cols = sorted(stream_df.columns)
+    b_cols = sorted(batch_df.columns)
+    assert s_cols == b_cols, f"{name}: columns {s_cols} != {b_cols}"
+    _, s = normalize(stream_df.columns, [tuple(r) for r in stream_df.collect()])
+    _, b = normalize(batch_df.columns, [tuple(r) for r in batch_df.collect()])
+    assert len(s) == len(b), f"{name}: rows stream={len(s)} batch={len(b)}"
+    bad = [(x, y) for x, y in zip(s, b) if x != y]
+    assert not bad, f"{name}: first mismatches {bad[:3]}"
+
+
+def test_stream_favor_add(spark):
+    stream = sp.stream_favor_add(spark, SF_SMOKE)
+    batch = api.QUERIES["dwd_interaction_favor_add"](spark, SF_SMOKE)
+    _same(stream, batch, "favor_add")
+
+
+def test_stream_keyword_window(spark):
+    stream = sp.stream_keyword_window(spark, SF_SMOKE)
+    batch = api.QUERIES["dws_traffic_source_keyword_page_view_window"](
+        spark, SF_SMOKE
+    )
+    _same(stream, batch, "keyword_window")
+
+
+def test_stream_unique_visitor(spark):
+    stream = sp.stream_unique_visitor(spark, SF_SMOKE)
+    batch = api.QUERIES["dwd_traffic_unique_visitor_detail"](spark, SF_SMOKE)
+    _same(stream, batch, "unique_visitor")
+
+
+def test_stream_jump_detail(spark):
+    stream = sp.stream_jump_detail(spark, SF_SMOKE)
+    batch = api.QUERIES["dwd_traffic_user_jump_detail"](spark, SF_SMOKE)
+    _same(stream, batch, "jump_detail")
+
+
+def test_stream_order_info_upsert(spark):
+    stream = sp.stream_order_info_upsert(spark, SF_SMOKE)
+    flat = cdc.topic_db(spark, SF_SMOKE, only=["order_info"]).select(
+        F.col("data").getItem("id").alias("id"),
+        F.col("data").getItem("order_status").alias("order_status"),
+        F.col("data").getItem("operate_time").alias("operate_time"),
+        F.col("ts").cast("long").alias("ts"),
+    )
+    batch = keep_latest(flat, ["id"], ["ts"])
+    _same(stream, batch, "order_info_upsert")
+
+
+def test_stream_dim_app(spark):
+    streamed = sp.stream_dim_app(spark, SF_SMOKE)
+    batch = dim_plan.dim_tables(cdc.topic_db(spark, SF_SMOKE))
+    assert set(streamed) == set(batch)
+    for sink_table, sdf in streamed.items():
+        _same(sdf, batch[sink_table], f"dim_app:{sink_table}")
