@@ -675,6 +675,44 @@ register(
 )
 
 
+# --- join-shape parity (J7/J8) -----------------------------------------------
+
+from .plans import joins as joins_plan  # noqa: E402
+from .sources import tables as tables_mod  # noqa: E402
+
+register(
+    "interval_join_events",
+    lambda spark, sf: joins_plan.interval_join_events(
+        tables_mod.load(spark, sf, "events")
+    ),
+    """SELECT a.user_id,
+              a.event_id AS click_event_id,
+              b.event_id AS view_event_id,
+              epoch_ms(b.ts) - epoch_ms(a.ts) AS delta_ms
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR
+       WHERE a.event_type = 'click' AND b.event_type = 'view'""",
+)
+
+register(
+    "join_activity_coupon_full_outer",
+    lambda spark, sf: joins_plan.activity_coupon_full_outer(
+        _cdc(spark, sf, ["order_detail_activity", "order_detail_coupon"])
+    ),
+    oracle.sql(
+        """SELECT coalesce(oa.order_detail_id, oc.order_detail_id) AS order_detail_id,
+                  oa.activity_id, oa.activity_rule_id,
+                  oc.coupon_id, oc.coupon_use_id
+           FROM order_detail_activity_cdc oa
+           FULL OUTER JOIN order_detail_coupon_cdc oc
+             ON oa.order_detail_id = oc.order_detail_id""",
+        "order_detail_activity_cdc",
+        "order_detail_coupon_cdc",
+    ),
+)
+
+
 # --- DIM layer: config-driven routing (J10/P6/K5) ----------------------------
 
 from .plans import dim as dim_plan  # noqa: E402
