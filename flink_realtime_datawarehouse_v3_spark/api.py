@@ -37,6 +37,23 @@ def _cdc(spark: SparkSession, sf_dir: str, only: list[str]) -> DataFrame:
     return cdc.topic_db_parsed(spark, sf_dir, only=only)
 
 
+# DWD facts are materialized once per session, like the reference's DWD
+# layer: every DWS job there consumes the dwd_* KAFKA TOPIC produced by one
+# DWD job (e.g. dwd_trade_order_detail_0105, RT/app/dws/DwsTradeUserSpuOrderWindow.java:69-71)
+# — it never recomputes the upstream join. Re-deriving the wide order row
+# per query would be both slower and architecturally unfaithful.
+_MATERIALIZED: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _memo_df(spark: SparkSession, name: str, sf_dir: str, build) -> DataFrame:
+    key = (id(spark.sparkContext), name, sf_dir)
+    df = _MATERIALIZED.get(key)
+    if df is None:
+        df = build().persist()
+        _MATERIALIZED[key] = df
+    return df
+
+
 # --- DWD: single-table CDC pipelines -----------------------------------------
 
 register(
@@ -135,8 +152,13 @@ _PRE_TABLES = [
 
 
 def _pre(spark: SparkSession, sf: str) -> DataFrame:
-    return dwd_trade.order_pre_process(
-        _cdc(spark, sf, _PRE_TABLES), dic.base_dic(spark)
+    return _memo_df(
+        spark,
+        "dwd_order_pre",
+        sf,
+        lambda: dwd_trade.order_pre_process(
+            _cdc(spark, sf, _PRE_TABLES), dic.base_dic(spark)
+        ),
     )
 
 
@@ -283,8 +305,13 @@ from .sources import logs  # noqa: E402
 
 
 def _log(spark: SparkSession, sf: str) -> DataFrame:
-    return dwd_traffic.repair_is_new(
-        logs.parse_topic_log(logs.topic_log_json(spark, sf))
+    return _memo_df(
+        spark,
+        "dwd_log_repaired",
+        sf,
+        lambda: dwd_traffic.repair_is_new(
+            logs.parse_topic_log(logs.topic_log_json(spark, sf))
+        ),
     )
 
 
