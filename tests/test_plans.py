@@ -1,0 +1,116 @@
+"""Physical-plan shape gates: the scale contract, enforced.
+
+Correctness tests prove the 60k-row answer; these prove the *plan* is the
+one we'd want on a 1000-executor cluster reading 100 TB:
+
+- every dimension join is a BroadcastHashJoin (the reference's async
+  cache-aside dim pipeline, RT/app/func/DimAsyncFunction.java:21-89, maps
+  to broadcast joins — a SortMergeJoin against a dim table would shuffle
+  the fact table once per hop);
+- no row-at-a-time Python UDF (BatchEvalPython) anywhere — Python crosses
+  the JVM boundary only via Arrow (MapInPandas), and only in the
+  multimodal operators where binary decoding genuinely needs it;
+- filters and projections reach the parquet scan (PushedFilters /
+  pruned ReadSchema), so a 100 TB scan reads only the needed bytes.
+
+SortMergeJoin is tolerated ONLY for fact-fact joins whose build side is
+not knowably small at plan time (AQE converts them to broadcast at runtime
+when the runtime size allows — we assert the static whitelist stays
+closed so a regression that turns a dim join into SMJ fails loudly).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from flink_realtime_datawarehouse_v3_spark import api
+
+from .conftest import SF_SMOKE
+
+# Fact-fact joins where neither side is a dimension: SMJ in the *initial*
+# plan is acceptable because AQE re-plans with runtime sizes.
+SMJ_WHITELIST = {
+    "dwd_trade_order_refund",        # order_refund_info x order_info
+    "dwd_trade_refund_pay_suc",      # refund_payment x order_info x refund_info
+    "join_activity_coupon_full_outer",  # full-outer changelog join (J8)
+    "simsearch_ivf_topk",            # candidate x query bucket join
+}
+
+# Arrow-batched Python is allowed only where Python is the point.
+PANDAS_WHITELIST = {"multimodal_decode", "multimodal_frame_sample"}
+
+# Star-join pipelines and their minimum broadcast-join counts (dim hops +
+# base_dic lookups; the reference's chains at
+# RT/app/dws/DwsTradeUserSpuOrderWindow.java:146-278 etc.).
+MIN_BROADCASTS = {
+    "dws_trade_user_spu_order_window": 5,   # sku + spu + tm + cat3->2->1 chain
+    "dws_trade_province_order_window": 1,   # province
+    "dws_trade_trademark_category_user_refund_window": 4,
+    "dwd_trade_cart_add": 1,                # base_dic lookup (J3)
+    "dwd_trade_pay_detail_suc": 1,          # base_dic lookup (J5)
+    "dwd_trade_order_pre_process": 1,       # base_dic lookup (J1-J3)
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = api.QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {name: _plan(spark, name) for name in api.QUERIES}
+
+
+def test_no_row_at_a_time_python_udf(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"row-at-a-time Python UDF in hot path: {offenders}"
+
+
+def test_pandas_only_in_multimodal(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if re.search(r"MapInPandas|FlatMapGroupsInPandas", p)
+        and n not in PANDAS_WHITELIST
+    ]
+    assert not offenders, f"unexpected Python-Arrow stage: {offenders}"
+
+
+def test_sort_merge_join_whitelist_closed(plans):
+    offenders = [
+        n for n, p in plans.items() if "SortMergeJoin" in p and n not in SMJ_WHITELIST
+    ]
+    assert not offenders, (
+        f"SortMergeJoin outside the fact-fact whitelist (a dim join lost its "
+        f"broadcast): {offenders}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(MIN_BROADCASTS))
+def test_dim_joins_broadcast(plans, name):
+    got = len(re.findall("BroadcastHashJoin", plans[name]))
+    assert got >= MIN_BROADCASTS[name], (
+        f"{name}: expected >= {MIN_BROADCASTS[name]} broadcast joins, plan has {got}"
+    )
+
+
+def test_filter_pushdown_reaches_parquet(plans):
+    # cart_add filters lineitem to one linenumber branch; that predicate must
+    # reach the scan, not run post-read.
+    assert re.search(
+        r"PushedFilters: \[[^\]]*EqualTo\(l_linenumber", plans["dwd_trade_cart_add"]
+    ), "cart_add: l_linenumber filter not pushed to parquet scan"
+
+
+def test_column_pruning_reaches_parquet(plans):
+    # text_token_stats needs only (doc_id, text) of documents' 5 columns;
+    # the pruned projection must reach the scan — reading lang/source/
+    # n_chars too would be dead bytes at 100 TB.
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", plans["text_token_stats"])
+    assert scans, "no parquet scan found"
+    assert all(s == "ReadSchema: struct<doc_id:bigint,text:string>" for s in scans), (
+        f"text_token_stats reads more than (doc_id, text): {scans}"
+    )
