@@ -130,7 +130,8 @@ order_detail_activity_cdc AS (
            CAST(l_partkey % 5 + 1 AS VARCHAR) AS activity_id,
            CAST(l_partkey % 3 + 1 AS VARCHAR) AS activity_rule_id,
            CAST(l_partkey AS VARCHAR) AS sku_id,
-           {_f('l_shipdate')} AS create_time
+           {_f('l_shipdate')} AS create_time,
+           {_epoch_s('l_shipdate')} AS ts
     FROM lineitem WHERE l_discount > 0.05
 )
 """
@@ -144,7 +145,8 @@ order_detail_coupon_cdc AS (
            CAST(l_partkey % 7 + 1 AS VARCHAR) AS coupon_id,
            'cu_' || {DETAIL_ID} AS coupon_use_id,
            CAST(l_partkey AS VARCHAR) AS sku_id,
-           {_f('l_shipdate')} AS create_time
+           {_f('l_shipdate')} AS create_time,
+           {_epoch_s('l_shipdate')} AS ts
     FROM lineitem WHERE l_tax > 0.04
 )
 """
@@ -356,7 +358,9 @@ dwd_order_pre AS (
     FROM (SELECT * FROM order_detail_cdc WHERE type = 'insert') od
     JOIN order_info_cdc oi ON od.order_id = oi.id
     LEFT JOIN order_detail_activity_cdc oa ON od.id = oa.order_detail_id
+         AND abs(CAST(od.ts AS BIGINT) - CAST(oa.ts AS BIGINT)) <= 5
     LEFT JOIN order_detail_coupon_cdc oc ON od.id = oc.order_detail_id
+         AND abs(CAST(od.ts AS BIGINT) - CAST(oc.ts AS BIGINT)) <= 5
     JOIN base_dic dic ON od.source_type = dic.dic_code
 )
 """

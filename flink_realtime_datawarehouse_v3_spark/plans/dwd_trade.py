@@ -83,60 +83,116 @@ _ORDER_DETAIL_KEYS = [
 ]
 
 
-def order_pre_process(topic_db: DataFrame, base_dic: DataFrame) -> DataFrame:
+def order_pre_process(
+    topic_db: DataFrame,
+    base_dic: DataFrame,
+    event_time: bool = False,
+    watermark: str = "10 seconds",
+) -> DataFrame:
     """5-table wide order row (insert/update changelog).
 
     Output matches the reference upsert-kafka contract
     (RT/app/dwd/DwdTradeOrderPreProcess.java:200-247) minus the
     nondeterministic ``row_op_ts``, with the raw ``old`` map flattened to
     ``old_order_status`` (hashable contract).
+
+    The two LEFT joins carry a +/- 5 s event-time bound IN BOTH MODES —
+    the Spark mapping of the reference's 5 s idle-state TTL
+    (`table.exec.state.ttl`, RT/app/dwd/DwdTradeOrderPreProcess.java:39):
+    Flink evicts join state 5 s after last access, so an
+    order_detail_activity row arriving days after its order_detail row
+    never matches there either. order_detail_activity/_coupon rows are
+    written in the same binlog transaction as their order_detail row
+    (identical CDC ts), so the bound drops no real same-transaction
+    matches; what it correctly rejects is cross-matching duplicate
+    order_detail ids RE-INSERTED months apart. The od x oi INNER join is
+    left time-unbounded: matching order_info updates arrive days later,
+    which the reference's 5 s TTL would silently LOSE on replay at
+    production cadence (state evicted between binlog events); unbounded
+    inner-join state keeps the declared changelog semantics instead of the
+    accidental-loss behavior. The base_dic join is stream-static broadcast
+    (J3) in both modes.
+
+    ``event_time=True`` is the streaming form (J1/J2, SURVEY.md §2.4):
+    each branch additionally gets a watermark, so the bounded left joins
+    can evict state and the unmatched-null rows flush as the watermark
+    passes.
     """
-    od = (
+    def _et(alias: str) -> list:
+        return [F.to_timestamp(F.from_unixtime(F.col("ts").cast("long"))).alias(alias)]
+
+    def _wm(df: DataFrame, alias: str) -> DataFrame:
+        return df.withWatermark(alias, watermark) if event_time else df
+
+    od = _wm(
         topic_db.filter(
             (F.col("database") == "gmall_0105")
             & (F.col("table") == "order_detail")
             & (F.col("type") == "insert")
-        )
-        .select(*[_d(k).alias(k) for k in _ORDER_DETAIL_KEYS])
+        ).select(*[_d(k).alias(k) for k in _ORDER_DETAIL_KEYS], *_et("od_et")),
+        "od_et",
     )
-    oi = (
+    oi = _wm(
         topic_db.filter(
             (F.col("database") == "gmall_0105")
             & (F.col("table") == "order_info")
             & F.col("type").isin("insert", "update")
-        )
-        .select(
+        ).select(
             _d("id").alias("oi_id"),
             *[_d(k).alias(f"oi_{k}") for k in _ORDER_INFO_KEYS],
             F.col("type").alias("oi_type"),
             _old("order_status").alias("old_order_status"),
+            *_et("oi_et"),
+        ),
+        "oi_et",
+    )
+    oa = _wm(
+        topic_db.filter(
+            (F.col("database") == "gmall_0105")
+            & (F.col("table") == "order_detail_activity")
+            & (F.col("type") == "insert")
+        ).select(
+            _d("id").alias("order_detail_activity_id"),
+            _d("order_detail_id").alias("oa_order_detail_id"),
+            _d("activity_id").alias("activity_id"),
+            _d("activity_rule_id").alias("activity_rule_id"),
+            *_et("oa_et"),
+        ),
+        "oa_et",
+    )
+    oc = _wm(
+        topic_db.filter(
+            (F.col("database") == "gmall_0105")
+            & (F.col("table") == "order_detail_coupon")
+            & (F.col("type") == "insert")
+        ).select(
+            _d("id").alias("order_detail_coupon_id"),
+            _d("order_detail_id").alias("oc_order_detail_id"),
+            _d("coupon_id").alias("coupon_id"),
+            _d("coupon_use_id").alias("coupon_use_id"),
+            *_et("oc_et"),
+        ),
+        "oc_et",
+    )
+
+    def _bound(cond, left_et: str, right_et: str):
+        return (
+            cond
+            & (F.col(right_et) >= F.col(left_et) - F.expr("INTERVAL 5 SECONDS"))
+            & (F.col(right_et) <= F.col(left_et) + F.expr("INTERVAL 5 SECONDS"))
         )
-    )
-    oa = topic_db.filter(
-        (F.col("database") == "gmall_0105")
-        & (F.col("table") == "order_detail_activity")
-        & (F.col("type") == "insert")
-    ).select(
-        _d("id").alias("order_detail_activity_id"),
-        _d("order_detail_id").alias("oa_order_detail_id"),
-        _d("activity_id").alias("activity_id"),
-        _d("activity_rule_id").alias("activity_rule_id"),
-    )
-    oc = topic_db.filter(
-        (F.col("database") == "gmall_0105")
-        & (F.col("table") == "order_detail_coupon")
-        & (F.col("type") == "insert")
-    ).select(
-        _d("id").alias("order_detail_coupon_id"),
-        _d("order_detail_id").alias("oc_order_detail_id"),
-        _d("coupon_id").alias("coupon_id"),
-        _d("coupon_use_id").alias("coupon_use_id"),
-    )
+
+    # Bounded LEFT joins FIRST, unbounded inner join LAST: the inner join
+    # emits a match only when the (possibly much later) order_info row
+    # arrives, so any time-bounded operator placed downstream of it would
+    # see rows whose od_et is already behind the watermark and drop them
+    # as late.  Left-join keys (od.id) are independent of oi, so batch
+    # results are order-insensitive.
     joined = (
-        od.join(oi, od.order_id == oi.oi_id, "inner")
-        .join(oa, od.id == oa.oa_order_detail_id, "left")
-        .join(oc, od.id == oc.oc_order_detail_id, "left")
-        .join(F.broadcast(base_dic), od.source_type == base_dic.dic_code, "inner")
+        od.join(oa, _bound(od.id == oa.oa_order_detail_id, "od_et", "oa_et"), "left")
+        .join(oc, _bound(od.id == oc.oc_order_detail_id, "od_et", "oc_et"), "left")
+        .join(oi, F.col("order_id") == oi.oi_id, "inner")
+        .join(F.broadcast(base_dic), F.col("source_type") == base_dic.dic_code, "inner")
     )
     return joined.select(
         "id",

@@ -62,39 +62,79 @@ def read_stream(
     )
 
 
+class _StreamShufflePartitions:
+    """Temporarily lower ``spark.sql.shuffle.partitions`` while a streaming
+    query is planned/started.
+
+    The number of state-store instances per stateful operator equals the
+    shuffle-partition count frozen at query start; at test scale 32
+    partitions x N join operators is pure per-micro-batch overhead (each
+    instance snapshots to the checkpoint dir every batch).  8 keeps the
+    multi-partition code path honest while making multi-operator replays
+    run in seconds.  Batch queries planned after restore are unaffected.
+    """
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark = spark
+        self.n = n
+        self.saved: str | None = None
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+
+
+def _await_or_raise(q, timeout_s: int) -> None:
+    """Block until the availableNow query finishes; raise on timeout.
+
+    Silently stopping an unfinished availableNow query truncates the
+    output mid-stream (the final watermark-flush batches never run, losing
+    exactly the rows nearest the stream's end), so a timeout must be loud.
+    """
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"streaming query did not finish within {timeout_s}s; "
+                "output would be truncated mid-stream"
+            )
+    finally:
+        q.stop()
+
+
 def run_to_memory(
-    sdf: DataFrame, output_mode: str = "append", timeout_s: int = 300
+    sdf: DataFrame, output_mode: str = "append", timeout_s: int = 600
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
     sink; return the sink contents as a batch DataFrame."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+    with _StreamShufflePartitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    _await_or_raise(q, timeout_s)
     return sdf.sparkSession.table(name)
 
 
 def run_foreach_batch(
-    sdf: DataFrame, fn: Callable[[DataFrame, int], None], timeout_s: int = 300
+    sdf: DataFrame, fn: Callable[[DataFrame, int], None], timeout_s: int = 600
 ) -> None:
     """Run a streaming DataFrame through ``foreachBatch(fn)`` to completion."""
-    q = (
-        sdf.writeStream.foreachBatch(fn)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+    with _StreamShufflePartitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(fn)
+            .trigger(availableNow=True)
+            .start()
+        )
+    _await_or_raise(q, timeout_s)
 
 
 class TempStreamDir:

@@ -12,6 +12,8 @@ Pipelines covered (one per SURVEY.md streaming mechanism):
 - keyed-state CEP bounce w/ timeout (D5/W10) -> stream_jump_detail
 - keyed upsert sink (K3)                     -> stream_order_info_upsert
 - broadcast-config DIM routing (J10/P6/K5)   -> stream_dim_app
+- stream-stream join, inner + 2 bounded left
+  + stream-static dic lookup (J1/J2/J3/W5)   -> stream_order_pre_process
 """
 
 from __future__ import annotations
@@ -207,6 +209,93 @@ def stream_order_info_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_path = d.sub("sink")
         run_foreach_batch(s, stateful.upsert_sink(["id"], "ts", out_path))
         return spark.read.parquet(out_path).localCheckpoint()
+
+
+_PRE_TABLES = [
+    "order_detail",
+    "order_info",
+    "order_detail_activity",
+    "order_detail_coupon",
+]
+
+
+def _pre_sentinel(spark: SparkSession, ts: int) -> DataFrame:
+    """One raw CDC JSON row per order_pre_process branch at event time
+    ``ts``: each passes its branch filter (so its watermark operator sees
+    it — Catalyst pushes the deterministic table/type filters below the
+    EventTimeWatermark node) but joins nothing (keys are unmatched
+    sentinels), so the output needs no scrubbing."""
+    import json as _json
+
+    def row(table: str, data: dict) -> tuple:
+        return (
+            _json.dumps(
+                {
+                    "database": "gmall_0105",
+                    "table": table,
+                    "type": "insert",
+                    "data": data,
+                    "old": None,
+                    "ts": str(ts),
+                }
+            ),
+            ts,
+        )
+
+    rows = [
+        # source_type must be NON-NULL: the inner base_dic join makes
+        # Catalyst infer isnotnull(source_type) and push it below the od
+        # branch's EventTimeWatermark, so a null-source_type sentinel would
+        # never advance that branch's watermark (and the global min-policy
+        # watermark would stall at end-of-data, leaving final state
+        # unflushed). An unmatched code keeps it out of the inner-join
+        # output.
+        row(
+            "order_detail",
+            {"id": "sent_od", "order_id": "sent_od_order", "source_type": "sent_code"},
+        ),
+        row("order_info", {"id": "sent_oi"}),
+        row("order_detail_activity", {"id": "sent_oa", "order_detail_id": "sent_oa_od"}),
+        row("order_detail_coupon", {"id": "sent_oc", "order_detail_id": "sent_oc_od"}),
+    ]
+    return spark.createDataFrame(rows, "value string, __order long")
+
+
+def stream_order_pre_process(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 under Structured Streaming: the flagship 5-table wide-row job
+    (RT/app/dwd/DwdTradeOrderPreProcess.java) as a genuine stream-stream
+    join — four branches of one replayed topic_db stream, watermarked
+    per-branch; inner od x oi join (unbounded state, declared changelog
+    semantics); two LEFT joins with the +/- 5 s event-time bound standing
+    in for the reference's 5 s idle-state TTL (W5); stream-static
+    broadcast base_dic join (J3). Unmatched left rows flush when the
+    trailing sentinels push every branch watermark past end-of-input."""
+    from ..plans import dwd_trade
+    from ..sources import dic
+
+    with TempStreamDir() as d:
+        structured = cdc.topic_db(spark, sf_dir, only=_PRE_TABLES)
+        raw = structured.select(
+            F.to_json(
+                F.struct("database", "table", "type", "data", "old", "ts")
+            ).alias("value"),
+            F.col("ts").cast("long").alias("__order"),
+        )
+        mx = structured.agg(F.max(F.col("ts").cast("long"))).collect()[0][0]
+        _write_replay(
+            raw,
+            d.sub("in"),
+            order_by=["__order"],
+            sentinels=[
+                _pre_sentinel(spark, mx + 3600),
+                _pre_sentinel(spark, mx + 7200),
+            ],
+        )
+        parsed = cdc.parse_topic_db(read_stream(spark, d.sub("in")).select("value"))
+        out = dwd_trade.order_pre_process(
+            parsed, dic.base_dic(spark), event_time=True
+        )
+        return run_to_memory(out, output_mode="append")
 
 
 def stream_dim_app(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

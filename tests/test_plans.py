@@ -36,6 +36,18 @@ SMJ_WHITELIST = {
     "dwd_trade_refund_pay_suc",      # refund_payment x order_info x refund_info
     "join_activity_coupon_full_outer",  # full-outer changelog join (J8)
     "simsearch_ivf_topk",            # candidate x query bucket join
+    # order_detail x order_info (J1) is fact-fact (lineitem x orders
+    # scale): order_info is NOT broadcastable at 100 TB, so SMJ on the
+    # equi key is the plan we want; AQE converts to broadcast at small SF.
+    # Everything built on the shared _pre wide row inherits it:
+    "dwd_trade_order_pre_process",
+    "dwd_trade_order_detail",
+    "dwd_trade_cancel_detail",
+    "dwd_trade_pay_detail_suc",
+    "dws_trade_payment_suc_window",
+    "dws_trade_order_window",
+    "dws_trade_user_spu_order_window",
+    "dws_trade_province_order_window",
 }
 
 # Arrow-batched Python is allowed only where Python is the point.

@@ -69,6 +69,14 @@ def test_stream_order_info_upsert(spark):
     _same(stream, batch, "order_info_upsert")
 
 
+def test_stream_order_pre_process(spark):
+    from flink_realtime_datawarehouse_v3_spark.sources import dic
+
+    stream = sp.stream_order_pre_process(spark, SF_SMOKE)
+    batch = api.QUERIES["dwd_trade_order_pre_process"](spark, SF_SMOKE)
+    _same(stream, batch, "order_pre_process")
+
+
 def test_stream_dim_app(spark):
     streamed = sp.stream_dim_app(spark, SF_SMOKE)
     batch = dim_plan.dim_tables(cdc.topic_db(spark, SF_SMOKE))
