@@ -39,6 +39,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in api.QUERIES.items():
+        if name.startswith("streaming_"):
+            # Streaming replay wall-clock is micro-batch scheduling, not
+            # query latency (BASELINE.md); parity is the correctness gate.
+            continue
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).count()

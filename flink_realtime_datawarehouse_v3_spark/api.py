@@ -1040,3 +1040,43 @@ register(
            WHERE doc_id % 4 = 3"""
     ),
 )
+
+
+# --- Structured Streaming forms (SURVEY.md §2.10) ----------------------------
+# Each replays the finite input through the file-stream harness (one
+# micro-batch per file, availableNow) and must reproduce the SAME rows as
+# its batch form — so it shares the batch oracle SQL and the driver
+# hash-checks stream == DuckDB directly. Covered mechanisms: P1 parse
+# (favor_add), D1 keyed-state dedup (unique_visitor), A1 watermarked
+# 10 s tumbling window (keyword_window), J1/J2/J3+W5 bounded stream-stream
+# joins (order_pre_process), J5 two-independent-stream join
+# (pay_detail_suc).
+
+def _register_streaming() -> None:
+    from .streaming import pipelines as _sp
+
+    pairs = {
+        "streaming_favor_add": ("stream_favor_add", "dwd_interaction_favor_add"),
+        "streaming_unique_visitor": (
+            "stream_unique_visitor",
+            "dwd_traffic_unique_visitor_detail",
+        ),
+        "streaming_keyword_window": (
+            "stream_keyword_window",
+            "dws_traffic_source_keyword_page_view_window",
+        ),
+        "streaming_order_pre_process": (
+            "stream_order_pre_process",
+            "dwd_trade_order_pre_process",
+        ),
+        "streaming_pay_detail_suc": (
+            "stream_pay_detail_suc",
+            "dwd_trade_pay_detail_suc",
+        ),
+    }
+    for name, (fn_name, batch_name) in pairs.items():
+        fn = getattr(_sp, fn_name)
+        register(name, fn, ORACLES.get(batch_name))
+
+
+_register_streaming()

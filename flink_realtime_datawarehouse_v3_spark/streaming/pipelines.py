@@ -14,6 +14,8 @@ Pipelines covered (one per SURVEY.md streaming mechanism):
 - broadcast-config DIM routing (J10/P6/K5)   -> stream_dim_app
 - stream-stream join, inner + 2 bounded left
   + stream-static dic lookup (J1/J2/J3/W5)   -> stream_order_pre_process
+- 3-way payment join over two independent
+  streams (J5)                               -> stream_pay_detail_suc
 """
 
 from __future__ import annotations
@@ -295,6 +297,43 @@ def stream_order_pre_process(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = dwd_trade.order_pre_process(
             parsed, dic.base_dic(spark), event_time=True
         )
+        return run_to_memory(out, output_mode="append")
+
+
+def stream_pay_detail_suc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 under Structured Streaming: payment_info CDC stream x the
+    MATERIALIZED dwd_trade_order_detail stream x broadcast base_dic
+    (RT/app/dwd/DwdTradePayDetailSuc.java:39,90-119).
+
+    Two genuinely independent replayed file streams (the reference
+    consumes the upstream job's Kafka topic dwd_trade_order_detail_0105 —
+    here its batch-computed parquet replay stands in for that topic).
+
+    The reference bounds join state with a 905 s PROCESSING-time idle TTL
+    sized for the 15-min payment SLA — an arrival-proximity assumption
+    that only holds live. On event-time replay, payment (order date
+    + 30 min) and detail rows (ship date, days later) are far apart, so
+    a 905 s event-time bound would drop nearly every match the job is
+    meant to produce. As with the order pre-process inner join, state is
+    kept unbounded: the declared join semantics rather than the TTL's
+    accidental-loss behavior; batch==stream parity is the test.
+    """
+    from ..api import QUERIES
+    from ..plans import dwd_trade
+    from ..sources import dic
+
+    with TempStreamDir() as d:
+        od_batch = QUERIES["dwd_trade_order_detail"](spark, sf_dir)
+        _write_replay(od_batch, d.sub("od"), order_by=["create_time"])
+        pi_raw = cdc.topic_db(spark, sf_dir, only=["payment_info"]).select(
+            F.to_json(
+                F.struct("database", "table", "type", "data", "old", "ts")
+            ).alias("value")
+        )
+        _write_replay(pi_raw, d.sub("pi"), order_by=None)
+        od_stream = read_stream(spark, d.sub("od"))
+        pi_stream = cdc.parse_topic_db(read_stream(spark, d.sub("pi")))
+        out = dwd_trade.pay_detail_suc(pi_stream, od_stream, dic.base_dic(spark))
         return run_to_memory(out, output_mode="append")
 
 

@@ -70,11 +70,15 @@ def test_stream_order_info_upsert(spark):
 
 
 def test_stream_order_pre_process(spark):
-    from flink_realtime_datawarehouse_v3_spark.sources import dic
-
     stream = sp.stream_order_pre_process(spark, SF_SMOKE)
     batch = api.QUERIES["dwd_trade_order_pre_process"](spark, SF_SMOKE)
     _same(stream, batch, "order_pre_process")
+
+
+def test_stream_pay_detail_suc(spark):
+    stream = sp.stream_pay_detail_suc(spark, SF_SMOKE)
+    batch = api.QUERIES["dwd_trade_pay_detail_suc"](spark, SF_SMOKE)
+    _same(stream, batch, "pay_detail_suc")
 
 
 def test_stream_dim_app(spark):
