@@ -1057,6 +1057,7 @@ def _register_streaming() -> None:
 
     pairs = {
         "streaming_favor_add": ("stream_favor_add", "dwd_interaction_favor_add"),
+        "streaming_base_log": ("stream_base_log", "dwd_traffic_page_log"),
         "streaming_unique_visitor": (
             "stream_unique_visitor",
             "dwd_traffic_unique_visitor_detail",

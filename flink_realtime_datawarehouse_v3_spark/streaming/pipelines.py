@@ -300,6 +300,49 @@ def stream_order_pre_process(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(out, output_mode="append")
 
 
+_PAGE_FIELDS = ["page_id", "last_page_id", "item", "item_type", "during_time"]
+
+
+def stream_base_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point A (BaseLogApp, RT/app/dwd/BaseLogApp.java:49-195) under
+    streaming: raw log JSON replay -> P2 parse/dirty-drop -> P8 per-mid
+    is_new repair via applyInPandasWithState -> page-branch split (P7).
+
+    The repair runs over ALL events (start events included) BEFORE the
+    split, exactly like the reference's keyBy(mid) stage — filtering to
+    the page branch first would change which event fixes the per-mid
+    first-visit state. The stateful frame is flattened to scalar columns
+    (structs don't round-trip through the Arrow state channel); the page
+    struct fields ride along as nullable scalars.
+    """
+    from ..plans.dwd_traffic import _COMMON
+
+    with TempStreamDir() as d:
+        raw = logs.topic_log_json(spark, sf_dir).select(
+            "value",
+            F.coalesce(
+                F.get_json_object("value", "$.ts").cast("long"), F.lit(0)
+            ).alias("__order"),
+        )
+        _write_replay(raw, d.sub("in"), order_by=["__order"])
+        parsed = logs.parse_topic_log(
+            read_stream(spark, d.sub("in")).select("value")
+        )
+        flat = parsed.select(
+            "event_id",
+            "ts",
+            *[F.col(f"common.{c}").alias(c) for c in _COMMON],
+            F.date_format(F.timestamp_millis(F.col("ts")), "yyyy-MM-dd").alias("dt"),
+            F.col("start").isNotNull().alias("is_start"),
+            *[F.col(f"page.{p}").alias(p) for p in _PAGE_FIELDS],
+        )
+        repaired = stateful.is_new_repair_stream(flat, key="mid", dt_col="dt")
+        page = repaired.filter(~F.col("is_start")).select(
+            *_COMMON, "event_id", "ts", *_PAGE_FIELDS
+        )
+        return run_to_memory(page, output_mode="append")
+
+
 def stream_pay_detail_suc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 under Structured Streaming: payment_info CDC stream x the
     MATERIALIZED dwd_trade_order_detail stream x broadcast base_dic

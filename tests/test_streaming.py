@@ -75,6 +75,12 @@ def test_stream_order_pre_process(spark):
     _same(stream, batch, "order_pre_process")
 
 
+def test_stream_base_log(spark):
+    stream = sp.stream_base_log(spark, SF_SMOKE)
+    batch = api.QUERIES["dwd_traffic_page_log"](spark, SF_SMOKE)
+    _same(stream, batch, "base_log")
+
+
 def test_stream_pay_detail_suc(spark):
     stream = sp.stream_pay_detail_suc(spark, SF_SMOKE)
     batch = api.QUERIES["dwd_trade_pay_detail_suc"](spark, SF_SMOKE)
