@@ -1079,5 +1079,19 @@ def _register_streaming() -> None:
         fn = getattr(_sp, fn_name)
         register(name, fn, ORACLES.get(batch_name))
 
+    # D4/W6 keep-latest with 5 s event-time debounce: deterministic —
+    # one emission per (id, 5 s burst). In the synthesized order_info
+    # stream every CDC event is its own burst (insert and update are 1 h
+    # apart), so the exact expected multiset is the raw CDC projection.
+    register(
+        "streaming_order_info_debounce",
+        _sp.stream_order_info_latest,
+        oracle.sql(
+            "SELECT id, order_status, operate_time, "
+            "CAST(ts AS BIGINT) AS ts FROM order_info_cdc",
+            "order_info_cdc",
+        ),
+    )
+
 
 _register_streaming()

@@ -380,6 +380,46 @@ def stream_pay_detail_suc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(out, output_mode="append")
 
 
+def stream_order_info_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/W6 keep-latest with processing-time debounce timer
+    (RT/app/dws/DwsTradePaymentSucWindow.java:85-121): order_info CDC
+    replay -> buffer best row per id in keyed state -> emit on timer.
+
+    A key whose updates are further apart than the 5 s debounce emits
+    once per burst — exactly the reference's behavior when events arrive
+    slower than its timer (downstream jobs re-deduplicate). The parity
+    test collapses emissions with the batch keep-latest operator.
+    Trailing sentinels push the watermark past the last anchor + 5 s so
+    every open timer fires before availableNow terminates; their key is
+    filtered here.
+    """
+    from .stateful import keep_latest_stream
+
+    with TempStreamDir() as d:
+        flat = cdc.topic_db(spark, sf_dir, only=["order_info"]).select(
+            F.col("data").getItem("id").alias("id"),
+            F.col("data").getItem("order_status").alias("order_status"),
+            F.col("data").getItem("operate_time").alias("operate_time"),
+            F.col("ts").cast("long").alias("ts"),
+        )
+        mx = flat.agg(F.max("ts")).collect()[0][0]
+        sents = [
+            spark.createDataFrame(
+                [("__sentinel__", None, None, mx + dt)],
+                "id string, order_status string, operate_time string, ts long",
+            )
+            for dt in (3600, 7200)
+        ]
+        _write_replay(flat, d.sub("in"), order_by=["ts"], sentinels=sents)
+        s = read_stream(spark, d.sub("in")).withColumn(
+            "rt", F.to_timestamp(F.from_unixtime("ts"))
+        )
+        out = keep_latest_stream(s, keys=["id"], order_col="ts").filter(
+            F.col("id") != "__sentinel__"
+        )
+        return run_to_memory(out, output_mode="append")
+
+
 def stream_dim_app(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """J10 config-routed DIM layer: replay the full topic, route per batch,
     MERGE into per-dim parquet tables; returns the final dim tables."""

@@ -108,6 +108,78 @@ def is_new_repair_stream(
     )
 
 
+DEBOUNCE_MS = 5_000
+
+
+def keep_latest_stream(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    watermark_col: str = "rt",
+) -> DataFrame:
+    """D4/W6 keep-LATEST per key with a 5 s debounce timer (reference:
+    RT/app/dws/DwsTradePaymentSucWindow.java:85-121,
+    RT/app/dws/DwsTradeProvinceOrderWindow.java:86-121): the first row of
+    a burst anchors a timer 5 s out; rows arriving before it replace the
+    buffered row if their ``order_col`` is newer; the timer emits the
+    survivor and clears state — absorbing left-join retraction bursts
+    before the row is released downstream.
+
+    The reference's timer is processing-time; here it is EVENT-time
+    (timeout at anchor + 5 s, fired by the watermark on
+    ``watermark_col``). Processing-time timers never let an
+    ``availableNow`` replay terminate (the engine keeps scheduling
+    no-data batches against the wall clock), and on replay
+    arrival-proximity IS event-proximity, so event time is the faithful
+    bounded mapping — and makes emissions deterministic: one per (key,
+    5 s burst), independent of how files split into micro-batches.
+    """
+    out_schema = df.drop(watermark_col).schema
+    out_cols = [f.name for f in out_schema.fields]
+    state_schema = StructType(
+        [StructField("blob", StringType()), StructField("anchor_ms", LongType())]
+    )
+
+    def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import json
+
+        best, anchor = None, None
+        if state.exists:
+            blob, anchor = state.get
+            best = json.loads(blob)
+        if state.hasTimedOut:
+            state.remove()
+            if best is not None:
+                yield pd.DataFrame([best])[out_cols]
+            return
+        pdf = _sorted_concat(pdfs, [order_col])
+        done = []
+        if not pdf.empty:
+            for row in pdf[out_cols].to_dict("records"):
+                row_ms = int(row[order_col]) * 1000
+                if best is None:
+                    best, anchor = row, row_ms
+                elif row_ms - anchor > DEBOUNCE_MS:
+                    done.append(best)  # burst closed in-stream
+                    best, anchor = row, row_ms
+                elif row[order_col] >= best[order_col]:
+                    best = row
+        if best is not None:
+            state.update((json.dumps(best, default=str), anchor))
+            state.setTimeoutTimestamp(anchor + DEBOUNCE_MS)
+        if done:
+            yield pd.DataFrame(done)[out_cols]
+
+    return (
+        df.withWatermark(watermark_col, "2 seconds")
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 JUMP_GAP_MS = 10_000
 
 

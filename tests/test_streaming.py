@@ -81,6 +81,22 @@ def test_stream_base_log(spark):
     _same(stream, batch, "base_log")
 
 
+def test_stream_order_info_latest(spark):
+    """D4 debounce emits once per quiet period; collapsing emissions with
+    the batch keep-latest must reproduce the batch result exactly."""
+    stream = sp.stream_order_info_latest(spark, SF_SMOKE)
+    flat = cdc.topic_db(spark, SF_SMOKE, only=["order_info"]).select(
+        F.col("data").getItem("id").alias("id"),
+        F.col("data").getItem("order_status").alias("order_status"),
+        F.col("data").getItem("operate_time").alias("operate_time"),
+        F.col("ts").cast("long").alias("ts"),
+    )
+    batch = keep_latest(flat, ["id"], ["ts"])
+    n_stream, n_keys, n_input = stream.count(), batch.count(), flat.count()
+    assert n_keys <= n_stream <= n_input, (n_stream, n_keys, n_input)
+    _same(keep_latest(stream, ["id"], ["ts"]), batch, "order_info_latest")
+
+
 def test_stream_pay_detail_suc(spark):
     stream = sp.stream_pay_detail_suc(spark, SF_SMOKE)
     batch = api.QUERIES["dwd_trade_pay_detail_suc"](spark, SF_SMOKE)
