@@ -849,6 +849,38 @@ register(
     ),
 )
 
+register(
+    "text_corpus_clean",
+    lambda spark, sf: text_analysis.corpus_clean(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id, n_tokens, quality_score, text_hash, dup_count
+            FROM (SELECT *,
+                         row_number() OVER (PARTITION BY text_hash
+                                            ORDER BY doc_id) AS rn,
+                         count(*) OVER (PARTITION BY text_hash) AS dup_count
+                  FROM (SELECT doc_id, n_tokens,
+                               round(0.4 * least(1.0, n_tokens / 400.0)
+                                     + 0.3 * (1.0 - n_punct / n_chars)
+                                     + 0.3 * least(1.0, se * 5.0), 6)
+                                   AS quality_score,
+                               CASE WHEN greatest(se, sd, sf2) <= 0 THEN 'und'
+                                    WHEN se = greatest(se, sd, sf2) THEN 'en'
+                                    WHEN sd = greatest(se, sd, sf2) THEN 'de'
+                                    ELSE 'fr' END AS lang_pred,
+                               md5(text) AS text_hash
+                        FROM (SELECT doc_id, text,
+                                     len({_TOKS}) AS n_tokens,
+                                     length(text) AS n_chars,
+                                     len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+                                     len(list_filter({_TOKS}, t -> t IN {_STOP_EN})) / len({_TOKS}) AS se,
+                                     len(list_filter({_TOKS}, t -> t IN ('der','die','das','und','ist'))) / len({_TOKS}) AS sd,
+                                     len(list_filter({_TOKS}, t -> t IN ('le','la','et','les','des'))) / len({_TOKS}) AS sf2
+                              FROM corpus))
+                  WHERE lang_pred = 'en' AND quality_score >= 0.45)
+            WHERE rn = 1"""
+    ),
+)
+
 _SHINGLE_LIST = (
     f"list_transform(generate_series(0, greatest(len({_TOKS}) - 3, 0)), "
     f"i -> concat_ws(' ', {_TOKS}[i + 1], {_TOKS}[i + 2], {_TOKS}[i + 3]))"

@@ -12,7 +12,7 @@ minhash family in text_dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_RE = r"\s+"
@@ -100,6 +100,64 @@ def lang_id(corpus: DataFrame) -> DataFrame:
         F.round(scores["de"], 6).alias("score_de"),
         F.round(scores["fr"], 6).alias("score_fr"),
         pred.alias("lang_pred"),
+    )
+
+
+def corpus_clean(
+    corpus: DataFrame, lang: str = "en", min_quality: float = 0.45
+) -> DataFrame:
+    """Composed training-data cleaning pipeline: language filter +
+    quality-score threshold + exact dedup, the shape a 100 TB corpus
+    prep job actually runs.
+
+    One narrow scan projection computes tokens ONCE and derives language
+    scores, the quality heuristic, and the content hash from the shared
+    array (no per-metric re-scan); the only shuffle is the final
+    hash-dedup, done with window functions over text_hash (row_number
+    keeps the lowest doc_id; count(*) records the burst size). Filters
+    run before the shuffle, so at scale the exchange carries only the
+    surviving slice.
+    """
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), 0))
+    scores = {
+        lg: F.size(F.filter(toks, lambda t: t.isin(*words))) / n_tokens
+        for lg, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(best <= 0, "und")
+        .when(scores["en"] == best, "en")
+        .when(scores["de"] == best, "de")
+        .otherwise("fr")
+    )
+    quality = F.round(
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(400.0))
+        + F.lit(0.3) * (F.lit(1.0) - n_punct / n_chars)
+        + F.lit(0.3) * F.least(F.lit(1.0), (scores["en"]) * F.lit(5.0)),
+        6,
+    )
+    enriched = corpus.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality_score"),
+        pred.alias("lang_pred"),
+        F.md5("text").alias("text_hash"),
+    )
+    kept = enriched.filter(
+        (F.col("lang_pred") == lang) & (F.col("quality_score") >= min_quality)
+    )
+    w = Window.partitionBy("text_hash")
+    wo = w.orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(wo))
+        .withColumn("dup_count", F.count("*").over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "n_tokens", "quality_score", "text_hash", "dup_count"
+        )
     )
 
 

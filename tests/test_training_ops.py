@@ -13,6 +13,7 @@ ORACLED = [
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
+    "text_corpus_clean",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
