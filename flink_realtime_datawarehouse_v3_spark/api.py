@@ -722,6 +722,35 @@ register(
        WHERE a.event_type = 'click' AND b.event_type = 'view'""",
 )
 
+from .operators import skew as skew_op  # noqa: E402
+
+
+def _salted_brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    l = tables_mod.load(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    p = tables_mod.load(spark, sf, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    j = skew_op.salted_join(l, p, on="partkey", dist_col="l_orderkey", buckets=8)
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("line_ct"), F.sum("price").alias("revenue")
+    )
+
+
+register(
+    "join_salted_skew",
+    _salted_brand_revenue,
+    """SELECT p_brand, count(*) AS line_ct,
+              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand""",
+)
+
 register(
     "join_activity_coupon_full_outer",
     lambda spark, sf: joins_plan.activity_coupon_full_outer(

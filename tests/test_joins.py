@@ -10,7 +10,8 @@ from .conftest import SF_SMOKE, assert_parity
 
 
 @pytest.mark.parametrize(
-    "name", ["interval_join_events", "join_activity_coupon_full_outer"]
+    "name",
+    ["interval_join_events", "join_activity_coupon_full_outer", "join_salted_skew"],
 )
 def test_parity(spark, duck, name):
     df = api.QUERIES[name](spark, SF_SMOKE)
@@ -19,3 +20,31 @@ def test_parity(spark, duck, name):
 
 def test_interval_join_non_vacuous(spark):
     assert api.QUERIES["interval_join_events"](spark, SF_SMOKE).count() > 0
+
+
+def test_salted_join_equals_plain(spark):
+    """Salting is semantics-preserving: salted plan == plain join, and the
+    physical plan carries the salt in the join keys with the small side
+    exploded buckets-fold."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.operators.skew import salted_join
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    l = tables.load(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_orderkey", "l_extendedprice"
+    )
+    p = tables.load(spark, SF_SMOKE, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    salted = salted_join(l, p, on="partkey", dist_col="l_orderkey", buckets=4)
+    plain = l.join(p, on="partkey", how="inner")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    n_small, n_exploded = p.count(), p.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(3)))
+    ).count()
+    assert n_exploded == 4 * n_small
