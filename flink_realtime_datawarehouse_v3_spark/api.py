@@ -751,6 +751,19 @@ register(
        GROUP BY p_brand""",
 )
 
+from .sources import bucketed as bucketed_mod  # noqa: E402
+
+register(
+    "join_bucketed_colocated",
+    bucketed_mod.province_revenue_colocated,
+    """SELECT c_nationkey AS province_key, count(*) AS line_ct,
+              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       LEFT JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_nationkey""",
+)
+
 register(
     "join_activity_coupon_full_outer",
     lambda spark, sf: joins_plan.activity_coupon_full_outer(

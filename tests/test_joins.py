@@ -11,7 +11,8 @@ from .conftest import SF_SMOKE, assert_parity
 
 @pytest.mark.parametrize(
     "name",
-    ["interval_join_events", "join_activity_coupon_full_outer", "join_salted_skew"],
+    ["interval_join_events", "join_activity_coupon_full_outer", "join_salted_skew",
+     "join_bucketed_colocated"],
 )
 def test_parity(spark, duck, name):
     df = api.QUERIES[name](spark, SF_SMOKE)
@@ -48,3 +49,25 @@ def test_salted_join_equals_plain(spark):
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(3)))
     ).count()
     assert n_exploded == 4 * n_small
+
+
+def test_bucketed_join_is_colocated(spark):
+    """With broadcast off, the bucketed order facts must sort-merge join
+    with ZERO exchanges below the join — the write-time bucketing replaced
+    the per-query shuffle. The one remaining exchange is the final
+    province aggregation."""
+    import re
+
+    from flink_realtime_datawarehouse_v3_spark.sources import bucketed
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bucketed.province_revenue_colocated(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, f"expected only the agg exchange, got {n_exchanges}"
