@@ -1144,6 +1144,10 @@ def _register_streaming() -> None:
             "stream_order_pre_process",
             "dwd_trade_order_pre_process",
         ),
+        "streaming_traffic_union_window": (
+            "stream_traffic_union_window",
+            "dws_traffic_vc_ch_ar_is_new_page_view_window",
+        ),
         "streaming_pay_detail_suc": (
             "stream_pay_detail_suc",
             "dwd_trade_pay_detail_suc",

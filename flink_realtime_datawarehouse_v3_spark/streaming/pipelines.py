@@ -195,6 +195,92 @@ def stream_jump_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(out, output_mode="append")
 
 
+def stream_traffic_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-stream union window job (A2/A4 + O1 + W1's 14 s watermark,
+    RT/app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:60-185) with
+    CHAINED stateful operators: one replayed page stream fans into the
+    raw page branch, a D1 first-per-day UV branch
+    (applyInPandasWithState), and a D5 bounce branch (event-time
+    timeout); the shaped union flows through a single 14 s watermark into
+    a keyed 10 s tumbling window (second stateful layer).
+
+    Sentinel rows must reach every watermark node, so they are NOT
+    filtered pre-union (a mid filter would be pushed below the
+    EventTimeWatermark and starve it); their all-null (vc, ch, ar,
+    is_new) key is dropped from the aggregated output instead. Bounce
+    timeout emissions are never late to the window layer: a bounce at
+    event time T flushes once the watermark passes T+10 s, while its
+    window only closes at window_end + 14 s > T + 14 s. Spark allows a
+    single applyInPandasWithState per query, so the UV and bounce state
+    machines run as ONE keyed operator emitting pre-shaped contribution
+    rows (stateful.uv_jump_contrib_stream).
+    """
+    from ..operators.windows import stt_edt, tumble
+
+    page = _page_log(spark, sf_dir)
+    keys = ["vc", "ch", "ar", "is_new"]
+
+    with TempStreamDir() as d:
+        _write_replay(
+            page,
+            d.sub("in"),
+            order_by=["ts"],
+            sentinels=[_page_sentinel(page, hours=1), _page_sentinel(page, hours=2)],
+        )
+        s = read_stream(spark, d.sub("in"))
+        stateful_in = s.withColumn("rt", rt_from_ms(F.col("ts"))).withColumn(
+            "dt", F.date_format(F.timestamp_millis(F.col("ts")), "yyyy-MM-dd")
+        )
+        contrib = stateful.uv_jump_contrib_stream(stateful_in)
+        page_shaped = s.select(
+            *keys,
+            F.col("ts"),
+            F.lit(0).cast("long").alias("uv"),
+            F.when(F.col("last_page_id").isNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("sv"),
+            F.lit(1).cast("long").alias("pv"),
+            F.col("during_time").cast("long").alias("dur"),
+            F.lit(0).cast("long").alias("uj"),
+        )
+        unioned = (
+            page_shaped.unionByName(contrib)
+            .withColumn("rt", rt_from_ms(F.col("ts")))
+            .drop("ts")
+            .withWatermark("rt", "14 seconds")
+        )
+        # Spark's static checker rejects ANY stateful op above another
+        # stateful op that can emit watermark-old rows. Here the pattern
+        # is provably safe: a bounce at event time T is flushed when the
+        # watermark passes T + 10 s (the CEP timeout), while its target
+        # window only closes at window_end + 14 s >= T + 14 s — every
+        # timeout emission lands 4+ s before its window's cutoff. Disable
+        # the check for this query only (documented Spark escape hatch).
+        chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+        saved = spark.conf.get(chk)
+        spark.conf.set(chk, "false")
+        try:
+            agg = (
+                tumble(unioned, F.col("rt"), *keys)
+                .agg(
+                    F.sum("uv").alias("uv_ct"),
+                    F.sum("sv").alias("sv_ct"),
+                    F.sum("pv").alias("pv_ct"),
+                    F.sum("dur").alias("dur_sum"),
+                    F.sum("uj").alias("uj_ct"),
+                )
+                .select(
+                    *stt_edt(), *keys,
+                    "uv_ct", "sv_ct", "pv_ct", "dur_sum", "uj_ct",
+                )
+            )
+            out = run_to_memory(agg, output_mode="append")
+        finally:
+            spark.conf.set(chk, saved)
+        return out.filter(F.col("vc").isNotNull())
+
+
 def stream_order_info_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 keyed upsert sink: order_info changelog MERGEd to one row per id
     (last writer wins)."""

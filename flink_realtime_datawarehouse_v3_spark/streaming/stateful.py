@@ -253,6 +253,104 @@ def jump_detect_stream(
     )
 
 
+def uv_jump_contrib_stream(
+    page: DataFrame,
+    watermark_col: str = "rt",
+) -> DataFrame:
+    """Combined D1 + D5 keyed operator for the 3-stream union window job:
+    ONE applyInPandasWithState per mid computes both the first-visit-
+    per-day UV flag and CEP bounce detection, emitting rows pre-shaped as
+    union contributions ``(vc, ch, ar, is_new, ts, uv, sv, pv, dur,
+    uj)`` with uv=1 or uj=1.
+
+    The reference runs these as two separate Flink jobs over the same
+    topic (RT/app/dwd/DwdTrafficUniqueVisitorDetail.java,
+    RT/app/dwd/DwdTrafficUserJumpDetail.java); Spark allows only one
+    applyInPandasWithState per streaming query, and consolidating the two
+    state machines into one keyed pass is the idiomatic answer anyway:
+    one shuffle on mid, one state store, both flags from the same sorted
+    scan.
+    """
+    order = ["ts", "event_id"]
+    out_schema = (
+        "vc string, ch string, ar string, is_new string, ts long, "
+        "uv long, sv long, pv long, dur long, uj long"
+    )
+    state_schema = StructType(
+        [
+            StructField("last_uv_dt", StringType()),
+            StructField("pending", StringType()),
+            StructField("pending_ts", LongType()),
+        ]
+    )
+    in_cols = ["vc", "ch", "ar", "is_new", "ts", "event_id", "last_page_id", "dt"]
+
+    def contrib(row, uv, uj):
+        return {
+            "vc": row["vc"], "ch": row["ch"], "ar": row["ar"],
+            "is_new": row["is_new"], "ts": row["ts"],
+            "uv": uv, "sv": 0, "pv": 0, "dur": 0, "uj": uj,
+        }
+
+    def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import json
+
+        last_uv_dt, pending, pending_ts = (
+            state.get if state.exists else (None, None, None)
+        )
+        pend = json.loads(pending) if pending else None
+        if state.hasTimedOut:
+            state.remove()
+            out = []
+            if pend is not None:
+                out.append(contrib(pend, 0, 1))
+            if last_uv_dt is not None:
+                # keep the UV state alive past the bounce timer
+                state.update((last_uv_dt, None, None))
+            if out:
+                yield pd.DataFrame(out)
+            return
+        pdf = _sorted_concat(pdfs, order)
+        out = []
+        if not pdf.empty:
+            for row in pdf[in_cols].to_dict("records"):
+                is_start = pd.isna(row["last_page_id"]) or row["last_page_id"] is None
+                if is_start and row["dt"] != last_uv_dt:
+                    out.append(contrib(row, 1, 0))
+                    last_uv_dt = row["dt"]
+                if pend is not None:
+                    gap = row["ts"] - pend["ts"]
+                    if gap > JUMP_GAP_MS:
+                        out.append(contrib(pend, 0, 1))
+                        pend = row if is_start else None
+                    elif is_start:
+                        out.append(contrib(pend, 0, 1))
+                        pend = row
+                    else:
+                        pend = None
+                elif is_start:
+                    pend = row
+        state.update(
+            (
+                last_uv_dt,
+                json.dumps(pend, default=str) if pend is not None else None,
+                int(pend["ts"]) if pend is not None else None,
+            )
+        )
+        if pend is not None:
+            state.setTimeoutTimestamp(int(pend["ts"]) + JUMP_GAP_MS)
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        page.withWatermark(watermark_col, "2 seconds")
+        .groupBy("mid")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def upsert_sink(keys: list[str], order_col: str, path: str):
     """K3 upsert-kafka-equivalent sink: per micro-batch, MERGE the batch
     into a keyed parquet table, keeping the row with the greatest

@@ -75,6 +75,14 @@ def test_stream_order_pre_process(spark):
     _same(stream, batch, "order_pre_process")
 
 
+def test_stream_traffic_union_window(spark):
+    stream = sp.stream_traffic_union_window(spark, SF_SMOKE)
+    batch = api.QUERIES["dws_traffic_vc_ch_ar_is_new_page_view_window"](
+        spark, SF_SMOKE
+    )
+    _same(stream, batch, "traffic_union_window")
+
+
 def test_stream_base_log(spark):
     stream = sp.stream_base_log(spark, SF_SMOKE)
     batch = api.QUERIES["dwd_traffic_page_log"](spark, SF_SMOKE)
