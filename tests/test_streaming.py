@@ -111,6 +111,62 @@ def test_stream_pay_detail_suc(spark):
     _same(stream, batch, "pay_detail_suc")
 
 
+def test_debounce_emissions_split_invariant(spark):
+    """The D4 debounce's oracle registration rests on determinism: the
+    emission multiset must not depend on how the replay splits into
+    micro-batches. Re-run the same input as 2 files and as 6 and compare."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.sources import cdc
+    from flink_realtime_datawarehouse_v3_spark.streaming.core import (
+        TempStreamDir,
+        read_stream,
+        run_to_memory,
+    )
+    from flink_realtime_datawarehouse_v3_spark.streaming.pipelines import (
+        _write_replay,
+    )
+    from flink_realtime_datawarehouse_v3_spark.streaming import pipelines as sp_mod
+    from flink_realtime_datawarehouse_v3_spark.streaming.stateful import (
+        keep_latest_stream,
+    )
+
+    flat = cdc.topic_db(spark, SF_SMOKE, only=["order_info"]).select(
+        F.col("data").getItem("id").alias("id"),
+        F.col("data").getItem("order_status").alias("order_status"),
+        F.col("ts").cast("long").alias("ts"),
+    )
+    mx = flat.agg(F.max("ts")).collect()[0][0]
+    sents = [
+        spark.createDataFrame(
+            [("__sentinel__", None, mx + dt)],
+            "id string, order_status string, ts long",
+        )
+        for dt in (3600, 7200)
+    ]
+
+    def run(n_files):
+        saved = sp_mod.N_FILES
+        sp_mod.N_FILES = n_files
+        try:
+            with TempStreamDir() as d:
+                _write_replay(flat, d.sub("in"), order_by=["ts"], sentinels=sents)
+                s = read_stream(spark, d.sub("in")).withColumn(
+                    "rt", F.to_timestamp(F.from_unixtime("ts"))
+                )
+                out = keep_latest_stream(s, keys=["id"], order_col="ts").filter(
+                    F.col("id") != "__sentinel__"
+                )
+                return sorted(
+                    tuple("" if v is None else str(v) for v in r)
+                    for r in run_to_memory(out, output_mode="append").collect()
+                )
+        finally:
+            sp_mod.N_FILES = saved
+
+    assert run(2) == run(6)
+
+
 def test_checkpoint_recovery_exactly_once(spark):
     """K2/W11: kill a checkpointed query mid-stream, restart from the same
     checkpoint, and the parquet sink holds every input row exactly once —
