@@ -652,6 +652,18 @@ register(
     ),
 )
 
+# A5 scale path: HyperLogLog++ sketch instead of the exact distinct set —
+# declared approximation (rsd 2 %), rows-only in the driver contract; the
+# tolerance gate lives in tests/test_dws.py.
+register(
+    "dws_trade_province_order_window_approx",
+    lambda spark, sf: dws.trade_province_order_window(
+        dwd_trade.order_detail(_pre(spark, sf)),
+        dims.dim_base_province(spark, sf),
+        approx_distinct=True,
+    ),
+)
+
 register(
     "dws_trade_province_order_window",
     lambda spark, sf: dws.trade_province_order_window(

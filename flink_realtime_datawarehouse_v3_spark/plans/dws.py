@@ -296,18 +296,32 @@ def trade_user_spu_order_window(detail: DataFrame, dim_sku: DataFrame) -> DataFr
     )
 
 
-def trade_province_order_window(detail: DataFrame, dim_province: DataFrame) -> DataFrame:
+def trade_province_order_window(
+    detail: DataFrame, dim_province: DataFrame, approx_distinct: bool = False
+) -> DataFrame:
     """D4 + A4 + A5: per-province order metrics.
 
     Reference: RT/app/dws/DwsTradeProvinceOrderWindow.java:60-200 —
     keep-latest per detail id, province-keyed 10 s window with order-id set,
     province-name dim join after the agg.
+
+    ``approx_distinct=True`` is the declared A5 scale path (SURVEY.md
+    §2.5): the reference's merged ``HashSet<String> orderIdSet`` is an
+    exact distinct whose state grows with the id universe; at 100 TB the
+    HyperLogLog++ sketch (``approx_count_distinct``, rsd 2 %) keeps the
+    accumulator constant-size and mergeable. Flagged as an approximation —
+    the exact form stays the oracle-checked default.
     """
     deduped = dedup.keep_latest(detail, ["id"], ["create_time", "id"]).withColumn(
         "rt", rt_from_string(F.col("create_time"))
     )
+    count_expr = (
+        F.approx_count_distinct("order_id", 0.02)
+        if approx_distinct
+        else F.countDistinct("order_id")
+    )
     agged = tumble(deduped, F.col("rt"), "province_id").agg(
-        F.countDistinct("order_id").alias("order_count"),
+        count_expr.alias("order_count"),
         F.sum(_dec(F.col("split_total_amount"))).alias("order_amount"),
     ).select(*stt_edt(), "province_id", "order_count", "order_amount")
     return agged.join(

@@ -8,7 +8,9 @@ from flink_realtime_datawarehouse_v3_spark import api
 
 from .conftest import SF_SMOKE, assert_parity
 
-DWS = [n for n in api.QUERIES if n.startswith("dws_")]
+# The oracle-checked DWS window set (the approx A5 variant is rows-only
+# by design and gated by its own tolerance test below).
+DWS = [n for n in api.QUERIES if n.startswith("dws_") and n in api.ORACLES]
 
 
 def test_count():
@@ -19,3 +21,26 @@ def test_count():
 def test_parity(spark, duck, name):
     df = api.QUERIES[name](spark, SF_SMOKE)
     assert_parity(df, duck, api.ORACLES[name], name)
+
+
+def test_province_window_approx_within_tolerance(spark):
+    """A5 scale path: the HLL++ variant must track the exact distinct
+    count within the declared 2 % rsd (allowing ±max(1, 5%) per window)
+    and agree exactly on the non-distinct aggregates."""
+    from pyspark.sql import functions as F
+
+    exact = api.QUERIES["dws_trade_province_order_window"](spark, SF_SMOKE)
+    approx = api.QUERIES["dws_trade_province_order_window_approx"](spark, SF_SMOKE)
+    keys = ["stt", "edt", "province_id"]
+    j = exact.select(*keys, F.col("order_count").alias("c_exact"),
+                     F.col("order_amount").alias("a_exact")).join(
+        approx.select(*keys, F.col("order_count").alias("c_approx"),
+                      F.col("order_amount").alias("a_approx")),
+        on=keys, how="full_outer")
+    assert j.filter(F.col("c_exact").isNull() | F.col("c_approx").isNull()).count() == 0
+    bad = j.filter(
+        F.abs(F.col("c_exact") - F.col("c_approx"))
+        > F.greatest(F.lit(1), F.col("c_exact") * 0.05)
+    ).count()
+    assert bad == 0, f"{bad} windows outside distinct-count tolerance"
+    assert j.filter(F.col("a_exact") != F.col("a_approx")).count() == 0

@@ -48,6 +48,7 @@ SMJ_WHITELIST = {
     "dws_trade_order_window",
     "dws_trade_user_spu_order_window",
     "dws_trade_province_order_window",
+    "dws_trade_province_order_window_approx",
 }
 
 # Arrow-batched Python is allowed only where Python is the point.
@@ -132,3 +133,26 @@ def test_column_pruning_reaches_parquet(plans):
     assert all(s == "ReadSchema: struct<doc_id:bigint,text:string>" for s in scans), (
         f"text_token_stats reads more than (doc_id, text): {scans}"
     )
+
+
+def test_dws_sink_partition_pruning(spark, tmp_path):
+    """K4-equivalent sink layout: DWS output written dt-partitioned; a
+    one-day read-back must show PartitionFilters on dt (pruned scan), and
+    the partition count on disk must match the distinct window dates."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.operators import sinks
+
+    df = api.QUERIES["dws_trade_order_window"](spark, SF_SMOKE)
+    path = str(tmp_path / "dws_order")
+    sinks.write_dws(df, path)
+
+    days = [r[0] for r in df.selectExpr("to_date(stt)").distinct().collect()]
+    day = sorted(str(d) for d in days)[len(days) // 2]
+    back = sinks.read_dws_day(spark, path, day)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:120]
+    want = df.filter(F.expr(f"to_date(stt) = '{day}'")).count()
+    assert back.count() == want
+
+
