@@ -1169,6 +1169,24 @@ def _register_streaming() -> None:
         fn = getattr(_sp, fn_name)
         register(name, fn, ORACLES.get(batch_name))
 
+    # K3 upsert-kafka-equivalent sink: per-batch keyed MERGE, last writer
+    # wins; final table = argmax-ts row per id (ties impossible: insert
+    # and update ts differ by 1 h in the synthesized stream).
+    register(
+        "streaming_order_info_upsert",
+        _sp.stream_order_info_upsert,
+        oracle.sql(
+            """SELECT id, order_status, operate_time, ts FROM (
+                   SELECT id, order_status, operate_time,
+                          CAST(ts AS BIGINT) AS ts,
+                          row_number() OVER (
+                              PARTITION BY id
+                              ORDER BY CAST(ts AS BIGINT) DESC) AS rn
+                   FROM order_info_cdc) WHERE rn = 1""",
+            "order_info_cdc",
+        ),
+    )
+
     # D4/W6 keep-latest with 5 s event-time debounce: deterministic —
     # one emission per (id, 5 s burst). In the synthesized order_info
     # stream every CDC event is its own burst (insert and update are 1 h
