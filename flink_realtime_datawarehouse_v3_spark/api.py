@@ -1169,6 +1169,16 @@ def _register_streaming() -> None:
         fn = getattr(_sp, fn_name)
         register(name, fn, ORACLES.get(batch_name))
 
+    # J10/K5 config-routed DIM layer under streaming: the full topic_db
+    # replay routed per micro-batch by the broadcast config, MERGEd into
+    # per-dim tables; the user_info dim is checked against the batch dim
+    # oracle (test_stream_dim_app covers every routed table at sf0.001).
+    register(
+        "streaming_dim_user_info",
+        lambda spark, sf: _sp.stream_dim_app(spark, sf)["dim_user_info"],
+        ORACLES.get("dim_user_info"),
+    )
+
     # K3 upsert-kafka-equivalent sink: per-batch keyed MERGE, last writer
     # wins; final table = argmax-ts row per id (ties impossible: insert
     # and update ts differ by 1 h in the synthesized stream).
