@@ -111,6 +111,78 @@ def test_stream_pay_detail_suc(spark):
     _same(stream, batch, "pay_detail_suc")
 
 
+def test_late_rows_dropped_by_watermark(spark):
+    """W1/W12: rows arriving after the watermark passed their window are
+    DISCARDED (the reference has no allowed-lateness or late side-output;
+    default watermark semantics). Replay the page log, then a trailing
+    file that re-sends the EARLIEST search events after the watermark has
+    advanced past end-of-stream: the window counts must match the batch
+    result computed WITHOUT the late duplicates."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.functions.tokenize import tokenize
+    from flink_realtime_datawarehouse_v3_spark.operators.windows import rt_from_ms
+    from flink_realtime_datawarehouse_v3_spark.streaming.core import (
+        TempStreamDir,
+        read_stream,
+        run_to_memory,
+    )
+    from flink_realtime_datawarehouse_v3_spark.streaming.pipelines import (
+        SENTINEL_WORD,
+        _page_log,
+        _page_sentinel,
+        _write_replay,
+    )
+
+    page = _page_log(spark, SF_SMOKE)
+    late = (
+        page.orderBy("ts", "event_id")
+        .limit(50)
+        .withColumn("mid", F.concat(F.lit("late_"), F.col("mid")))
+    )
+    n_late_search = late.filter(
+        (F.col("page_id") == "search") & F.col("item").isNotNull()
+    ).count()
+    assert n_late_search > 0, "vacuous: late file carries no keyword events"
+    with TempStreamDir() as d:
+        # sentinels advance the watermark hours past end-of-data; the late
+        # file replays old events AFTER them (zz-prefix orders it last,
+        # before the zzz sentinels' flush batches complete).
+        _write_replay(
+            page,
+            d.sub("in"),
+            order_by=["ts"],
+            sentinels=[
+                _page_sentinel(page, hours=1),
+                late,
+                _page_sentinel(page, hours=2),
+            ],
+        )
+        s = read_stream(spark, d.sub("in"))
+        s = s.withColumn("rt", rt_from_ms(F.col("ts"))).withWatermark(
+            "rt", "2 seconds"
+        )
+        words = s.filter(
+            (F.col("page_id") == "search")
+            & (F.col("item_type") == "keyword")
+            & F.col("item").isNotNull()
+        ).select(F.explode(tokenize(F.col("item"))).alias("word"), "rt")
+        agg = words.groupBy(
+            F.window("rt", "10 seconds").alias("w"), "word"
+        ).agg(F.count(F.lit(1)).alias("keyword_count"))
+        out = run_to_memory(agg, output_mode="append").filter(
+            F.col("word") != SENTINEL_WORD
+        )
+        batch = api.QUERIES["dws_traffic_source_keyword_page_view_window"](
+            spark, SF_SMOKE
+        )
+        assert out.agg(F.sum("keyword_count")).collect()[0][0] == (
+            batch.agg(F.sum("keyword_count")).collect()[0][0]
+        ), "late duplicates leaked into closed windows"
+
+
 def test_debounce_emissions_split_invariant(spark):
     """The D4 debounce's oracle registration rests on determinism: the
     emission multiset must not depend on how the replay splits into
