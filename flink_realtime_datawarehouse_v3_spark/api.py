@@ -400,6 +400,17 @@ register(
     ),
 )
 
+# P2/W7 dirty side output (reference OutputTag, RT/app/dwd/BaseLogApp.java:54-69):
+# the raw rows the clean parse rejects. The synthesized dirty rows are
+# deterministic ('#dirty-log#' || event_id for event_id % 101 == 0), so the
+# oracle is a direct projection over events.
+register(
+    "dwd_traffic_dirty_log",
+    lambda spark, sf: logs.dirty_topic_log(logs.topic_log_json(spark, sf)),
+    """SELECT '#dirty-log#' || CAST(event_id AS VARCHAR) AS value
+       FROM events WHERE event_id % 101 = 0""",
+)
+
 register(
     "dwd_traffic_unique_visitor_detail",
     lambda spark, sf: dwd_traffic.unique_visitor_detail(
@@ -476,8 +487,11 @@ register(
     ),
     oracle.sql(
         f"""SELECT {_stt_edt()}, vc, ch, ar, is_new,
-                   sum(uv) AS uv_ct, sum(sv) AS sv_ct, sum(pv) AS pv_ct,
-                   sum(dur) AS dur_sum, sum(uj) AS uj_ct
+                   CAST(sum(uv) AS BIGINT) AS uv_ct,
+                   CAST(sum(sv) AS BIGINT) AS sv_ct,
+                   CAST(sum(pv) AS BIGINT) AS pv_ct,
+                   CAST(sum(dur) AS BIGINT) AS dur_sum,
+                   CAST(sum(uj) AS BIGINT) AS uj_ct
             FROM (
               SELECT vc, ch, ar, is_new, {_WS_MS} AS ws,
                      0 AS uv,
@@ -501,8 +515,8 @@ register(
     lambda spark, sf: dws.traffic_page_view_window(_page(spark, sf)),
     oracle.sql(
         f"""SELECT {_stt_edt()},
-                   sum(CASE WHEN page_id = 'home' THEN 1 ELSE 0 END) AS home_uv_ct,
-                   sum(CASE WHEN page_id = 'good_detail' THEN 1 ELSE 0 END) AS good_detail_uv_ct
+                   CAST(sum(CASE WHEN page_id = 'home' THEN 1 ELSE 0 END) AS BIGINT) AS home_uv_ct,
+                   CAST(sum(CASE WHEN page_id = 'good_detail' THEN 1 ELSE 0 END) AS BIGINT) AS good_detail_uv_ct
             FROM (SELECT page_id, {_WS_MS} AS ws, row_number() OVER
                       (PARTITION BY mid, page_id, dt ORDER BY ts, event_id) AS rn
                   FROM dwd_page_log WHERE page_id IN ('home', 'good_detail'))
@@ -517,9 +531,9 @@ register(
     lambda spark, sf: dws.user_user_login_window(_page(spark, sf)),
     oracle.sql(
         f"""SELECT {_stt_edt()},
-                   sum(CASE WHEN prev_dt IS NOT NULL AND
+                   CAST(sum(CASE WHEN prev_dt IS NOT NULL AND
                             date_diff('day', CAST(prev_dt AS DATE), CAST(dt AS DATE)) >= 8
-                       THEN 1 ELSE 0 END) AS back_ct,
+                       THEN 1 ELSE 0 END) AS BIGINT) AS back_ct,
                    count(*) AS uu_ct
             FROM (SELECT *, lag(dt) OVER (PARTITION BY uid ORDER BY dt) AS prev_dt
                   FROM (SELECT uid, dt, {_WS_MS} AS ws, row_number() OVER
@@ -575,7 +589,7 @@ register(
     oracle.sql(
         f"""SELECT {_stt_edt()},
                    count(*) AS payment_suc_unique_user_count,
-                   sum(CASE WHEN rne = 1 THEN 1 ELSE 0 END) AS payment_suc_new_user_count
+                   CAST(sum(CASE WHEN rne = 1 THEN 1 ELSE 0 END) AS BIGINT) AS payment_suc_new_user_count
             FROM (SELECT ws, row_number() OVER
                       (PARTITION BY user_id, dt ORDER BY rt, order_detail_id) AS rnd,
                   row_number() OVER
@@ -585,7 +599,8 @@ register(
                                {oracle.ws_from_string('callback_time')} AS ws
                         FROM (SELECT *, row_number() OVER
                                   (PARTITION BY order_detail_id
-                                   ORDER BY callback_time DESC, order_detail_id DESC) AS rl
+                                   ORDER BY callback_time DESC NULLS LAST,
+                                            payment_type_code DESC NULLS LAST) AS rl
                               FROM dwd_pay_detail_suc)
                         WHERE rl = 1))
             WHERE rnd = 1
@@ -601,11 +616,11 @@ register(
     ),
     oracle.sql(
         f"""SELECT {_stt_edt()},
-                   sum(CASE WHEN rnd = 1 THEN 1 ELSE 0 END) AS order_unique_user_count,
-                   sum(CASE WHEN rne = 1 THEN 1 ELSE 0 END) AS order_new_user_count,
-                   sum(COALESCE(CAST(split_activity_amount AS DECIMAL(18,2)), 0)) AS order_activity_reduce_amount,
-                   sum(COALESCE(CAST(split_coupon_amount AS DECIMAL(18,2)), 0)) AS order_coupon_reduce_amount,
-                   sum(CAST(sku_num AS INT) * CAST(order_price AS DECIMAL(18,2))) AS order_original_total_amount
+                   CAST(sum(CASE WHEN rnd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS order_unique_user_count,
+                   CAST(sum(CASE WHEN rne = 1 THEN 1 ELSE 0 END) AS BIGINT) AS order_new_user_count,
+                   CAST(sum(COALESCE(CAST(split_activity_amount AS DECIMAL(18,2)), 0)) AS DOUBLE) AS order_activity_reduce_amount,
+                   CAST(sum(COALESCE(CAST(split_coupon_amount AS DECIMAL(18,2)), 0)) AS DOUBLE) AS order_coupon_reduce_amount,
+                   CAST(sum(CAST(sku_num AS INT) * CAST(order_price AS DECIMAL(18,2))) AS DOUBLE) AS order_original_total_amount
             FROM (SELECT *, row_number() OVER
                       (PARTITION BY user_id, dt ORDER BY rt, id) AS rnd,
                   row_number() OVER (PARTITION BY user_id ORDER BY rt, id) AS rne
@@ -613,7 +628,10 @@ register(
                                strftime(CAST(create_time AS TIMESTAMP), '%Y-%m-%d') AS dt,
                                {oracle.ws_from_string('create_time')} AS ws
                         FROM (SELECT *, row_number() OVER
-                                  (PARTITION BY id ORDER BY create_time, id) AS rf
+                                  (PARTITION BY id
+                                   ORDER BY create_time NULLS FIRST,
+                                            activity_rule_id NULLS FIRST,
+                                            coupon_id NULLS FIRST) AS rf
                               FROM dwd_order_detail)
                         WHERE rf = 1))
             GROUP BY ws""",
@@ -637,13 +655,16 @@ register(
                    category1_id, category1_name, category2_id, category2_name,
                    category3_id, category3_name,
                    count(DISTINCT order_id) AS order_count,
-                   sum(CAST(split_total_amount AS DECIMAL(18,2))) AS order_amount
+                   CAST(sum(CAST(split_total_amount AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
             FROM (SELECT d.*, {oracle.ws_from_string('d.create_time')} AS ws,
                          s.spu_id, s.spu_name, s.tm_id, s.tm_name,
                          s.category1_id, s.category1_name, s.category2_id,
                          s.category2_name, s.category3_id, s.category3_name
                   FROM (SELECT * FROM (SELECT *, row_number() OVER
-                            (PARTITION BY id ORDER BY create_time, id) AS rf
+                            (PARTITION BY id
+                             ORDER BY create_time NULLS FIRST,
+                                      activity_rule_id NULLS FIRST,
+                                      coupon_id NULLS FIRST) AS rf
                         FROM dwd_order_detail) WHERE rf = 1) d
                   JOIN dim_sku s ON d.sku_id = s.sku_id)
             GROUP BY ws, {_SPU_KEYS}""",
@@ -672,10 +693,13 @@ register(
     oracle.sql(
         f"""SELECT {_stt_edt()}, province_id, p.name AS province_name,
                    count(DISTINCT order_id) AS order_count,
-                   sum(CAST(split_total_amount AS DECIMAL(18,2))) AS order_amount
+                   CAST(sum(CAST(split_total_amount AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
             FROM (SELECT *, {oracle.ws_from_string('create_time')} AS ws
                   FROM (SELECT *, row_number() OVER
-                            (PARTITION BY id ORDER BY create_time DESC, id DESC) AS rl
+                            (PARTITION BY id
+                             ORDER BY create_time DESC NULLS LAST,
+                                      activity_rule_id DESC NULLS LAST,
+                                      coupon_id DESC NULLS LAST) AS rl
                         FROM dwd_order_detail)
                   WHERE rl = 1) d
             JOIN dim_province p ON d.province_id = p.id
@@ -750,7 +774,8 @@ def _salted_brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
     j = skew_op.salted_join(l, p, on="partkey", dist_col="l_orderkey", buckets=8)
     return j.groupBy("p_brand").agg(
-        F.count("*").alias("line_ct"), F.sum("price").alias("revenue")
+        F.count("*").alias("line_ct"),
+        F.sum("price").cast("double").alias("revenue"),
     )
 
 
@@ -758,7 +783,7 @@ register(
     "join_salted_skew",
     _salted_brand_revenue,
     """SELECT p_brand, count(*) AS line_ct,
-              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
        FROM lineitem JOIN part ON l_partkey = p_partkey
        GROUP BY p_brand""",
 )
@@ -769,7 +794,7 @@ register(
     "join_bucketed_colocated",
     bucketed_mod.province_revenue_colocated,
     """SELECT c_nationkey AS province_key, count(*) AS line_ct,
-              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
        FROM lineitem
        JOIN orders ON l_orderkey = o_orderkey
        LEFT JOIN customer ON o_custkey = c_custkey

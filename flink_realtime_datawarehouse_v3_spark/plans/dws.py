@@ -8,8 +8,13 @@ stamping; trade jobs add broadcast star joins against the dims
 The reference's emit-time ``ts`` (System.currentTimeMillis) is omitted —
 nondeterministic, excluded from hashes (FIXTURES.md F5).
 
-Money sums are decimal(18,2)-exact (matching the CDC contract); the
-reference sums java Doubles — same values on this data, deterministic here.
+Money sums accumulate decimal(18,2)-exact (matching the CDC contract), then
+the FINAL column is cast to double: the reference's beans carry these
+metrics as java ``Double`` (e.g. RT/bean/TradeOrderBean.java), and double is
+the one numeric type every consumer (pandas, DuckDB, ClickHouse Float64)
+renders identically. The cast of an exact decimal total is correctly
+rounded on both the JVM (BigDecimal.doubleValue) and DuckDB (CAST AS
+DOUBLE), so engine and oracle agree bit-for-bit.
 
 Scale notes: one shuffle per window agg (partial/final hash agg does the
 map-side combine the reference hand-wrote as incremental ``reduce``); dedup
@@ -199,8 +204,13 @@ def trade_payment_suc_window(pay: DataFrame) -> DataFrame:
     per order_detail_id (5 s debounce timer), then per-user last-payment-date
     state; only uu rows reach the window.
     """
+    # Tie-break: among duplicate order_detail_id rows (changelog replays of
+    # the same payment), the distinguishing columns are the payment_info
+    # legs — callback_time then payment_type_code give a total order, so the
+    # winner is independent of partitioning (the partition key itself would
+    # be a vacuous tie-break).
     deduped = dedup.keep_latest(
-        pay, ["order_detail_id"], ["callback_time", "order_detail_id"]
+        pay, ["order_detail_id"], ["callback_time", "payment_type_code"]
     ).withColumn("rt", rt_from_string(F.col("callback_time")))
     flagged = dedup.uu_new_flags(
         deduped, "user_id", _dt(F.col("rt")), ["rt", "order_detail_id"]
@@ -220,23 +230,27 @@ def trade_order_window(detail: DataFrame) -> DataFrame:
     detail id, per-user flags, sums of null-coalesced reduce amounts and
     sku_num * order_price.
     """
-    deduped = dedup.keep_first(detail, ["id"], ["create_time", "id"]).withColumn(
-        "rt", rt_from_string(F.col("create_time"))
-    )
+    # Tie-break: duplicate detail ids can only differ via the activity /
+    # coupon left-join legs (one od x one oi insert row), so
+    # (create_time, activity_rule_id, coupon_id) totally orders every
+    # non-identical duplicate — the winner is partitioning-independent.
+    deduped = dedup.keep_first(
+        detail, ["id"], ["create_time", "activity_rule_id", "coupon_id"]
+    ).withColumn("rt", rt_from_string(F.col("create_time")))
     flagged = dedup.uu_new_flags(deduped, "user_id", _dt(F.col("rt")), ["rt", "id"])
     zero = F.lit(0).cast("decimal(18,2)")
     return tumble(flagged, F.col("rt")).agg(
         F.sum("uu").alias("order_unique_user_count"),
         F.sum("new").alias("order_new_user_count"),
-        F.sum(F.coalesce(_dec(F.col("split_activity_amount")), zero)).alias(
-            "order_activity_reduce_amount"
-        ),
-        F.sum(F.coalesce(_dec(F.col("split_coupon_amount")), zero)).alias(
-            "order_coupon_reduce_amount"
-        ),
-        F.sum(
-            F.col("sku_num").cast("int") * _dec(F.col("order_price"))
-        ).alias("order_original_total_amount"),
+        F.sum(F.coalesce(_dec(F.col("split_activity_amount")), zero))
+        .cast("double")
+        .alias("order_activity_reduce_amount"),
+        F.sum(F.coalesce(_dec(F.col("split_coupon_amount")), zero))
+        .cast("double")
+        .alias("order_coupon_reduce_amount"),
+        F.sum(F.col("sku_num").cast("int") * _dec(F.col("order_price")))
+        .cast("double")
+        .alias("order_original_total_amount"),
     ).select(
         *stt_edt(),
         "order_unique_user_count",
@@ -256,9 +270,10 @@ def trade_user_spu_order_window(detail: DataFrame, dim_sku: DataFrame) -> DataFr
     whole 6-hop chain is one broadcast join against the flattened sku dim
     (same values, no async machinery); countDistinct == |orderIdSet|.
     """
-    deduped = dedup.keep_first(detail, ["id"], ["create_time", "id"]).withColumn(
-        "rt", rt_from_string(F.col("create_time"))
-    )
+    # Tie-break rationale: see trade_order_window.
+    deduped = dedup.keep_first(
+        detail, ["id"], ["create_time", "activity_rule_id", "coupon_id"]
+    ).withColumn("rt", rt_from_string(F.col("create_time")))
     enriched = deduped.join(
         F.broadcast(dim_sku), deduped.sku_id == dim_sku.sku_id, "inner"
     )
@@ -277,7 +292,7 @@ def trade_user_spu_order_window(detail: DataFrame, dim_sku: DataFrame) -> DataFr
     ]
     return tumble(enriched, F.col("rt"), *keys).agg(
         F.countDistinct("order_id").alias("order_count"),
-        F.sum(_dec(F.col("split_total_amount"))).alias("order_amount"),
+        F.sum(_dec(F.col("split_total_amount"))).cast("double").alias("order_amount"),
     ).select(
         *stt_edt(),
         "user_id",
@@ -312,9 +327,10 @@ def trade_province_order_window(
     accumulator constant-size and mergeable. Flagged as an approximation —
     the exact form stays the oracle-checked default.
     """
-    deduped = dedup.keep_latest(detail, ["id"], ["create_time", "id"]).withColumn(
-        "rt", rt_from_string(F.col("create_time"))
-    )
+    # Tie-break rationale: see trade_order_window (keep-latest direction).
+    deduped = dedup.keep_latest(
+        detail, ["id"], ["create_time", "activity_rule_id", "coupon_id"]
+    ).withColumn("rt", rt_from_string(F.col("create_time")))
     count_expr = (
         F.approx_count_distinct("order_id", 0.02)
         if approx_distinct
@@ -322,7 +338,7 @@ def trade_province_order_window(
     )
     agged = tumble(deduped, F.col("rt"), "province_id").agg(
         count_expr.alias("order_count"),
-        F.sum(_dec(F.col("split_total_amount"))).alias("order_amount"),
+        F.sum(_dec(F.col("split_total_amount"))).cast("double").alias("order_amount"),
     ).select(*stt_edt(), "province_id", "order_count", "order_amount")
     return agged.join(
         F.broadcast(dim_province), agged.province_id == dim_province.id, "inner"

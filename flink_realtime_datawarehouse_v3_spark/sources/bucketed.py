@@ -87,5 +87,9 @@ def province_revenue_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         od.join(oi, "order_key")
         .groupBy("province_key")
-        .agg(F.count("*").alias("line_ct"), F.sum("price").alias("revenue"))
+        .agg(
+            F.count("*").alias("line_ct"),
+            # double for the driver-facing contract (see plans/dws.py header)
+            F.sum("price").cast("double").alias("revenue"),
+        )
     )

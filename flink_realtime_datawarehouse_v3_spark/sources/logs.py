@@ -231,10 +231,24 @@ LOG_SCHEMA = """
 
 
 def parse_topic_log(raw: DataFrame) -> DataFrame:
-    """P2: JSON parse with dirty-row drop (reference:
-    RT/app/dwd/BaseLogApp.java:54-69; dirty rows go to a side print there —
-    here they are simply filtered)."""
-    parsed = raw.select(F.from_json(F.col("value"), LOG_SCHEMA).alias("j"))
+    """P2: JSON parse keeping only clean rows (reference:
+    RT/app/dwd/BaseLogApp.java:54-69). The dirty branch is
+    :func:`dirty_topic_log` — one shared parse expression, two filters, so
+    Spark evaluates ``from_json`` once per row and the pair is exactly the
+    reference's main-output/side-output split (OutputTag at
+    BaseLogApp.java:56)."""
+    parsed = raw.select(F.col("value"), F.from_json(F.col("value"), LOG_SCHEMA).alias("j"))
     return parsed.filter(F.col("j").isNotNull() & F.col("j.common").isNotNull()).select(
         "j.*"
     )
+
+
+def dirty_topic_log(raw: DataFrame) -> DataFrame:
+    """P2/W7 side output: the rows :func:`parse_topic_log` rejects, raw.
+
+    Reference: RT/app/dwd/BaseLogApp.java:54-69 — malformed JSON goes to a
+    ``OutputTag<String>("Dirty")`` stream for ingestion debugging; here it is
+    a first-class query over the same input (the complement filter of the
+    clean branch, so clean + dirty partitions the input exactly)."""
+    parsed = raw.select(F.col("value"), F.from_json(F.col("value"), LOG_SCHEMA).alias("j"))
+    return parsed.filter(F.col("j").isNull() | F.col("j.common").isNull()).select("value")

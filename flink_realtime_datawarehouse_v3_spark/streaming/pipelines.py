@@ -48,11 +48,32 @@ def _stamp_file_order(path: str, sentinels: list[str] | None = None) -> None:
         os.utime(f, (base + i * 10, base + i * 10))
 
 
+def _max_from_footers(path: str, col: str) -> int:
+    """Max of ``col`` over the part files just written under ``path``, read
+    from the parquet row-group footer statistics — a driver-side metadata
+    scan (a few KB per file), replacing the full-input ``agg(max).collect``
+    Spark job each replay previously paid for its sentinel timestamps."""
+    import pyarrow.parquet as pq
+
+    mx = None
+    for f in glob.glob(os.path.join(path, "part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                mx = st.max if mx is None else max(mx, st.max)
+    if mx is None:
+        raise ValueError(f"no footer statistics for column {col!r} under {path}")
+    return mx
+
+
 def _write_replay(
     df: DataFrame,
     path: str,
     order_by: list[str] | None,
-    sentinels: list[DataFrame] | None = None,
+    sentinels=None,
+    max_col: str | None = None,
 ) -> None:
     """Write ``df`` as N_FILES time-range parquet files (+ optional sentinel
     rows, each as its own trailing file/micro-batch).
@@ -61,12 +82,19 @@ def _write_replay(
     watermark computed from sentinel k only takes effect in batch k+1, so
     the first sentinel's batch closes every real-data window/timer and the
     second's batch emits them before availableNow terminates.
+
+    ``sentinels`` is either a list of DataFrames or a callable
+    ``max_value -> list[DataFrame]``; the callable form gets the max of
+    ``max_col`` from the written files' footer stats, so sentinel
+    construction costs no extra input scan.
     """
     if order_by:
         df = df.repartitionByRange(N_FILES, *[F.col(c) for c in order_by])
     else:
         df = df.repartition(N_FILES)
     df.write.mode("overwrite").parquet(path)
+    if callable(sentinels):
+        sentinels = sentinels(_max_from_footers(path, max_col))
     sent_files = []
     for i, sdf in enumerate(sentinels or []):
         tmp = f"{path}__sent{i}"
@@ -100,9 +128,10 @@ def _page_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 SENTINEL_WORD = "zzsentinelflush"
 
 
-def _page_sentinel(page: DataFrame, hours: int = 1) -> DataFrame:
-    """One synthetic heartbeat page event ``hours`` past the stream's end:
-    pushes the watermark over every open window/timer (Flink's end-of-input
+def _page_sentinel(page: DataFrame, mx: int, hours: int = 1) -> DataFrame:
+    """One synthetic heartbeat page event ``hours`` past ``mx`` (the
+    stream's max event time, from the replay files' footer stats): pushes
+    the watermark over every open window/timer (Flink's end-of-input
     Long.MAX watermark flush, for bounded replay).
 
     The row is shaped to SURVIVE the pipelines' filters (search page with a
@@ -110,7 +139,6 @@ def _page_sentinel(page: DataFrame, hours: int = 1) -> DataFrame:
     EventTimeWatermark operator, so a row that a filter drops never advances
     the watermark. Consumers drop the sentinel on the output side.
     """
-    mx = page.agg(F.max("ts").alias("m")).collect()[0]["m"]
     return (
         page.limit(1)
         .select(
@@ -139,7 +167,11 @@ def stream_keyword_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             page,
             d.sub("in"),
             order_by=["ts"],
-            sentinels=[_page_sentinel(page, hours=1), _page_sentinel(page, hours=2)],
+            sentinels=lambda mx: [
+                _page_sentinel(page, mx, hours=1),
+                _page_sentinel(page, mx, hours=2),
+            ],
+            max_col="ts",
         )
         s = read_stream(spark, d.sub("in"))
         s = s.withColumn("rt", rt_from_ms(F.col("ts"))).withWatermark("rt", "2 seconds")
@@ -188,7 +220,11 @@ def stream_jump_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
             page,
             d.sub("in"),
             order_by=["ts"],
-            sentinels=[_page_sentinel(page, hours=1), _page_sentinel(page, hours=2)],
+            sentinels=lambda mx: [
+                _page_sentinel(page, mx, hours=1),
+                _page_sentinel(page, mx, hours=2),
+            ],
+            max_col="ts",
         )
         s = read_stream(spark, d.sub("in")).withColumn("rt", rt_from_ms(F.col("ts")))
         out = stateful.jump_detect_stream(s).filter(F.col("mid") != "__sentinel__")
@@ -225,7 +261,11 @@ def stream_traffic_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             page,
             d.sub("in"),
             order_by=["ts"],
-            sentinels=[_page_sentinel(page, hours=1), _page_sentinel(page, hours=2)],
+            sentinels=lambda mx: [
+                _page_sentinel(page, mx, hours=1),
+                _page_sentinel(page, mx, hours=2),
+            ],
+            max_col="ts",
         )
         s = read_stream(spark, d.sub("in"))
         stateful_in = s.withColumn("rt", rt_from_ms(F.col("ts"))).withColumn(
@@ -369,15 +409,15 @@ def stream_order_pre_process(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value"),
             F.col("ts").cast("long").alias("__order"),
         )
-        mx = structured.agg(F.max(F.col("ts").cast("long"))).collect()[0][0]
         _write_replay(
             raw,
             d.sub("in"),
             order_by=["__order"],
-            sentinels=[
+            sentinels=lambda mx: [
                 _pre_sentinel(spark, mx + 3600),
                 _pre_sentinel(spark, mx + 7200),
             ],
+            max_col="__order",
         )
         parsed = cdc.parse_topic_db(read_stream(spark, d.sub("in")).select("value"))
         out = dwd_trade.order_pre_process(
@@ -488,15 +528,16 @@ def stream_order_info_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("data").getItem("operate_time").alias("operate_time"),
             F.col("ts").cast("long").alias("ts"),
         )
-        mx = flat.agg(F.max("ts")).collect()[0][0]
-        sents = [
-            spark.createDataFrame(
-                [("__sentinel__", None, None, mx + dt)],
-                "id string, order_status string, operate_time string, ts long",
-            )
-            for dt in (3600, 7200)
-        ]
-        _write_replay(flat, d.sub("in"), order_by=["ts"], sentinels=sents)
+        def sents(mx: int) -> list:
+            return [
+                spark.createDataFrame(
+                    [("__sentinel__", None, None, mx + dt)],
+                    "id string, order_status string, operate_time string, ts long",
+                )
+                for dt in (3600, 7200)
+            ]
+
+        _write_replay(flat, d.sub("in"), order_by=["ts"], sentinels=sents, max_col="ts")
         s = read_stream(spark, d.sub("in")).withColumn(
             "rt", F.to_timestamp(F.from_unixtime("ts"))
         )

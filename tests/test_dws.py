@@ -44,3 +44,20 @@ def test_province_window_approx_within_tolerance(spark):
     ).count()
     assert bad == 0, f"{bad} windows outside distinct-count tolerance"
     assert j.filter(F.col("a_exact") != F.col("a_approx")).count() == 0
+
+
+def test_dedup_tiebreak_stable_across_partitioning(spark):
+    """The keep_first/keep_latest call sites order by a real changelog
+    discriminator (create_time, activity_rule_id, coupon_id) — never the
+    partition key — so the deduped result (and everything downstream) is
+    identical under different shuffle-partition counts."""
+    name = "dws_trade_order_window"
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = sorted(map(str, api.QUERIES[name](spark, SF_SMOKE).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = sorted(map(str, api.QUERIES[name](spark, SF_SMOKE).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert a == b

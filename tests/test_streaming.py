@@ -154,11 +154,12 @@ def test_late_rows_dropped_by_watermark(spark):
             page,
             d.sub("in"),
             order_by=["ts"],
-            sentinels=[
-                _page_sentinel(page, hours=1),
+            sentinels=lambda mx: [
+                _page_sentinel(page, mx, hours=1),
                 late,
-                _page_sentinel(page, hours=2),
+                _page_sentinel(page, mx, hours=2),
             ],
+            max_col="ts",
         )
         s = read_stream(spark, d.sub("in"))
         s = s.withColumn("rt", rt_from_ms(F.col("ts"))).withWatermark(
