@@ -64,19 +64,63 @@ def cosine_topk(embeddings: DataFrame, k: int = 10, every: int = 100) -> DataFra
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 54,
+    sample_every: int = 3,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Seeded spherical k-means fit on a deterministic sample (driver-side
+    Lloyd iterations; the IVF index-build step).
+
+    100 TB posture: an IVF coarse quantizer is always fit on a bounded
+    sample (FAISS trains on ~256k vectors regardless of corpus size), so a
+    driver-side fit over a deterministic sample is the honest production
+    shape — the full corpus only pays the broadcast assignment join.
+    Determinism: sample = vec_id % sample_every == 0 ordered by vec_id,
+    init = evenly spaced sample rows, argmax ties -> lowest centroid id,
+    fixed row order -> fixed summation order.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.filter(F.col("vec_id") % sample_every == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    # sqrt(N) coarse-quantizer sizing (the standard IVF rule): caps bucket
+    # size ~sqrt(N) so probe cost ~ nprobe * sqrt(N) rows per query, while
+    # keeping buckets populated at small scale factors.
+    n_centroids = max(4, min(n_centroids, int(round((len(x) * sample_every) ** 0.5))))
+    cen = x[np.linspace(0, len(x) - 1, n_centroids).astype(int)].copy()
+    for _ in range(iters):
+        assign = (x @ cen.T).argmax(axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                cen[j] = members.mean(axis=0)
+        cen /= np.linalg.norm(cen, axis=1, keepdims=True)
+    return [[float(v) for v in c] for c in cen]
+
+
 def ivf_topk(
-    embeddings: DataFrame, k: int = 10, every: int = 100, centroid_every: int = 37,
+    embeddings: DataFrame, k: int = 10, every: int = 100, n_centroids: int = 54,
     nprobe: int = 8,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
-    Centroids = vectors with vec_id % centroid_every == 0 (deterministic
-    stand-in for a k-means fit — the Spark-side plumbing, assignment join
-    and probe join, is the real operator). Each vector is assigned to its
-    nearest centroid; each query probes its nprobe nearest centroid buckets.
+    Centroids come from :func:`kmeans_centroids` (seeded sampled spherical
+    k-means). Each vector is assigned to its nearest centroid (broadcast
+    assignment join); each query probes its nprobe nearest centroid buckets,
+    so the bucket equi-join replaces the |Q| x |V| cross product.
     """
-    cen = embeddings.filter(F.col("vec_id") % centroid_every == 0).select(
-        F.col("vec_id").alias("c_id"), _dvec(F.col("embedding")).alias("c_vec")
+    spark = embeddings.sparkSession
+    cen = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(kmeans_centroids(embeddings, n_centroids))],
+        "c_id int, c_vec array<double>",
     )
     v = embeddings.select(
         F.col("vec_id").alias("neighbor_id"), _dvec(F.col("embedding")).alias("v_vec")
