@@ -348,27 +348,14 @@ _PRE_TABLES = [
 
 
 def _pre_sentinel(spark: SparkSession, ts: int) -> DataFrame:
-    """One raw CDC JSON row per order_pre_process branch at event time
+    """One structured CDC row per order_pre_process branch at event time
     ``ts``: each passes its branch filter (so its watermark operator sees
     it — Catalyst pushes the deterministic table/type filters below the
     EventTimeWatermark node) but joins nothing (keys are unmatched
     sentinels), so the output needs no scrubbing."""
-    import json as _json
 
     def row(table: str, data: dict) -> tuple:
-        return (
-            _json.dumps(
-                {
-                    "database": "gmall_0105",
-                    "table": table,
-                    "type": "insert",
-                    "data": data,
-                    "old": None,
-                    "ts": str(ts),
-                }
-            ),
-            ts,
-        )
+        return ("gmall_0105", table, "insert", data, None, str(ts), ts)
 
     rows = [
         # source_type must be NON-NULL: the inner base_dic join makes
@@ -386,7 +373,12 @@ def _pre_sentinel(spark: SparkSession, ts: int) -> DataFrame:
         row("order_detail_activity", {"id": "sent_oa", "order_detail_id": "sent_oa_od"}),
         row("order_detail_coupon", {"id": "sent_oc", "order_detail_id": "sent_oc_od"}),
     ]
-    return spark.createDataFrame(rows, "value string, __order long")
+    return spark.createDataFrame(
+        rows,
+        "database string, `table` string, type string, "
+        "data map<string,string>, old map<string,string>, ts string, "
+        "__order long",
+    )
 
 
 def stream_order_pre_process(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,20 +389,24 @@ def stream_order_pre_process(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics); two LEFT joins with the +/- 5 s event-time bound standing
     in for the reference's 5 s idle-state TTL (W5); stream-static
     broadcast base_dic join (J3). Unmatched left rows flush when the
-    trailing sentinels push every branch watermark past end-of-input."""
+    trailing sentinels push every branch watermark past end-of-input.
+
+    The replay carries STRUCTURED topic rows (like stream_dim_app): the
+    4-branch join plan scans its source once per branch, so a JSON replay
+    would re-parse every micro-batch 4x for no coverage gain — the
+    P1 JSON-parse-under-streaming path is asserted by stream_favor_add
+    and stream_base_log. (The reference's 4 Kafka consumers equally
+    re-read the serialized topic; parse placement is an engine detail,
+    not query semantics.)"""
     from ..plans import dwd_trade
     from ..sources import dic
 
     with TempStreamDir() as d:
-        structured = cdc.topic_db(spark, sf_dir, only=_PRE_TABLES)
-        raw = structured.select(
-            F.to_json(
-                F.struct("database", "table", "type", "data", "old", "ts")
-            ).alias("value"),
-            F.col("ts").cast("long").alias("__order"),
+        structured = cdc.topic_db(spark, sf_dir, only=_PRE_TABLES).withColumn(
+            "__order", F.col("ts").cast("long")
         )
         _write_replay(
-            raw,
+            structured,
             d.sub("in"),
             order_by=["__order"],
             sentinels=lambda mx: [
@@ -419,10 +415,8 @@ def stream_order_pre_process(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             max_col="__order",
         )
-        parsed = cdc.parse_topic_db(read_stream(spark, d.sub("in")).select("value"))
-        out = dwd_trade.order_pre_process(
-            parsed, dic.base_dic(spark), event_time=True
-        )
+        s = read_stream(spark, d.sub("in")).drop("__order")
+        out = dwd_trade.order_pre_process(s, dic.base_dic(spark), event_time=True)
         return run_to_memory(out, output_mode="append")
 
 
