@@ -337,14 +337,14 @@ CTES["base_dic"] = f"base_dic AS (SELECT * FROM {base_dic_values_sql()})"
 # (insert+update changelog) left-join activity/coupon, join base_dic.
 # Requires CTEs: order_detail_cdc, order_info_cdc, order_detail_activity_cdc,
 # order_detail_coupon_cdc, base_dic (list them before this one).
-# The +/-5 s bound is applied as per-column CASEs over an equality-only
-# LEFT JOIN instead of inside the join condition: a mixed
-# equality+inequality LEFT JOIN drops DuckDB to BLOCKWISE_NL_JOIN
-# (~14 s at sf0.01 vs ~1 s hash); the rewrite is row-identical because
-# order_detail_activity/coupon carry AT MOST ONE row per order_detail_id
-# by construction (one row per qualifying lineitem), so the equality join
-# never duplicates and the CASE only nulls an out-of-bound match — the
-# same null-extension the bounded join produces.
+# Band-join -> equi-join expansion: a mixed equality + abs(ts diff) <= 5
+# LEFT JOIN condition drops DuckDB to BLOCKWISE_NL_JOIN (~14 s at sf0.01
+# vs ~0.1 s hash). Because ts is integral epoch seconds, each activity /
+# coupon row is expanded to its 11 admissible od timestamps
+# (ts - 5 .. ts + 5) and the join becomes PURE equality on
+# (order_detail_id, ts) — hash-joinable, and EXACTLY the bounded-join
+# semantics: an in-bound pair matches via exactly one offset, an
+# out-of-bound pair via none, unmatched od rows null-extend.
 CTES["dwd_order_pre"] = """
 dwd_order_pre AS (
     SELECT od.id, od.order_id, od.sku_id, od.sku_name, od.order_price,
@@ -359,23 +359,20 @@ dwd_order_pre AS (
            oi.province_id, oi.activity_reduce_amount, oi.coupon_reduce_amount,
            oi.original_total_amount, oi.feight_fee, oi.feight_fee_reduce,
            oi.refundable_time,
-           CASE WHEN abs(CAST(od.ts AS BIGINT) - CAST(oa.ts AS BIGINT)) <= 5
-                THEN oa.id END AS order_detail_activity_id,
-           CASE WHEN abs(CAST(od.ts AS BIGINT) - CAST(oa.ts AS BIGINT)) <= 5
-                THEN oa.activity_id END AS activity_id,
-           CASE WHEN abs(CAST(od.ts AS BIGINT) - CAST(oa.ts AS BIGINT)) <= 5
-                THEN oa.activity_rule_id END AS activity_rule_id,
-           CASE WHEN abs(CAST(od.ts AS BIGINT) - CAST(oc.ts AS BIGINT)) <= 5
-                THEN oc.id END AS order_detail_coupon_id,
-           CASE WHEN abs(CAST(od.ts AS BIGINT) - CAST(oc.ts AS BIGINT)) <= 5
-                THEN oc.coupon_id END AS coupon_id,
-           CASE WHEN abs(CAST(od.ts AS BIGINT) - CAST(oc.ts AS BIGINT)) <= 5
-                THEN oc.coupon_use_id END AS coupon_use_id,
+           oa.id AS order_detail_activity_id, oa.activity_id,
+           oa.activity_rule_id,
+           oc.id AS order_detail_coupon_id, oc.coupon_id, oc.coupon_use_id,
            oi.type, oi.old_order_status
     FROM (SELECT * FROM order_detail_cdc WHERE type = 'insert') od
     JOIN order_info_cdc oi ON od.order_id = oi.id
-    LEFT JOIN order_detail_activity_cdc oa ON od.id = oa.order_detail_id
-    LEFT JOIN order_detail_coupon_cdc oc ON od.id = oc.order_detail_id
+    LEFT JOIN (SELECT x.*, CAST(x.ts AS BIGINT) + g.k AS ts_probe
+               FROM order_detail_activity_cdc x
+               CROSS JOIN LATERAL (SELECT UNNEST(generate_series(-5, 5)) AS k) g) oa
+      ON od.id = oa.order_detail_id AND CAST(od.ts AS BIGINT) = oa.ts_probe
+    LEFT JOIN (SELECT x.*, CAST(x.ts AS BIGINT) + g.k AS ts_probe
+               FROM order_detail_coupon_cdc x
+               CROSS JOIN LATERAL (SELECT UNNEST(generate_series(-5, 5)) AS k) g) oc
+      ON od.id = oc.order_detail_id AND CAST(od.ts AS BIGINT) = oc.ts_probe
     JOIN base_dic dic ON od.source_type = dic.dic_code
 )
 """
