@@ -1173,6 +1173,13 @@ def _register_streaming() -> None:
             "stream_unique_visitor",
             "dwd_traffic_unique_visitor_detail",
         ),
+        # D5/W10 standalone CEP bounce detection with event-time timeout
+        # (also exercised inside streaming_traffic_union_window's combined
+        # stateful operator).
+        "streaming_jump_detail": (
+            "stream_jump_detail",
+            "dwd_traffic_user_jump_detail",
+        ),
         "streaming_keyword_window": (
             "stream_keyword_window",
             "dws_traffic_source_keyword_page_view_window",
