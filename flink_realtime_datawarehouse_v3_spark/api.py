@@ -1071,6 +1071,61 @@ SELECT a, b, bit_count(xor(ha, hb)) AS hamming
 FROM cands WHERE bit_count(xor(ha, hb)) <= 3""",
 )
 
+# Transitive closure of the near-dup pairs: connected components ->
+# one kept doc per cluster. Oracle = recursive min-label reachability
+# (min id reaching v == component minimum).
+register(
+    "dedup_cluster_keep",
+    lambda spark, sf: text_dedup.dedup_clusters(
+        _corpus(spark, sf), text_dedup.ngram_jaccard_pairs(_corpus(spark, sf))
+    ),
+    f"""WITH RECURSIVE {_CORPUS}, {_SHINGLES_CTE},
+edges AS (
+    SELECT a AS src, b AS dst FROM exact_pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM exact_pairs
+),
+reach(v, l) AS (
+    SELECT doc_id, doc_id FROM corpus
+    UNION
+    SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT v AS doc_id, min(l) AS cluster_id,
+       CAST(v = min(l) AS INT) AS keep
+FROM reach GROUP BY v""",
+)
+
+_SAMPLE_RATE_CASE = (
+    "CASE lang_pred "
+    + " ".join(
+        f"WHEN '{lg}' THEN {r}"
+        for lg, r in text_analysis.SAMPLE_RATES.items()
+        if lg != "und"
+    )
+    + f" ELSE {text_analysis.SAMPLE_RATES['und']} END"
+)
+
+register(
+    "text_sample_stratified",
+    lambda spark, sf: text_analysis.sample_stratified(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id, lang_pred, round(k, 6) AS sample_key
+            FROM (SELECT doc_id, lang_pred,
+                         {text_analysis.hash40_sql("'smp_' || CAST(doc_id AS VARCHAR)")} / 1099511627776.0 AS k
+                  FROM (SELECT doc_id,
+                               CASE WHEN greatest(se, sd, sf2) <= 0 THEN 'und'
+                                    WHEN se = greatest(se, sd, sf2) THEN 'en'
+                                    WHEN sd = greatest(se, sd, sf2) THEN 'de'
+                                    ELSE 'fr' END AS lang_pred
+                        FROM (SELECT doc_id,
+                                     len(list_filter({_TOKS}, t -> t IN {_STOP_EN})) / len({_TOKS}) AS se,
+                                     len(list_filter({_TOKS}, t -> t IN ('der','die','das','und','ist'))) / len({_TOKS}) AS sd,
+                                     len(list_filter({_TOKS}, t -> t IN ('le','la','et','les','des'))) / len({_TOKS}) AS sf2
+                              FROM corpus)))
+            WHERE k < {_SAMPLE_RATE_CASE}"""
+    ),
+)
+
 register(
     "simsearch_cosine_topk",
     lambda spark, sf: simsearch.cosine_topk(_emb(spark, sf)),

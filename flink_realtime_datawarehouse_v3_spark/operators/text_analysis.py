@@ -185,3 +185,42 @@ def fingerprint(corpus: DataFrame) -> DataFrame:
         F.md5(norm).alias("fingerprint_md5"),
         min_shingle.alias("min_shingle_hash"),
     )
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.2, "fr": 0.2, "und": 0.05}
+
+
+def sample_stratified(
+    corpus: DataFrame, rates: dict[str, float] | None = None
+) -> DataFrame:
+    """Deterministic stratified downsample: per-language keep rates applied
+    via a content-independent hash key (the language-rebalancing step of a
+    training-data mix).
+
+    ``key = hash40('smp_' || doc_id) / 2^40`` is uniform in [0, 1) and
+    identical in both engines (shared hash40 convention, and division by a
+    power of two is exact in doubles), so keep/drop decisions — not just
+    rates — are reproducible across engine, oracle, and reruns. Output:
+    (doc_id, lang_pred, sample_key).
+
+    Scale: one narrow projection + filter over the lang-scored corpus — no
+    shuffle, no RNG state; resampling with a different mix is a pure
+    re-filter, which is why hash-sampling (not rand()) is the production
+    shape for corpus mixing.
+    """
+    rates = rates or SAMPLE_RATES
+    scored = lang_id(corpus)
+    key = hash40(
+        F.concat(F.lit("smp_"), F.col("doc_id").cast("string"))
+    ) / F.lit(float(1 << 40))
+    rate = F.when(F.col("lang_pred") == "en", rates["en"])
+    for lang in ("de", "fr"):
+        rate = rate.when(F.col("lang_pred") == lang, rates[lang])
+    rate = rate.otherwise(rates["und"])
+    return (
+        scored.withColumn("__key", key)
+        .filter(F.col("__key") < rate)
+        .select(
+            "doc_id", "lang_pred", F.round(F.col("__key"), 6).alias("sample_key")
+        )
+    )

@@ -214,3 +214,64 @@ def simhash_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def dedup_clusters(
+    corpus: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs -> one kept doc per cluster.
+
+    LSH/Jaccard emit PAIRS; a real dedup pipeline must then transitively
+    close them (a~b, b~c => keep one of {a,b,c}). Min-label propagation to
+    fixpoint: every doc starts labelled with itself; each round a doc
+    adopts the smallest label among itself and its neighbors. Converges in
+    O(component diameter) rounds — near-dup components are shallow star-ish
+    clusters, so 2-4 rounds in practice.
+
+    Output: (doc_id, cluster_id = min doc_id of the component,
+    keep = 1 on the canonical doc). Singletons keep themselves.
+
+    Scale notes: each round is one shuffle join + groupBy on the edge list;
+    ``localCheckpoint`` truncates the iterative lineage (else the plan
+    doubles per round). The driver-side fixpoint ``count`` is the loop
+    condition, not a data path — the standard shape for iterative graph
+    algorithms on DataFrames (GraphFrames' connected components does the
+    same with large-star/small-star re-linking, the constant-factor
+    improvement to reach O(log d) rounds at 100 TB).
+    """
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint()
+    labels = corpus.select(
+        F.col("doc_id").alias("v"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels.v == nbr.src, "left")
+            .select(
+                labels.v.alias("v"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("v") == F.col("label")).cast("int").alias("keep"),
+    )

@@ -67,3 +67,39 @@ def test_embedding_near_dup_pairs_shape(spark):
     assert rows, "synthetic near-dup embeddings must be detected"
     for r in rows:
         assert r.a < r.b and r.cosine_sim >= 0.97
+
+
+def test_dedup_cluster_keep(spark, duck):
+    """Connected components over near-dup pairs: transitive closure holds,
+    exactly one keeper per cluster, oracle parity."""
+    from .conftest import assert_parity
+
+    df = api.QUERIES["dedup_cluster_keep"](spark, SF_SMOKE)
+    rows = {r.doc_id: r for r in df.collect()}
+    pairs = api.QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    assert pairs, "corpus must contain near-dup pairs"
+    for p in pairs:  # transitivity: linked docs share a cluster
+        assert rows[p.a].cluster_id == rows[p.b].cluster_id
+    clusters = {}
+    for r in rows.values():
+        clusters.setdefault(r.cluster_id, []).append(r)
+    for cid, members in clusters.items():
+        assert sum(m.keep for m in members) == 1
+        assert min(m.doc_id for m in members) == cid
+    assert_parity(df, duck, api.ORACLES["dedup_cluster_keep"], "dedup_cluster_keep")
+
+
+def test_sample_stratified(spark, duck):
+    """Deterministic stratified sample: subset of corpus, rate-plausible,
+    rerun-identical, oracle parity."""
+    from .conftest import assert_parity
+
+    df = api.QUERIES["text_sample_stratified"](spark, SF_SMOKE)
+    a = sorted((r.doc_id, r.lang_pred) for r in df.collect())
+    b = sorted((r.doc_id, r.lang_pred) for r in df.collect())
+    assert a == b and a, "sample must be deterministic and non-empty"
+    n_corpus = api.QUERIES["text_lang_id"](spark, SF_SMOKE).count()
+    assert len(a) < n_corpus  # it actually downsamples
+    assert_parity(
+        df, duck, api.ORACLES["text_sample_stratified"], "text_sample_stratified"
+    )
