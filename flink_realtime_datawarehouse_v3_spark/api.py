@@ -860,7 +860,10 @@ from .sources import tables  # noqa: E402
 
 
 def _corpus(spark: SparkSession, sf: str) -> DataFrame:
-    return corpus_mod.corpus(spark, sf)
+    # Memoized like the DWD facts: ~12 text/dedup entries share this tiny
+    # expanded corpus; persisting it once removes a parquet scan + union
+    # per entry (at 100 TB the corpus is a table, not a derivation).
+    return _memo_df(spark, "text_corpus", sf, lambda: corpus_mod.corpus(spark, sf))
 
 
 def _emb(spark: SparkSession, sf: str) -> DataFrame:
