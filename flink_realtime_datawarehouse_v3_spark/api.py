@@ -673,6 +673,41 @@ register(
     ),
 )
 
+# K4: the ClickHouse-sink-layout equivalent as a driver-checked round
+# trip — write the window result through the dt-partitioned DWS sink,
+# read every partition back, and hash against the SAME oracle as the
+# in-memory form (proves the sink is lossless and the layout carries the
+# full contract; partition pruning is plan-gated in tests/test_plans.py).
+_SINK_MONTH = "1995-03"
+
+
+def _sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators import sinks
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "dws_sink_rt_" + hashlib.md5(sf.encode()).hexdigest()[:8],
+    )
+    df = QUERIES["dws_trade_cart_add_uu_window"](spark, sf).filter(
+        F.col("stt").startswith(_SINK_MONTH)
+    )
+    sinks.write_dws(df, base)
+    return spark.read.parquet(base).select("stt", "edt", "cart_add_uu_ct")
+
+
+register(
+    "sink_dws_partitioned_roundtrip",
+    _sink_roundtrip,
+    f"SELECT * FROM ({ORACLES['dws_trade_cart_add_uu_window']})"
+    f" WHERE stt LIKE '{_SINK_MONTH}%'",
+)
+
 # A5 scale path: HyperLogLog++ sketch instead of the exact distinct set —
 # declared approximation (rsd 2 %), rows-only in the driver contract; the
 # tolerance gate lives in tests/test_dws.py.

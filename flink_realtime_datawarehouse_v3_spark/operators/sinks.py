@@ -27,10 +27,18 @@ def write_dws(
     transient: list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Write a DWS window result partitioned by the window-start date."""
+    """Write a DWS window result partitioned by the window-start date.
+
+    The repartition on ``dt`` before the dynamic-partition write is the
+    write-amplification guard: without it every one of N upstream tasks
+    opens a writer in every date directory (N x |dt| tiny files — 22k for
+    a 2-year window set at 32 tasks); with it each directory is written by
+    exactly one task. At 100 TB this is the difference between a sink and
+    a small-file incident.
+    """
     out = df.drop(*(transient or []))
     out = out.withColumn("dt", F.to_date(F.col(stt_col)))
-    out.write.mode(mode).partitionBy("dt").parquet(path)
+    out.repartition(F.col("dt")).write.mode(mode).partitionBy("dt").parquet(path)
 
 
 def read_dws_day(spark: SparkSession, path: str, day: str) -> DataFrame:
