@@ -1231,6 +1231,25 @@ register(
 )
 
 register(
+    "multimodal_resize",
+    lambda spark, sf: multimodal.resize_stub(
+        multimodal.with_binary_payload(_corpus(spark, sf))
+    ),
+    _csql(
+        """SELECT doc_id,
+                  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+                  CAST(strlen(text) % 640 AS INT) AS width,
+                  CAST(strlen(text) % 480 AS INT) AS height,
+                  CAST(224 AS INT) AS target_w, CAST(224 AS INT) AS target_h,
+                  least(strlen(text), 50176) AS out_len,
+                  md5(substr(text, 1, 50176)) AS out_checksum,
+                  round(224.0 / nullif(strlen(text) % 640, 0), 4) AS scale_x,
+                  round(224.0 / nullif(strlen(text) % 480, 0), 4) AS scale_y
+           FROM corpus WHERE doc_id % 4 IN (0, 1)"""
+    ),
+)
+
+register(
     "multimodal_frame_sample",
     lambda spark, sf: multimodal.frame_sample(
         multimodal.decode_features(

@@ -90,3 +90,56 @@ def frame_sample(decoded: DataFrame, stride: int = 4) -> DataFrame:
         "checksum",
         F.explode(frames).alias("frame_idx"),
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, target_w int, "
+    "target_h int, out_len bigint, out_checksum string, scale_x double, "
+    "scale_y double"
+)
+
+
+def resize_stub(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Arrow-batched 'resize' for image rows: the scaling contract with a
+    deterministic stand-in transform (output payload = input truncated to
+    target_w * target_h bytes — one byte per pixel; a real resampler plugs
+    in at :func:`decode_image_real`).
+
+    The image-format predicate is a Catalyst filter on the METADATA struct,
+    so non-image rows never cross into Python — the pattern that matters at
+    100 TB where most of the corpus is text. Emits source/target dims,
+    scale factors (NULL when the fake width/height is 0), and the resized
+    payload's length + md5.
+    """
+    target_bytes = target_w * target_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            payload = pdf["payload"]
+            blen = payload.map(len)
+            width = (blen % 640).astype("int32")
+            height = (blen % 480).astype("int32")
+            out = payload.map(lambda b: bytes(b)[:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": pdf["meta"].map(lambda m: m["fmt"]),
+                    "width": width,
+                    "height": height,
+                    "target_w": np.int32(target_w),
+                    "target_h": np.int32(target_h),
+                    "out_len": out.map(len).astype("int64"),
+                    "out_checksum": out.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "scale_x": (target_w / width.replace(0, np.nan)).round(4),
+                    "scale_y": (target_h / height.replace(0, np.nan)).round(4),
+                }
+            )
+
+    images = media.filter(F.col("meta.fmt").isin("png", "jpeg"))
+    return images.mapInPandas(batches, RESIZE_SCHEMA)

@@ -52,7 +52,11 @@ SMJ_WHITELIST = {
 }
 
 # Arrow-batched Python is allowed only where Python is the point.
-PANDAS_WHITELIST = {"multimodal_decode", "multimodal_frame_sample"}
+PANDAS_WHITELIST = {
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+}
 
 # Star-join pipelines and their minimum broadcast-join counts (dim hops +
 # base_dic lookups; the reference's chains at

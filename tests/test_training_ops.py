@@ -21,7 +21,9 @@ ORACLED = [
     "simsearch_cosine_topk",
     "dedup_embedding_cosine",
     "multimodal_decode",
+    "multimodal_resize",
     "multimodal_frame_sample",
+    "text_sample_stratified",
 ]
 
 
