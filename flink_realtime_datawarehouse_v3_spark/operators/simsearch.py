@@ -64,20 +64,27 @@ def cosine_topk(embeddings: DataFrame, k: int = 10, every: int = 100) -> DataFra
     )
 
 
+SAMPLE_CAP = 256_000
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_centroids: int = 54,
     sample_every: int = 3,
     iters: int = 10,
+    sample_cap: int = SAMPLE_CAP,
 ) -> list[list[float]]:
-    """Seeded spherical k-means fit on a deterministic sample (driver-side
-    Lloyd iterations; the IVF index-build step).
+    """Seeded spherical k-means fit on a deterministic BOUNDED sample
+    (driver-side Lloyd iterations; the IVF index-build step).
 
     100 TB posture: an IVF coarse quantizer is always fit on a bounded
     sample (FAISS trains on ~256k vectors regardless of corpus size), so a
-    driver-side fit over a deterministic sample is the honest production
-    shape — the full corpus only pays the broadcast assignment join.
-    Determinism: sample = vec_id % sample_every == 0 ordered by vec_id,
+    driver-side fit over a deterministic capped sample is the honest
+    production shape — ``sample_cap`` bounds what reaches the driver no
+    matter the corpus size; the full corpus only pays the broadcast
+    assignment join.
+    Determinism: sample = first ``sample_cap`` rows of
+    vec_id % sample_every == 0 ordered by vec_id,
     init = evenly spaced sample rows, argmax ties -> lowest centroid id,
     fixed row order -> fixed summation order.
     """
@@ -87,14 +94,21 @@ def kmeans_centroids(
         embeddings.filter(F.col("vec_id") % sample_every == 0)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
+        .limit(sample_cap)
         .collect()
     )
+    if not rows:
+        raise ValueError("kmeans_centroids: empty training sample")
     x = np.array([r.embedding for r in rows], dtype=np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     # sqrt(N) coarse-quantizer sizing (the standard IVF rule): caps bucket
     # size ~sqrt(N) so probe cost ~ nprobe * sqrt(N) rows per query, while
-    # keeping buckets populated at small scale factors.
+    # keeping buckets populated at small scale factors. Estimated corpus
+    # size saturates once the cap kicks in — beyond that the caller's
+    # n_centroids is the operative bound. Clamp to the sample size so the
+    # evenly-spaced init never duplicates a row.
     n_centroids = max(4, min(n_centroids, int(round((len(x) * sample_every) ** 0.5))))
+    n_centroids = min(n_centroids, len(x))
     cen = x[np.linspace(0, len(x) - 1, n_centroids).astype(int)].copy()
     for _ in range(iters):
         assign = (x @ cen.T).argmax(axis=1)

@@ -245,6 +245,7 @@ def dedup_clusters(
     labels = corpus.select(
         F.col("doc_id").alias("v"), F.col("doc_id").alias("label")
     ).localCheckpoint()
+    changed = -1
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.v)
@@ -270,6 +271,14 @@ def dedup_clusters(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # Unconverged labels would silently violate the output contract
+        # (cluster_id = component minimum, exactly one keep per cluster).
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge within "
+            f"{max_iter} rounds ({changed} labels still changing); raise "
+            f"max_iter (component diameter exceeds the round budget)"
+        )
     return labels.select(
         F.col("v").alias("doc_id"),
         F.col("label").alias("cluster_id"),

@@ -233,11 +233,12 @@ LOG_SCHEMA = """
 def parse_topic_log(raw: DataFrame) -> DataFrame:
     """P2: JSON parse keeping only clean rows (reference:
     RT/app/dwd/BaseLogApp.java:54-69). The dirty branch is
-    :func:`dirty_topic_log` — one shared parse expression, two filters, so
-    Spark evaluates ``from_json`` once per row and the pair is exactly the
-    reference's main-output/side-output split (OutputTag at
-    BaseLogApp.java:56)."""
-    parsed = raw.select(F.col("value"), F.from_json(F.col("value"), LOG_SCHEMA).alias("j"))
+    :func:`dirty_topic_log` — two independent single-parse plans over the
+    same input with complement filters, together exactly the reference's
+    main-output/side-output split (OutputTag at BaseLogApp.java:56); a
+    consumer wanting both sides in one scan persists the parsed input and
+    applies both filters to it."""
+    parsed = raw.select(F.from_json(F.col("value"), LOG_SCHEMA).alias("j"))
     return parsed.filter(F.col("j").isNotNull() & F.col("j.common").isNotNull()).select(
         "j.*"
     )
