@@ -23,19 +23,30 @@ from ..plans.dim import DIM_CONFIG, TableProcess
 
 
 def dim_router(
-    out_dir: str, config_provider: Callable[[], list[TableProcess]] | None = None
+    out_dir: str,
+    config_provider: Callable[[int], list[TableProcess]] | None = None,
 ):
     """foreachBatch function: route the micro-batch into per-dim parquet
     tables under ``out_dir`` (created on first write, like the reference's
-    runtime checkTable DDL, RT/app/func/TableProcessFunction.java:84-106)."""
+    runtime checkTable DDL, RT/app/func/TableProcessFunction.java:84-106).
 
-    provider = config_provider or (lambda: DIM_CONFIG)
+    ``config_provider(batch_id)`` is re-read per micro-batch — the broadcast
+    config state. A config row that GROWS its sinkColumns between batches is
+    the reference's runtime ALTER TABLE / dynamic-column-add path
+    (TableProcessFunction.java:84-106 re-issues DDL when the config record
+    changes): here the stored table and the newly-routed slice are
+    schema-merged (``unionByName(allowMissingColumns=True)``), so rows
+    upserted before the change carry NULL in the new column until their next
+    CDC update — exactly Phoenix's ALTER-then-UPSERT semantics.
+    """
+
+    provider = config_provider or (lambda _batch_id: DIM_CONFIG)
 
     def fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.persist()
         try:
-            for cfg in provider():  # re-read config per batch (broadcast state)
+            for cfg in provider(batch_id):  # per-batch re-read (broadcast state)
                 routed = batch.filter(F.col("table") == cfg.source_table).select(
                     *[F.col("data").getItem(c).alias(c) for c in cfg.columns],
                     F.col("ts").cast("long").alias("__ts"),
@@ -53,8 +64,11 @@ def dim_router(
                     # A stored row has already won its in-batch contest; its
                     # __ts is unknown post-projection, so order by generation
                     # first (newer batches win), then __ts/__upd in-batch.
+                    # allowMissingColumns = the runtime schema merge: a column
+                    # added (or dropped) by a config change nulls out on the
+                    # side that lacks it instead of failing the stream.
                     merged = keep_latest(
-                        current.unionByName(routed),
+                        current.unionByName(routed, allowMissingColumns=True),
                         [cfg.sink_pk],
                         ["__gen", "__ts", "__upd"],
                     )

@@ -11,6 +11,7 @@ Pipelines covered (one per SURVEY.md streaming mechanism):
 - keyed-state UV dedup (D1/W4)               -> stream_unique_visitor
 - keyed-state CEP bounce w/ timeout (D5/W10) -> stream_jump_detail
 - keyed upsert sink (K3)                     -> stream_order_info_upsert
+- checkpointed sink kill+resume (K2/W11)     -> stream_checkpoint_recovery
 - broadcast-config DIM routing (J10/P6/K5)   -> stream_dim_app
 - stream-stream join, inner + 2 bounded left
   + stream-static dic lookup (J1/J2/J3/W5)   -> stream_order_pre_process
@@ -539,6 +540,54 @@ def stream_order_info_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id") != "__sentinel__"
         )
         return run_to_memory(out, output_mode="append")
+
+
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/W11 as a driver-checked round trip: run the favor-add DWD
+    pipeline through a CHECKPOINTED parquet sink, kill the query after its
+    first committed micro-batch (mid-stream crash), restart from the same
+    checkpoint, and return the sink contents — offset tracking + idempotent
+    batch writes must leave every row exactly once, so the recovered sink
+    hashes against the ordinary batch oracle.
+
+    The Structured Streaming equivalent of the reference's
+    transactional-Kafka + checkpoint config (RT/utils/MyKafkaUtil.java:61-73,
+    RT/app/dim/DimApp.java:36-45). If the first run drains all batches
+    before the kill lands, the restart is a no-op and the result is
+    unchanged — the kill timing affects which code path proves the
+    guarantee, never the output.
+    """
+    import time
+
+    with TempStreamDir() as d:
+        raw = cdc.topic_db_json(spark, sf_dir, only=["favor_info"])
+        _write_replay(raw, d.sub("in"), order_by=None)
+        ckpt, sink = d.sub("ckpt"), d.sub("sink")
+
+        def start():
+            s = cdc.parse_topic_db(read_stream(spark, d.sub("in")))
+            out = dwd_simple.dwd_interaction_favor_add(s)
+            return (
+                out.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start()
+        for _ in range(400):
+            time.sleep(0.25)
+            p = q.lastProgress
+            if p is not None and p["batchId"] >= 1:
+                break
+        q.stop()
+        q.awaitTermination(60)
+        q2 = start()
+        if not q2.awaitTermination(300):
+            q2.stop()
+            raise TimeoutError("checkpoint recovery run did not finish")
+        return spark.read.parquet(sink).localCheckpoint()
 
 
 def stream_dim_app(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

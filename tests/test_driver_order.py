@@ -1,0 +1,52 @@
+"""Registration-order contract: the correctness driver checks exactly the
+first 50 registered entries, so the order IS the coverage lever."""
+
+from __future__ import annotations
+
+from flink_realtime_datawarehouse_v3_spark import api
+
+
+def test_window_is_50_and_fully_oracle_checked():
+    names = list(api.QUERIES)
+    window = names[:50]
+    assert len(names) == len(set(names))
+    # every checked slot must be hash-checkable (no rows-only inside)
+    assert all(n in api.ORACLES for n in window)
+
+
+def test_never_checked_entries_sit_inside_window():
+    """The r03 driver-unchecked families (streaming, multimodal, simsearch,
+    embedding dedup, stratified sampling, checkpoint recovery) must all be
+    in the first 50 this round."""
+    window = set(list(api.QUERIES)[:50])
+    priority = {n for n in api.QUERIES if n.startswith(("streaming_", "multimodal_"))}
+    priority |= {
+        "sink_checkpoint_recovery",
+        "dedup_embedding_cosine",
+        "simsearch_cosine_topk",
+        "text_sample_stratified",
+    }
+    assert priority <= window, f"missing from window: {priority - window}"
+
+
+def test_rows_only_entries_are_last():
+    names = list(api.QUERIES)
+    rows_only = [n for n in names if n not in api.ORACLES]
+    assert names[-len(rows_only):] == sorted(
+        rows_only, key=names.index
+    ), f"rows-only entries not at the tail: {rows_only}"
+
+
+def test_every_entry_has_r03_or_window_coverage():
+    """Rotated-out entries must be proven: green in CORRECTNESS_r03."""
+    import json
+
+    with open("/root/repo/CORRECTNESS_r03.json") as f:
+        r03 = json.load(f)
+    names = list(api.QUERIES)
+    for n in names[50:]:
+        if n not in api.ORACLES:
+            continue  # rows-only by design
+        assert r03.get(n, {}).get("hash_match") is True, (
+            f"{n} rotated past the cutoff without a green r03 row"
+        )

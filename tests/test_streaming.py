@@ -57,6 +57,14 @@ def test_stream_jump_detail(spark):
     _same(stream, batch, "jump_detail")
 
 
+def test_stream_checkpoint_recovery_entry(spark):
+    """The driver-board K2 entry: kill+resume through a checkpointed sink
+    must equal the plain batch pipeline row-for-row (exactly once)."""
+    stream = sp.stream_checkpoint_recovery(spark, SF_SMOKE)
+    batch = api.QUERIES["dwd_interaction_favor_add"](spark, SF_SMOKE)
+    _same(stream, batch, "checkpoint_recovery")
+
+
 def test_stream_order_info_upsert(spark):
     stream = sp.stream_order_info_upsert(spark, SF_SMOKE)
     flat = cdc.topic_db(spark, SF_SMOKE, only=["order_info"]).select(
@@ -295,6 +303,73 @@ def test_checkpoint_recovery_exactly_once(spark):
             .count()
             == 0
         )
+
+
+def test_dim_router_dynamic_column_add(spark):
+    """J10/K5 runtime-DDL parity (RT/app/func/TableProcessFunction.java:84-106):
+    a config row that grows its sinkColumns mid-stream must schema-merge —
+    rows upserted before the change read NULL in the new column; rows seen
+    after carry the value; re-upserted keys adopt the new shape."""
+    from flink_realtime_datawarehouse_v3_spark.plans.dim import TableProcess
+    from flink_realtime_datawarehouse_v3_spark.streaming.core import (
+        TempStreamDir,
+        read_stream,
+        run_foreach_batch,
+    )
+    from flink_realtime_datawarehouse_v3_spark.streaming.dim_app import dim_router
+
+    schema = (
+        "database string, `table` string, type string, "
+        "data map<string,string>, old map<string,string>, ts string"
+    )
+
+    def row(i: int, ts: int, email: str):
+        return (
+            "gmall_0105",
+            "user_info",
+            "insert",
+            {"id": str(i), "name": f"u{i}", "email": email},
+            None,
+            str(ts),
+        )
+
+    batch0 = spark.createDataFrame([row(1, 10, "a@x"), row(2, 11, "b@x")], schema)
+    batch1 = spark.createDataFrame([row(2, 20, "b2@x"), row(3, 21, "c@x")], schema)
+
+    v1 = [TableProcess("user_info", "dim_user_info", "id,name")]
+    v2 = [TableProcess("user_info", "dim_user_info", "id,name,email")]
+
+    with TempStreamDir() as d:
+        import glob
+        import os
+
+        # one file per micro-batch => deterministic config generations
+        in_dir = d.sub("in")
+        os.makedirs(in_dir, exist_ok=True)
+        files = []
+        for i, b in enumerate((batch0, batch1)):
+            b.coalesce(1).write.mode("overwrite").parquet(d.sub(f"tmp{i}"))
+            (src,) = glob.glob(os.path.join(d.sub(f"tmp{i}"), "part-*.parquet"))
+            dest = os.path.join(in_dir, f"b{i}.parquet")
+            os.replace(src, dest)
+            files.append(dest)
+        sp._stamp_file_order(in_dir, files)
+        s = read_stream(spark, in_dir)
+        out_dir = d.sub("dims")
+        run_foreach_batch(
+            s, dim_router(out_dir, lambda batch_id: v1 if batch_id == 0 else v2)
+        )
+        got = {
+            r["id"]: (r["name"], r["email"])
+            for r in spark.read.parquet(
+                os.path.join(out_dir, "dim_user_info")
+            ).collect()
+        }
+    assert got == {
+        "1": ("u1", None),      # pre-change row: new column NULL
+        "2": ("u2", "b2@x"),    # re-upserted after the change: value present
+        "3": ("u3", "c@x"),     # post-change row
+    }
 
 
 def test_stream_dim_app(spark):

@@ -1,0 +1,38 @@
+"""Session memo-cache reset (runs LAST by filename: the reset drops memos
+the other test modules deliberately share, so re-warming mid-suite would
+only add wall time)."""
+
+from __future__ import annotations
+
+from flink_realtime_datawarehouse_v3_spark import api
+from flink_realtime_datawarehouse_v3_spark.sources import bucketed, cdc
+
+from .conftest import SF_SMOKE
+
+
+def test_reset_session_caches_unpersists_everything(spark):
+    """A long-lived session sweeping multiple SF dirs must not accumulate
+    persisted DataFrames: after reset, zero memo entries remain and zero
+    RDDs stay persisted; the next query call re-warms from scratch."""
+    def persisted_ids() -> set[int]:
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    # Earlier modules may leave localCheckpoint RDDs behind (cleaned lazily
+    # by the ContextCleaner) — measure growth relative to a baseline, not an
+    # absolute zero.
+    baseline = persisted_ids()
+
+    # Warm at least one memo of each kind.
+    api.QUERIES["dwd_trade_order_detail"](spark, SF_SMOKE).count()
+    api.QUERIES["text_token_stats"](spark, SF_SMOKE).count()
+    api.QUERIES["join_bucketed_colocated"](spark, SF_SMOKE).count()
+    assert api._MATERIALIZED and cdc._ODS_CACHE and bucketed._READY
+
+    api.reset_session_caches()
+    assert not api._MATERIALIZED
+    assert not cdc._ODS_CACHE
+    assert not bucketed._READY
+    assert persisted_ids() <= baseline, "reset left memo RDDs persisted"
+
+    # And the surface still works after a reset (re-warms cleanly).
+    assert api.QUERIES["dwd_trade_order_detail"](spark, SF_SMOKE).count() > 0

@@ -8,7 +8,11 @@ Also prints per-entry wall time — the driver runs entries in registration
 order under a shared session with a global time budget, so total runtime
 here bounds how much of the board the driver can cover.
 
-Usage: python tools/check_all.py [sf_dir] [name_filter ...]
+Usage: python tools/check_all.py [sf_dir[,sf_dir2,...]] [name_filter ...]
+
+With multiple comma-separated SF dirs, the sweep runs once per dir under
+the SAME Spark session, calling ``api.reset_session_caches()`` between
+dirs — this doubles as the regression gate for unbounded memo growth.
 """
 
 from __future__ import annotations
@@ -91,10 +95,7 @@ def _dtype_mismatches(spdf, odf) -> list[str]:
     return out
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
-    spark = get_spark()
+def run_sweep(spark, sf_dir: str, name_filter: list[str]) -> tuple[dict, int]:
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
@@ -146,9 +147,32 @@ def main() -> int:
     n_ro = sum(1 for r in results.values() if r.get("err") == "no_oracle")
     n_bad = len(results) - n_ok - n_ro
     print(f"\ntotal {total}s — {n_ok} green / {n_ro} rows-only / {n_bad} FAIL of {len(results)}")
+    return results, n_bad
+
+
+def main() -> int:
+    sf_dirs = (sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01").split(",")
+    name_filter = sys.argv[2:]
+    spark = get_spark()
+    all_results: dict[str, dict] = {}
+    bad = 0
+    for i, sf_dir in enumerate(sf_dirs):
+        if i:
+            api.reset_session_caches()
+            n_persisted = len(spark.sparkContext._jsc.getPersistentRDDs())
+            print(f"\n-- reset_session_caches(): {n_persisted} RDDs still persisted --")
+            print(f"-- sweep {sf_dir} --")
+        results, n_bad = run_sweep(spark, sf_dir, name_filter)
+        bad += n_bad
+        all_results[sf_dir] = results
     with open("/tmp/check_all.json", "w") as f:
-        json.dump(results, f, indent=1, default=str)
-    return 1 if n_bad else 0
+        json.dump(
+            all_results[sf_dirs[0]] if len(sf_dirs) == 1 else all_results,
+            f,
+            indent=1,
+            default=str,
+        )
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":
