@@ -45,7 +45,9 @@ def _dec(c: Column) -> Column:
 # --- traffic -----------------------------------------------------------------
 
 
-def traffic_source_keyword_page_view_window(page: DataFrame) -> DataFrame:
+def traffic_source_keyword_page_view_window(
+    page: DataFrame, segmenter=None
+) -> DataFrame:
     """A1 + U1: tokenize search keywords, count per word per 10 s window.
 
     Reference: RT/app/dws/DwsTrafficSourceKeywordPageViewWindow.java:57-89.
@@ -54,14 +56,21 @@ def traffic_source_keyword_page_view_window(page: DataFrame) -> DataFrame:
     instrumentation carries keywords on the search page itself, so the
     filter is ``page_id='search'`` — operator shape (filter -> UDTF explode
     -> windowed count) is identical.
+
+    ``segmenter`` swaps the tokenizer (the reference's pluggable
+    SplitFunction): any ``Column -> Column`` producing ``array<string>`` —
+    the Catalyst whitespace tokenizer by default (hot path), or an
+    Arrow-batched Pandas UDF (``functions.tokenize.tokenize_pandas_udf`` /
+    ``segment_bpe_pandas_udf``) when segmentation needs real Python.
     """
+    tok = segmenter if segmenter is not None else tokenize
     filtered = page.filter(
         (F.col("page_id") == "search")
         & (F.col("item_type") == "keyword")
         & F.col("item").isNotNull()
     ).select("item", rt_from_ms(F.col("ts")).alias("rt"))
     words = filtered.select(
-        F.explode(tokenize(F.col("item"))).alias("word"), "rt"
+        F.explode(tok(F.col("item"))).alias("word"), "rt"
     )
     return tumble(words, F.col("rt"), "word").agg(
         F.count(F.lit(1)).alias("keyword_count")

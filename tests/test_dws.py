@@ -46,12 +46,77 @@ def test_province_window_approx_within_tolerance(spark):
     assert j.filter(F.col("a_exact") != F.col("a_approx")).count() == 0
 
 
-def test_dedup_tiebreak_stable_across_partitioning(spark):
+def test_keyword_window_segmenter_swap(spark):
+    """U1 plug point: swapping the Catalyst tokenizer for the Arrow-batched
+    Pandas UDF (same whitespace semantics) must not change the window
+    result — proving a real segmenter (IK/jieba-style) drops in without
+    touching the pipeline."""
+    from flink_realtime_datawarehouse_v3_spark.functions.tokenize import (
+        tokenize_pandas_udf,
+    )
+    from flink_realtime_datawarehouse_v3_spark.plans import dws
+
+    page = api.QUERIES["dwd_traffic_page_log"](spark, SF_SMOKE)
+    catalyst = dws.traffic_source_keyword_page_view_window(page)
+    swapped = dws.traffic_source_keyword_page_view_window(
+        page, segmenter=tokenize_pandas_udf
+    )
+    assert "ArrowEvalPython" in (
+        swapped._jdf.queryExecution().executedPlan().toString()
+    ), "pandas segmenter did not reach the plan"
+    a = sorted(map(str, catalyst.collect()))
+    b = sorted(map(str, swapped.collect()))
+    assert a == b
+
+
+def test_bpe_segmenter_deterministic_subwords(spark):
+    """The BPE-ish segmenter is real greedy-merge inference: known merges
+    fire in priority order, punctuation splits off, digits stay whole, and
+    the full keyword window accepts it through the same parameter."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.functions.tokenize import (
+        segment_bpe_pandas_udf,
+    )
+    from flink_realtime_datawarehouse_v3_spark.plans import dws
+
+    df = spark.createDataFrame(
+        [("The thinking 42 re-start!",), (None,)], "item string"
+    )
+    (got,), (none_row,) = (
+        df.select(segment_bpe_pandas_udf(F.col("item")).alias("t")).collect()
+    )
+    # 'the' <- (t,h)+(th,e); 'thinking' -> th+in+k+ing via (i,n)+(in,g);
+    # 're' single merge; 'start' -> st+a+r+t via (s,t); digits/punct intact.
+    assert got == [
+        "the", "th", "in", "k", "ing", "42", "re", "-", "st", "a", "r", "t", "!",
+    ]
+    assert none_row == []
+
+    page = api.QUERIES["dwd_traffic_page_log"](spark, SF_SMOKE)
+    out = dws.traffic_source_keyword_page_view_window(
+        page, segmenter=segment_bpe_pandas_udf
+    )
+    assert out.count() > 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # keep_first on (create_time, activity_rule_id, coupon_id)
+        "dws_trade_order_window",
+        # keep_latest on (callback_time, payment_type_code) — the payment
+        # changelog path
+        "dws_trade_payment_suc_window",
+        # keep_latest inside the province window's detail dedup
+        "dws_trade_province_order_window",
+    ],
+)
+def test_dedup_tiebreak_stable_across_partitioning(spark, name):
     """The keep_first/keep_latest call sites order by a real changelog
-    discriminator (create_time, activity_rule_id, coupon_id) — never the
-    partition key — so the deduped result (and everything downstream) is
-    identical under different shuffle-partition counts."""
-    name = "dws_trade_order_window"
+    discriminator (e.g. create_time, activity_rule_id, coupon_id) — never
+    the partition key — so the deduped result (and everything downstream)
+    is identical under different shuffle-partition counts."""
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
