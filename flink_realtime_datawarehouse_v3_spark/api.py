@@ -1019,6 +1019,46 @@ register(
     ),
 )
 
+# LLM-pipeline packing: fixed-size token chunks with overlap (chunk 32,
+# stride 24). DuckDB list slicing is 1-based inclusive-end and clamps, the
+# exact semantics of Spark's slice(arr, start, length).
+register(
+    "text_chunk_tokens",
+    lambda spark, sf: text_analysis.chunk_tokens(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id, g.k AS chunk_idx,
+                   CAST(len(toks[k*24+1 : k*24+32]) AS BIGINT) AS n_tokens_chunk,
+                   array_to_string(toks[k*24+1 : k*24+32], ' ') AS chunk_text
+            FROM (SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM corpus)
+            CROSS JOIN LATERAL (
+                SELECT UNNEST(generate_series(0,
+                    CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) AS k
+            ) g"""
+    ),
+)
+
+register(
+    "text_pii_scrub",
+    lambda spark, sf: text_analysis.pii_scrub(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id, n_emails,
+                   CAST(len(regexp_extract_all(c1, '{text_analysis.LONGNUM_RE}')) AS BIGINT) AS n_longnums,
+                   regexp_replace(c1, '{text_analysis.LONGNUM_RE}', '<NUM>', 'g') AS clean_text
+            FROM (SELECT doc_id,
+                         CAST(len(regexp_extract_all(text, '{text_analysis.EMAIL_RE}')) AS BIGINT) AS n_emails,
+                         regexp_replace(text, '{text_analysis.EMAIL_RE}', '<EMAIL>', 'g') AS c1
+                  FROM (SELECT doc_id,
+                               text
+                               || CASE WHEN doc_id % 5 = 0
+                                       THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                                       ELSE '' END
+                               || CASE WHEN doc_id % 11 = 0
+                                       THEN ' ref ' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+                                       ELSE '' END AS text
+                        FROM corpus))"""
+    ),
+)
+
 _SHINGLE_LIST = (
     f"list_transform(generate_series(0, greatest(len({_TOKS}) - 3, 0)), "
     f"i -> concat_ws(' ', {_TOKS}[i + 1], {_TOKS}[i + 2], {_TOKS}[i + 3]))"
@@ -1464,8 +1504,8 @@ _DRIVER_WINDOW = [
     "join_activity_coupon_full_outer",  # J8
     "dim_coupon_use",                 # J10/P6 config routing
     "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
+    "text_chunk_tokens",              # new this round: LLM context packing
+    "text_pii_scrub",                 # new this round: PII redaction + audit
     "text_corpus_clean",
     "text_fingerprint",
     "dedup_exact",
@@ -1496,10 +1536,19 @@ _DRIVER_TAIL = [
     "dws_traffic_source_keyword_page_view_window",
     "dws_traffic_vc_ch_ar_is_new_page_view_window",
     "dim_user_info",
+    "text_quality_score",
+    "text_lang_id",
     # rows-only by design (no oracle possible) — never in a checked slot:
     "dws_trade_province_order_window_approx",
     "simsearch_ivf_topk",
 ]
+
+
+# Dataflow definition order (DWD -> DWS -> ops), captured before the driver
+# reorder. bench.py iterates THIS order so per-query timings stay comparable
+# across rounds: first-touch memo warms (the _pre / _log materializations)
+# land on the same queries regardless of how the driver window rotates.
+DEFINITION_ORDER: list[str] = []
 
 
 def _apply_driver_order() -> None:
@@ -1514,6 +1563,7 @@ def _apply_driver_order() -> None:
         "rows-only entry inside the checked window: "
         f"{[n for n in checked if n not in ORACLES]}"
     )
+    DEFINITION_ORDER.extend(QUERIES)
     snapshot = dict(QUERIES)
     QUERIES.clear()  # in-place: modules hold references to this dict object
     for n in order:

@@ -187,6 +187,113 @@ def fingerprint(corpus: DataFrame) -> DataFrame:
     )
 
 
+def chunk_tokens(
+    corpus: DataFrame, chunk_size: int = 32, overlap: int = 8
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the context-packing step of
+    an LLM training pipeline (documents -> training-window-sized pieces).
+
+    Chunk k covers tokens [k*stride, k*stride + chunk_size) with
+    stride = chunk_size - overlap; the last chunk starts at the smallest
+    multiple of stride that still reaches the tail, so every token lands in
+    at least one chunk and consecutive chunks share ``overlap`` tokens.
+
+    Scale: a narrow projection + explode — no shuffle, fan-out bounded by
+    ~n_tokens/stride per row; the per-chunk slice is computed JVM-side
+    (whole-stage codegen), so 100 TB of documents chunk in one
+    embarrassingly parallel pass.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    c, s = chunk_size, chunk_size - overlap
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    k_max = (
+        F.when(n <= c, F.lit(0))
+        .otherwise(F.floor((n - c + s - 1) / F.lit(s)))
+        .cast("bigint")
+    )
+    exploded = corpus.select(
+        "doc_id", toks.alias("__toks"), k_max.alias("__k_max")
+    ).select(
+        "doc_id",
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("__k_max"))
+        ).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), (F.col("chunk_idx") * s + 1).cast("int"), c
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).cast("bigint").alias("n_tokens_chunk"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+# PII patterns shared (verbatim) with the DuckDB oracle: simple classes +
+# bounded quantifiers behave identically under Java regex and RE2.
+EMAIL_RE = "[a-z0-9]+@[a-z0-9.]+[a-z0-9]"
+LONGNUM_RE = "[0-9]{7,}"
+
+
+def pii_inject(corpus: DataFrame) -> DataFrame:
+    """Deterministic PII fixture: the synthetic corpus carries no
+    addresses/numbers, so the scrub operator injects them reproducibly
+    (doc_id % 5 -> an email, doc_id % 11 -> a 9-digit id), mirrored
+    expression-for-expression in the oracle CTE."""
+    return corpus.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" ref "),
+                    F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def pii_scrub(corpus: DataFrame) -> DataFrame:
+    """PII redaction: emails then long digit runs replaced by typed
+    placeholders, with per-document hit counts (the audit trail a
+    training-data pipeline keeps).
+
+    Emails are redacted first and digit runs counted on the email-redacted
+    text, so digits inside an address are never double-counted. Pure
+    Catalyst regex pass — no UDF, no shuffle.
+    """
+    src = pii_inject(corpus)
+    with_email = src.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>").alias("__c1"),
+    )
+    return with_email.select(
+        "doc_id",
+        "n_emails",
+        F.size(F.regexp_extract_all(F.col("__c1"), F.lit(LONGNUM_RE), 0))
+        .cast("long")
+        .alias("n_longnums"),
+        F.regexp_replace(F.col("__c1"), LONGNUM_RE, "<NUM>").alias("clean_text"),
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.2, "fr": 0.2, "und": 0.05}
 
 

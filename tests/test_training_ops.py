@@ -12,6 +12,8 @@ ORACLED = [
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
+    "text_chunk_tokens",
+    "text_pii_scrub",
     "text_fingerprint",
     "text_corpus_clean",
     "dedup_exact",
@@ -105,3 +107,63 @@ def test_sample_stratified(spark, duck):
     assert_parity(
         df, duck, api.ORACLES["text_sample_stratified"], "text_sample_stratified"
     )
+
+
+def test_chunk_tokens_coverage_and_overlap(spark):
+    """Every token of every doc lands in a chunk; consecutive chunks share
+    exactly `overlap` tokens (except a clamped final chunk); chunk order
+    reassembles the document."""
+    from flink_realtime_datawarehouse_v3_spark.operators.text_analysis import (
+        chunk_tokens,
+    )
+    from flink_realtime_datawarehouse_v3_spark.sources.corpus import corpus
+
+    c, o, s = 32, 8, 24
+    docs = {
+        r.doc_id: r.text.split() for r in corpus(spark, SF_SMOKE).collect()
+    }
+    chunks: dict = {}
+    for r in chunk_tokens(corpus(spark, SF_SMOKE), c, o).collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text.split()
+        assert r.n_tokens_chunk == len(r.chunk_text.split()) or (
+            r.n_tokens_chunk == 0 and r.chunk_text == ""
+        )
+    assert set(chunks) == set(docs)
+    for doc_id, toks in docs.items():
+        by_idx = chunks[doc_id]
+        assert sorted(by_idx) == list(range(len(by_idx)))
+        for k, piece in by_idx.items():
+            assert piece == toks[k * s : k * s + c]
+        # coverage: last chunk reaches the final token
+        last = max(by_idx)
+        assert last * s + len(by_idx[last]) == len(toks)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """Injected emails and long numbers are fully redacted, counts match
+    the injection rule, and untouched docs pass through verbatim."""
+    from flink_realtime_datawarehouse_v3_spark.operators.text_analysis import (
+        pii_inject,
+        pii_scrub,
+    )
+    from flink_realtime_datawarehouse_v3_spark.sources.corpus import corpus
+
+    raw = {r.doc_id: r.text for r in corpus(spark, SF_SMOKE).collect()}
+    out = {r.doc_id: r for r in pii_scrub(corpus(spark, SF_SMOKE)).collect()}
+    assert set(out) == set(raw)
+    n_injected = 0
+    for doc_id, r in out.items():
+        assert "@" not in r.clean_text
+        assert r.n_emails == (1 if doc_id % 5 == 0 else 0)
+        assert r.n_longnums == (1 if doc_id % 11 == 0 else 0)
+        if doc_id % 5 == 0:
+            assert "<EMAIL>" in r.clean_text
+            n_injected += 1
+        if doc_id % 11 == 0:
+            assert "<NUM>" in r.clean_text
+        if doc_id % 5 and doc_id % 11:
+            assert r.clean_text == raw[doc_id]
+    assert n_injected > 0
+    # the injection fixture itself is what the scrubber saw
+    injected = {r.doc_id: r.text for r in pii_inject(corpus(spark, SF_SMOKE)).collect()}
+    assert all("@example.com" in injected[d] for d in injected if d % 5 == 0)
