@@ -765,6 +765,32 @@ register(
     ),
 )
 
+# ADS rollup lattice: (province, source_type) + per-province + grand total
+# in one ROLLUP pass; level = grouping_id, identical bit semantics to
+# DuckDB's GROUPING(province_name, source_type_name).
+register(
+    "dws_trade_province_source_rollup",
+    lambda spark, sf: dws.trade_province_source_rollup(
+        dwd_trade.order_detail(_pre(spark, sf)), dims.dim_base_province(spark, sf)
+    ),
+    oracle.sql(
+        """SELECT p.name AS province_name, source_type_name,
+                  GROUPING(p.name, source_type_name) AS level,
+                  count(DISTINCT order_id) AS order_count,
+                  CAST(sum(CAST(split_total_amount AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+           FROM (SELECT * FROM (SELECT *, row_number() OVER
+                     (PARTITION BY id
+                      ORDER BY create_time DESC NULLS LAST,
+                               activity_rule_id DESC NULLS LAST,
+                               coupon_id DESC NULLS LAST) AS rl
+                 FROM dwd_order_detail) WHERE rl = 1) d
+           JOIN dim_province p ON d.province_id = p.id
+           GROUP BY ROLLUP(p.name, source_type_name)""",
+        *oracle.DETAIL_CTES,
+        "dim_province",
+    ),
+)
+
 _TM_KEYS = (
     "tm_id, tm_name, category1_id, category1_name, category2_id, "
     "category2_name, category3_id, category3_name, user_id"
@@ -812,6 +838,53 @@ register(
          ON a.user_id = b.user_id
         AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR
        WHERE a.event_type = 'click' AND b.event_type = 'view'""",
+)
+
+# Backward as-of join (temporal-join shape): latest prior view per click.
+# Oracle controls the tie-break explicitly (greatest ms, then greatest
+# event_id) instead of DuckDB's ASOF JOIN, whose equal-key choice is
+# unspecified; ms-truncated epochs on both sides.
+register(
+    "asof_join_events",
+    lambda spark, sf: joins_plan.asof_join_events(
+        tables_mod.load(spark, sf, "events")
+    ),
+    """SELECT user_id, click_event_id, view_event_id, lag_ms FROM (
+           SELECT c.user_id, c.event_id AS click_event_id,
+                  v.event_id AS view_event_id,
+                  epoch_ms(c.ts) - epoch_ms(v.ts) AS lag_ms,
+                  row_number() OVER (
+                      PARTITION BY c.event_id
+                      ORDER BY epoch_ms(v.ts) DESC, v.event_id DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'click') c
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON c.user_id = v.user_id AND epoch_ms(v.ts) <= epoch_ms(c.ts))
+       WHERE rn = 1""",
+)
+
+from .operators import sessionize as sessionize_op  # noqa: E402
+
+# Gap-based session windows (Spark's native session_window operator); the
+# oracle re-derives the same sessions via the lag/cumsum formulation.
+register(
+    "sessionize_events",
+    lambda spark, sf: sessionize_op.session_stats(
+        tables_mod.load(spark, sf, "events")
+    ),
+    f"""WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, value, event_id
+                   FROM events),
+        d AS (SELECT *, CASE WHEN lag(tms) OVER w IS NULL
+                             OR tms - lag(tms) OVER w > {sessionize_op.GAP_MS}
+                             THEN 1 ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d)
+    SELECT user_id, min(tms) AS session_start_ms,
+           max(tms) + {sessionize_op.GAP_MS} AS session_end_ms,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM s GROUP BY user_id, sid""",
 )
 
 from .operators import skew as skew_op  # noqa: E402
@@ -891,6 +964,27 @@ register(
     ),
     oracle.sql(
         f"SELECT id, name, create_time FROM user_info_cdc {_DIM_LATEST}",
+        "user_info_cdc",
+    ),
+)
+
+# Runtime schema evolution (TableProcessFunction.checkTable's ALTER path):
+# the v2 config row widens dim_user_info with phone_num from its
+# effective_ts on; earlier records keep NULL there. The oracle expresses the
+# era split as a CASE over the record ts.
+_EVOLVE_TS = dim_plan.USER_INFO_EVOLUTION[1].effective_ts
+
+register(
+    "dim_user_info_schema_evolve",
+    lambda spark, sf: dim_plan.route_evolving(
+        _cdc(spark, sf, ["user_info"]), dim_plan.USER_INFO_EVOLUTION
+    ),
+    oracle.sql(
+        f"""SELECT id, name,
+                   CASE WHEN CAST(ts AS BIGINT) >= {_EVOLVE_TS}
+                        THEN phone_num END AS phone_num,
+                   create_time
+            FROM user_info_cdc {_DIM_LATEST}""",
         "user_info_cdc",
     ),
 )
@@ -1207,6 +1301,41 @@ SELECT v AS doc_id, min(l) AS cluster_id,
 FROM reach GROUP BY v""",
 )
 
+# Benchmark decontamination: n-gram overlap against the held-out slice.
+_DECON_N = text_dedup.DECON_N
+_BM = text_dedup.BENCH_MOD
+_SHINGLE_LIST_N = (
+    f"list_transform(generate_series(0, greatest(len({_TOKS}) - {_DECON_N}, 0)), "
+    "i -> concat_ws(' ', "
+    + ", ".join(f"{_TOKS}[i + {j + 1}]" for j in range(_DECON_N))
+    + "))"
+)
+
+register(
+    "decontaminate_ngram",
+    lambda spark, sf: text_dedup.decontaminate(_corpus(spark, sf)),
+    f"""WITH {_CORPUS},
+shn AS (
+    SELECT doc_id, UNNEST(list_distinct({_SHINGLE_LIST_N})) AS shingle
+    FROM corpus
+),
+bench AS (
+    SELECT DISTINCT shingle FROM shn
+    WHERE doc_id % {_BM} = 0 AND doc_id < 1000000
+),
+hits AS (
+    SELECT s.doc_id, count(*) AS n_overlap
+    FROM shn s JOIN bench b USING (shingle)
+    WHERE NOT (s.doc_id % {_BM} = 0 AND s.doc_id < 1000000)
+    GROUP BY s.doc_id
+)
+SELECT c.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+       CAST(coalesce(h.n_overlap, 0) > 0 AS INT) AS contaminated
+FROM (SELECT doc_id FROM corpus
+      WHERE NOT (doc_id % {_BM} = 0 AND doc_id < 1000000)) c
+LEFT JOIN hits h USING (doc_id)""",
+)
+
 _SAMPLE_RATE_CASE = (
     "CASE lang_pred "
     + " ".join(
@@ -1480,17 +1609,20 @@ _DRIVER_WINDOW = [
     "dedup_embedding_cosine",
     "simsearch_cosine_topk",
     "text_sample_stratified",
+    # -- new this round: every new entry gets its r04 driver row --------------
+    "dim_user_info_schema_evolve",    # J10 + runtime schema evolution
+    "asof_join_events",               # temporal as-of join, sort-once shape
+    "sessionize_events",              # session windows (native session_window)
+    "dws_trade_province_source_rollup",  # ADS ROLLUP lattice, one pass
+    "decontaminate_ngram",            # benchmark n-gram decontamination
     # -- batch spine: one in-window representative per family -----------------
     "dwd_interaction_comment",        # S5/J3 dic lookup join
-    "dwd_trade_order_detail",         # J1/J2 wide row projection
     "dwd_trade_cart_add",             # P5 delta + dic lookup
     "dwd_trade_order_refund",         # J4 double lookup
     "dwd_trade_refund_pay_suc",       # J6 4-way composite-key join
-    "dwd_traffic_display_log",        # P7 split + explode
     "dwd_traffic_dirty_log",          # P2 dirty side output
     "dws_traffic_page_view_window",   # A3 global window
     "dws_user_user_login_window",     # D2 7-day-return flags
-    "dws_user_user_register_window",  # A3
     "dws_trade_cart_add_uu_window",   # D1 + A3
     "dws_trade_payment_suc_window",   # D4 + D2 + A3
     "dws_trade_order_window",         # D3 + A6 derived metrics
@@ -1503,12 +1635,10 @@ _DRIVER_WINDOW = [
     "join_bucketed_colocated",        # write-time bucketing, exchange-free
     "join_activity_coupon_full_outer",  # J8
     "dim_coupon_use",                 # J10/P6 config routing
-    "text_token_stats",
     "text_chunk_tokens",              # new this round: LLM context packing
     "text_pii_scrub",                 # new this round: PII redaction + audit
     "text_corpus_clean",
     "text_fingerprint",
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -1519,6 +1649,11 @@ _DRIVER_WINDOW = [
 # one's oracle still runs in-window through its streaming twin where one
 # exists (e.g. dwd_traffic_page_log via streaming_base_log).
 _DRIVER_TAIL = [
+    "dwd_trade_order_detail",
+    "dwd_traffic_display_log",
+    "dws_user_user_register_window",
+    "text_token_stats",
+    "dedup_exact",
     "dwd_user_register",
     "dwd_tool_coupon_get",
     "dwd_tool_coupon_order",

@@ -1,0 +1,60 @@
+"""Gap-based sessionization (the session-window counterpart of the
+tumbling windows in plans/dws.py).
+
+The reference's windows are all tumbling (FlinkSQL TUMBLE, e.g.
+RT/app/dws/DwsTradeOrderWindow.java:60-75); session windows are the other
+first-class Flink window type (``window(EventTimeSessionWindows.withGap)``)
+and a streaming warehouse user expects both. Spark-first shape: the
+built-in ``F.session_window`` aggregation — Catalyst's native
+gap-merge operator (one shuffle on the session key, windows merged
+map-side per key, no window-id materialization) — NOT a lag/cumsum
+window-function re-derivation, which would sort twice.
+
+Semantics (both engines): a session is a maximal run of a user's events
+where consecutive gaps are <= GAP; session_end = last event ts + GAP.
+Events exactly GAP apart DO merge (Spark closes a session only when the
+next event is strictly past last+gap — verified empirically; the oracle's
+new-session predicate is ``gap > GAP``, not ``>=``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GAP = "30 minutes"
+GAP_MS = 30 * 60 * 1000
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    """Per (user, session): bounds, event count, value sum.
+
+    Millisecond epoch bounds on the output (timestamps truncated to ms
+    before windowing) keep the cross-engine comparison free of sub-ms
+    float/precision drift; the session structure at ms resolution is
+    identical.
+    """
+    ms = F.unix_millis(F.col("ts"))
+    e = events.select(
+        "user_id",
+        F.timestamp_millis(ms).alias("ts"),
+        "value",
+    )
+    agg = (
+        e.groupBy(F.session_window("ts", GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # Decimal accumulation: exact regardless of partition/merge
+            # order (float sums would drift between engines).
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+        F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+        "n_events",
+        "value_sum",
+    )

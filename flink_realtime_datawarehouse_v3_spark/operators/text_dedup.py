@@ -284,3 +284,47 @@ def dedup_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("v") == F.col("label")).cast("int").alias("keep"),
     )
+
+
+BENCH_MOD = 97  # corpus docs with doc_id % 97 == 0 form the held-out set
+DECON_N = 8  # token-shingle width for the overlap test
+
+
+def decontaminate(corpus: DataFrame, n: int = DECON_N) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any n-token
+    shingle with a held-out benchmark set (the standard LLM-corpus
+    n-gram-overlap decontamination pass; training-data op beyond the
+    reference surface).
+
+    Here the benchmark set is the deterministic slice
+    ``doc_id % BENCH_MOD == 0`` of the base documents; every other corpus
+    doc is a training candidate scored by how many of its distinct
+    n-shingles appear anywhere in the benchmark.
+
+    Scale design: the benchmark is orders of magnitude smaller than the
+    corpus (a few thousand eval docs vs billions of training docs), so its
+    distinct-shingle set is BROADCAST and the overlap test is a map-side
+    hash-semi-join over the candidates' exploded shingles — the corpus is
+    scanned once, shuffled once (the per-doc count), and no shingle
+    inverted index over the full corpus is built.
+    """
+    is_bench = (F.col("doc_id") % BENCH_MOD == 0) & (F.col("doc_id") < 1_000_000)
+    bench_shingles = (
+        shingles_exploded(corpus.filter(is_bench), n=n).select("shingle").distinct()
+    )
+    cand = corpus.filter(~is_bench)
+    hits = (
+        shingles_exploded(cand, n=n)
+        .join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        cand.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )

@@ -250,6 +250,7 @@ user_info_cdc AS (
     SELECT 'insert' AS type,
            CAST(c_custkey AS VARCHAR) AS id,
            c_name AS name,
+           '13' || lpad(CAST(c_custkey % 1000000000 AS VARCHAR), 9, '0') AS phone_num,
            {_f("TIMESTAMP '2024-01-01 00:00:00' + (c_custkey % 30) * INTERVAL 1 DAY + (c_custkey % 86400) * INTERVAL 1 SECOND")} AS create_time,
            {_epoch_s("TIMESTAMP '2024-01-01 00:00:00' + (c_custkey % 30) * INTERVAL 1 DAY + (c_custkey % 86400) * INTERVAL 1 SECOND")} AS ts
     FROM customer

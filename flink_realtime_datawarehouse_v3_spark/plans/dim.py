@@ -66,3 +66,79 @@ def route_one(topic_db: DataFrame, cfg: TableProcess) -> DataFrame:
 def dim_tables(topic_db: DataFrame, config: list[TableProcess] | None = None) -> dict[str, DataFrame]:
     cfgs = config if config is not None else DIM_CONFIG
     return {cfg.sink_table: route_one(topic_db, cfg) for cfg in cfgs}
+
+
+# --- schema evolution: the table_process config as its own changelog ---------
+#
+# The reference consumes table_process AS A CDC STREAM: when a config row's
+# sinkColumns change mid-stream, TableProcessFunction.checkTable issues a
+# runtime ALTER-equivalent (Phoenix CREATE TABLE is re-checked per config
+# record, RT/app/func/TableProcessFunction.java:84-106) and every data record
+# processed AFTER that broadcast update is pruned to the NEW column list —
+# records already sunk keep their old shape (NULL in the added column).
+#
+# Spark-first shape: each config version owns a half-open event-time era
+# [effective_ts, next_effective_ts); the routed stream is the union of the
+# per-era projections aligned to the MERGED schema (unionByName with
+# allowMissingColumns — Spark's schema-merge). The config is a tiny
+# driver-side list, so the era predicates compile into the plan as literal
+# filters over one cached scan: broadcast by construction, zero shuffle
+# added. At 100 TB the data stream pays exactly one extra column of NULLs.
+
+@dataclass(frozen=True)
+class ConfigVersion:
+    """One table_process changelog entry: ``cfg`` becomes the routing rule
+    for records with ``ts >= effective_ts`` (until a later version)."""
+
+    effective_ts: int
+    cfg: TableProcess
+
+
+USER_INFO_EVOLUTION: list[ConfigVersion] = [
+    ConfigVersion(0, DIM_CONFIG[0]),
+    # v2: the operator widens the dim mid-stream — phone_num starts sinking
+    # for records from 2024-01-16 on (epoch 1705363200).
+    ConfigVersion(
+        1705363200,
+        TableProcess("user_info", "dim_user_info", "id,name,phone_num,create_time"),
+    ),
+]
+
+
+def route_evolving(topic_db: DataFrame, versions: list[ConfigVersion]) -> DataFrame:
+    """Route one dim table under a config CHANGELOG (J10 + runtime schema
+    evolution). Output schema is the merged column set across all versions,
+    in first-appearance order; a record routed under an era whose config
+    lacks a column carries NULL there. Keep-latest per pk runs over the
+    merged stream, so a pk updated across a config boundary lands with the
+    newest era's shape — exactly the Phoenix-upsert-after-ALTER behavior."""
+    assert versions and versions[0].effective_ts == 0, "first era must cover ts=0"
+    eras = sorted(versions, key=lambda v: v.effective_ts)
+    merged: list[str] = []
+    for v in eras:
+        merged += [c for c in v.cfg.columns if c not in merged]
+
+    src = topic_db.filter(F.col("table") == eras[0].cfg.source_table)
+    parts: list[DataFrame] = []
+    for i, v in enumerate(eras):
+        lo = v.effective_ts
+        hi = eras[i + 1].effective_ts if i + 1 < len(eras) else None
+        era = src.filter(F.col("ts").cast("long") >= lo)
+        if hi is not None:
+            era = era.filter(F.col("ts").cast("long") < hi)
+        parts.append(
+            era.select(
+                *[F.col("data").getItem(c).alias(c) for c in v.cfg.columns],
+                F.col("ts").cast("long").alias("__ts"),
+                F.when(F.col("type") == "update", 1).otherwise(0).alias("__upd"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    pk = eras[-1].cfg.sink_pk
+    return (
+        keep_latest(out, [pk], ["__ts", "__upd"])
+        .drop("__ts", "__upd")
+        .select(*merged)
+    )

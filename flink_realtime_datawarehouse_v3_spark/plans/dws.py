@@ -398,3 +398,41 @@ def trade_trademark_category_user_refund_window(
         "user_id",
         "refund_count",
     )
+
+
+def trade_province_source_rollup(
+    detail: DataFrame, dim_province: DataFrame
+) -> DataFrame:
+    """ADS-layer rollup: order metrics at (province, source_type), per
+    province, and grand-total levels in ONE aggregation pass.
+
+    The reference materializes each ADS rollup level as a separate
+    ClickHouse query over the DWS table; Spark expresses the whole lattice
+    as a single ``ROLLUP`` plan — Catalyst expands the grouping sets and
+    the partial aggregation is shared map-side, so the three levels cost
+    one shuffle, not three. ``grouping_id()`` disambiguates levels exactly
+    like DuckDB/ANSI ``GROUPING(a, b)``.
+    """
+    deduped = dedup.keep_latest(
+        detail, ["id"], ["create_time", "activity_rule_id", "coupon_id"]
+    )
+    enriched = deduped.join(
+        F.broadcast(dim_province), deduped.province_id == dim_province.id, "inner"
+    ).select(
+        F.col("name").alias("province_name"),
+        "source_type_name",
+        "order_id",
+        _dec(F.col("split_total_amount")).alias("amt"),
+    )
+    return (
+        enriched.rollup("province_name", "source_type_name")
+        .agg(
+            F.grouping_id().alias("level"),
+            F.countDistinct("order_id").alias("order_count"),
+            F.sum("amt").cast("double").alias("order_amount"),
+        )
+        .select(
+            "province_name", "source_type_name", "level",
+            "order_count", "order_amount",
+        )
+    )

@@ -66,6 +66,59 @@ def interval_join_events(events: DataFrame) -> DataFrame:
     )
 
 
+def asof_join_events(events: DataFrame) -> DataFrame:
+    """Backward as-of join: each click event matched to the LATEST view
+    event of the same user at-or-before the click (ties on ts -> highest
+    view event_id); clicks with no prior view keep a NULL view side.
+
+    This is the temporal-join shape the reference's lookup joins
+    approximate (J3, RT/app/dwd/DwdTradeOrderPreProcess.java FOR SYSTEM_TIME
+    AS OF semantics) expressed for two event streams. Scale design: NOT a
+    range join — both sides are union-tagged and sorted once per user key,
+    and ``last(ignorenulls)`` over the running frame carries the most
+    recent view forward. One shuffle on user_id, O(n log n) per key,
+    no candidate-pair blowup regardless of time skew.
+    """
+    from pyspark.sql.window import Window
+
+    base = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_ms", "event_id", F.lit(0).alias("is_click")
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_ms", "event_id", F.lit(1).alias("is_click")
+    )
+    # Views sort BEFORE clicks at equal ts (is_click asc), so a same-ms view
+    # is visible to the click; among equal-ts views the last in (ts_ms,
+    # event_id) order is the max event_id — mirroring the oracle's
+    # ORDER BY v.ts DESC, v.event_id DESC tie-break.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = views.unionByName(clicks).withColumn(
+        "v",
+        F.last(
+            F.when(
+                F.col("is_click") == 0, F.struct("ts_ms", "event_id")
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.filter(F.col("is_click") == 1).select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("v.event_id").alias("view_event_id"),
+        (F.col("ts_ms") - F.col("v.ts_ms")).alias("lag_ms"),
+    )
+
+
 def activity_coupon_full_outer(topic_db: DataFrame) -> DataFrame:
     """J8: order_detail_activity FULL OUTER order_detail_coupon on the
     order_detail key — the changelog row set an upsert-kafka sink would

@@ -411,6 +411,15 @@ def user_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "id": F.col("c_custkey"),
             "name": F.col("c_name"),
+            # Carried in the payload but NOT in the v1 dim config — the
+            # schema-evolution router (plans/dim.py:route_evolving) starts
+            # sinking it once the v2 config row becomes effective, like the
+            # reference's runtime ALTER TABLE ADD COLUMN
+            # (RT/app/func/TableProcessFunction.java:84-106).
+            "phone_num": F.concat(
+                F.lit("13"),
+                F.lpad((F.col("c_custkey") % 1_000_000_000).cast("string"), 9, "0"),
+            ),
             "create_time": _fmt(create),
         }
     )

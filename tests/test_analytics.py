@@ -1,0 +1,117 @@
+"""Unit + parity tests for the round-4 analytics operators: schema-evolving
+DIM routing, as-of join, sessionization, rollup, decontamination."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from flink_realtime_datawarehouse_v3_spark import api
+from flink_realtime_datawarehouse_v3_spark.plans import dim as dim_plan
+from flink_realtime_datawarehouse_v3_spark.sources import cdc
+
+from .conftest import SF_SMOKE, assert_parity
+
+
+def test_dim_evolve_parity(spark, duck):
+    df = api.QUERIES["dim_user_info_schema_evolve"](spark, SF_SMOKE)
+    assert_parity(df, duck, api.ORACLES["dim_user_info_schema_evolve"], "dim_evolve")
+
+
+def test_dim_evolve_era_split(spark):
+    """Rows routed before the v2 config's effective_ts must carry NULL in
+    the added column; rows from the v2 era must carry the payload value —
+    and both eras must be non-empty (the fixture straddles the boundary)."""
+    eff = dim_plan.USER_INFO_EVOLUTION[1].effective_ts
+    src = cdc.topic_db_parsed(spark, SF_SMOKE, only=["user_info"])
+    routed = dim_plan.route_evolving(src, dim_plan.USER_INFO_EVOLUTION)
+    ts_by_id = {
+        r["id"]: int(r["ts"])
+        for r in src.select(F.col("data").getItem("id").alias("id"), "ts").collect()
+    }
+    n_pre = n_post = 0
+    for r in routed.collect():
+        if ts_by_id[r["id"]] < eff:
+            assert r["phone_num"] is None
+            n_pre += 1
+        else:
+            assert r["phone_num"] is not None
+            n_post += 1
+    assert n_pre > 0 and n_post > 0
+
+
+def test_dim_evolve_merged_schema_order(spark):
+    routed = dim_plan.route_evolving(
+        cdc.topic_db_parsed(spark, SF_SMOKE, only=["user_info"]),
+        dim_plan.USER_INFO_EVOLUTION,
+    )
+    # v1 columns first, then v2's addition at its first-appearance position.
+    assert routed.columns == ["id", "name", "create_time", "phone_num"]
+
+
+def test_asof_null_when_no_prior_view(spark):
+    """A click before any view of the same user must surface with a NULL
+    view side (left semantics), and matched rows must have lag_ms >= 0."""
+    rows = api.QUERIES["asof_join_events"](spark, SF_SMOKE).collect()
+    assert rows, "no clicks in fixture?"
+    assert all(r["lag_ms"] is None or r["lag_ms"] >= 0 for r in rows)
+
+
+def test_session_window_boundary_merges(spark):
+    """Events exactly GAP apart merge into one session (Spark's strict
+    close-at->gap rule the oracle mirrors); one microsecond past the gap
+    splits."""
+    from flink_realtime_datawarehouse_v3_spark.operators.sessionize import (
+        GAP_MS,
+        session_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    gap = dt.timedelta(milliseconds=GAP_MS)
+    e = spark.createDataFrame(
+        [
+            (1, t0, 1.0),
+            (1, t0 + gap, 1.0),  # exactly at the boundary -> merges
+            (1, t0 + gap * 2 + dt.timedelta(milliseconds=1), 1.0),  # splits
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    out = sorted(
+        session_stats(e).collect(), key=lambda r: r["session_start_ms"]
+    )
+    assert [r["n_events"] for r in out] == [2, 1]
+    assert out[0]["session_end_ms"] - out[0]["session_start_ms"] == 2 * GAP_MS
+
+
+def test_rollup_levels_consistent(spark):
+    """The rollup's per-province level must re-aggregate exactly from the
+    leaf level for the additive measure, and the grand total row must be
+    unique with level 3."""
+    df = api.QUERIES["dws_trade_province_source_rollup"](spark, SF_SMOKE).collect()
+    leaves = [r for r in df if r["level"] == 0]
+    prov = {r["province_name"]: r for r in df if r["level"] == 1}
+    total = [r for r in df if r["level"] == 3]
+    assert len(total) == 1 and total[0]["province_name"] is None
+    by_prov: dict[str, float] = {}
+    for r in leaves:
+        by_prov[r["province_name"]] = by_prov.get(r["province_name"], 0.0) + r["order_amount"]
+    for p, amt in by_prov.items():
+        assert abs(prov[p]["order_amount"] - amt) < 1e-6
+
+
+def test_decontaminate_flags_exact_dup_of_benchmark(spark):
+    """The exact-duplicate twin (doc_id + 1_000_000) of a benchmark doc
+    shares every shingle with it -> must be flagged contaminated; and no
+    benchmark doc appears among the candidates."""
+    rows = {r["doc_id"]: r for r in
+            api.QUERIES["decontaminate_ngram"](spark, SF_SMOKE).collect()}
+    from flink_realtime_datawarehouse_v3_spark.operators.text_dedup import BENCH_MOD
+
+    assert all(
+        not (d % BENCH_MOD == 0 and d < 1_000_000) for d in rows
+    )
+    # doc 0 is benchmark (0 % 97 == 0) and has an exact twin at 1_000_000.
+    twin = rows.get(1_000_000)
+    assert twin is not None and twin["contaminated"] == 1 and twin["n_overlap"] > 0
+    assert any(r["contaminated"] == 0 for r in rows.values())

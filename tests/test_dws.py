@@ -14,7 +14,7 @@ DWS = [n for n in api.QUERIES if n.startswith("dws_") and n in api.ORACLES]
 
 
 def test_count():
-    assert len(DWS) == 11
+    assert len(DWS) == 12
 
 
 @pytest.mark.parametrize("name", DWS)

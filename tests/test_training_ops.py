@@ -26,6 +26,7 @@ ORACLED = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "text_sample_stratified",
+    "decontaminate_ngram",
 ]
 
 
