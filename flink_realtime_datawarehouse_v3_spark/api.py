@@ -1511,6 +1511,9 @@ def _register_streaming() -> None:
             "stream_pay_detail_suc",
             "dwd_trade_pay_detail_suc",
         ),
+        # Session windows (gap-merge) under watermarked append mode —
+        # the non-tumbling Flink window type; shares the batch oracle.
+        "streaming_sessionize": ("stream_sessionize", "sessionize_events"),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -1613,6 +1616,7 @@ _DRIVER_WINDOW = [
     "dim_user_info_schema_evolve",    # J10 + runtime schema evolution
     "asof_join_events",               # temporal as-of join, sort-once shape
     "sessionize_events",              # session windows (native session_window)
+    "streaming_sessionize",           # session windows under streaming
     "dws_trade_province_source_rollup",  # ADS ROLLUP lattice, one pass
     "decontaminate_ngram",            # benchmark n-gram decontamination
     # -- batch spine: one in-window representative per family -----------------
@@ -1637,7 +1641,6 @@ _DRIVER_WINDOW = [
     "dim_coupon_use",                 # J10/P6 config routing
     "text_chunk_tokens",              # new this round: LLM context packing
     "text_pii_scrub",                 # new this round: PII redaction + audit
-    "text_corpus_clean",
     "text_fingerprint",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -1649,6 +1652,7 @@ _DRIVER_WINDOW = [
 # one's oracle still runs in-window through its streaming twin where one
 # exists (e.g. dwd_traffic_page_log via streaming_base_log).
 _DRIVER_TAIL = [
+    "text_corpus_clean",
     "dwd_trade_order_detail",
     "dwd_traffic_display_log",
     "dws_user_user_register_window",

@@ -26,20 +26,21 @@ GAP = "30 minutes"
 GAP_MS = 30 * 60 * 1000
 
 
-def session_stats(events: DataFrame) -> DataFrame:
-    """Per (user, session): bounds, event count, value sum.
-
-    Millisecond epoch bounds on the output (timestamps truncated to ms
-    before windowing) keep the cross-engine comparison free of sub-ms
-    float/precision drift; the session structure at ms resolution is
-    identical.
-    """
-    ms = F.unix_millis(F.col("ts"))
-    e = events.select(
+def shape_events(events: DataFrame) -> DataFrame:
+    """(user_id, ts, value) with ts truncated to ms — the sub-ms digits
+    carry float/precision drift across engines; the session structure at
+    ms resolution is identical. Shared by the batch and streaming forms
+    (the streaming form inserts its watermark between this and the agg)."""
+    return events.select(
         "user_id",
-        F.timestamp_millis(ms).alias("ts"),
+        F.timestamp_millis(F.unix_millis(F.col("ts"))).alias("ts"),
         "value",
     )
+
+
+def session_agg(e: DataFrame) -> DataFrame:
+    """The gap-merge aggregation over a :func:`shape_events`-shaped input
+    (batch or streaming-with-watermark)."""
     agg = (
         e.groupBy(F.session_window("ts", GAP).alias("w"), "user_id")
         .agg(
@@ -58,3 +59,8 @@ def session_stats(events: DataFrame) -> DataFrame:
         "n_events",
         "value_sum",
     )
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    """Per (user, session): bounds, event count, value sum."""
+    return session_agg(shape_events(events))

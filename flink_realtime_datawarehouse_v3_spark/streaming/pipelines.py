@@ -613,3 +613,52 @@ def stream_dim_app(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             ).localCheckpoint()
             for cfg in DIM_CONFIG
         }
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under streaming: watermarked native
+    ``session_window`` gap-merge in append mode — each (user, session)
+    emits exactly once, when the watermark passes its close (last event
+    + gap). The tumbling windows cover W1-W3; this is the other
+    first-class Flink window type (EventTimeSessionWindows.withGap) under
+    Spark's native operator, replayed file-per-micro-batch so sessions
+    MERGE across micro-batches (a session spanning two files is held in
+    state until the gap expires, then emitted once).
+
+    Sentinels: two heartbeat rows 1 h / 2 h past max event time (> GAP)
+    close and flush every real session before availableNow terminates;
+    their synthetic user is dropped on the output side.
+    """
+    from ..operators.sessionize import session_agg
+    from ..sources import tables
+
+    # Epoch-ms longs in the replay files (Spark parquet timestamps are
+    # int96 — no footer min/max for the sentinel derivation); re-typed to
+    # timestamp after the streaming read.
+    e = tables.load(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis(F.col("ts")).alias("ts_ms"), "value"
+    )
+    with TempStreamDir() as d:
+        def sents(mx: int) -> list:
+            return [
+                spark.createDataFrame(
+                    [(-1, mx + h * 3_600_000, 0.0)],
+                    "user_id long, ts_ms long, value double",
+                )
+                for h in (1, 2)
+            ]
+
+        _write_replay(e, d.sub("in"), order_by=["ts_ms"], sentinels=sents, max_col="ts_ms")
+        s = (
+            read_stream(spark, d.sub("in"))
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+            .drop("ts_ms")
+            .withWatermark("ts", "2 seconds")
+        )
+        # Sentinel drop must happen on the MATERIALIZED output: a
+        # grouping-key filter inside the streaming plan is pushed below
+        # EventTimeWatermark and would silently eat the sentinels (same
+        # constraint as _page_sentinel).
+        return run_to_memory(session_agg(s), output_mode="append").filter(
+            F.col("user_id") != -1
+        )

@@ -57,6 +57,12 @@ def test_stream_jump_detail(spark):
     _same(stream, batch, "jump_detail")
 
 
+def test_stream_sessionize(spark):
+    stream = sp.stream_sessionize(spark, SF_SMOKE)
+    batch = api.QUERIES["sessionize_events"](spark, SF_SMOKE)
+    _same(stream, batch, "sessionize")
+
+
 def test_stream_checkpoint_recovery_entry(spark):
     """The driver-board K2 entry: kill+resume through a checkpointed sink
     must equal the plain batch pipeline row-for-row (exactly once)."""
