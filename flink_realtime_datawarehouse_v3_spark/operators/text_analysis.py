@@ -294,6 +294,129 @@ def pii_scrub(corpus: DataFrame) -> DataFrame:
     )
 
 
+def _grams(toks, n: int):
+    """Array of space-joined n-grams of the token array (empty when the
+    doc has fewer than n tokens)."""
+    size = F.size(toks)
+    seq = F.sequence(F.lit(1), size - (n - 1))
+    return F.when(
+        size >= n,
+        F.transform(
+            seq,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(corpus: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction
+    of 2-gram occurrences taken by the single most frequent 2-gram, and
+    the fraction of 3-gram occurrences whose 3-gram appears more than
+    once (Rae et al. 2021's repetition filters, the standard
+    pretraining-corpus quality gate).
+
+    Scale shape: ONE explode of tagged n-grams -> hash agg on
+    (doc_id, n, gram) -> hash agg on doc_id. Both aggs partial-combine
+    map-side and the keys carry doc_id, so there is no skew pileup and no
+    per-document state larger than its gram counts. All outputs are
+    ratios of integers — no float drift against the oracle.
+    """
+    toks = tokens(F.col("text"))
+    tagged = F.concat(
+        F.transform(_grams(toks, 2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))),
+        F.transform(_grams(toks, 3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("g"))),
+    )
+    grams = corpus.select("doc_id", F.explode(tagged).alias("t")).select(
+        "doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g")
+    )
+    counts = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    two = F.col("n") == 2
+    three = F.col("n") == 3
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(two, F.col("c"))).alias("n_bigrams"),
+            F.max(F.when(two, F.col("c"))).alias("top_bigram_count"),
+            F.sum(F.when(three, F.col("c"))).alias("__n_tri"),
+            F.sum(F.when(three & (F.col("c") > 1), F.col("c"))).alias("__dup_tri"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_bigram_count",
+            F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("__dup_tri"), F.lit(0)) / F.col("__n_tri"), 6
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+def vocab_topk(corpus: DataFrame, k: int = 200) -> DataFrame:
+    """Corpus vocabulary: the k most frequent tokens with total and
+    document frequencies — the vocabulary-building pass of a tokenizer
+    training pipeline.
+
+    Deterministic order: (total_count DESC, token ASC) — token is unique
+    per group, so the LIMIT is a total order. Spark plans this as
+    TakeOrderedAndProject: per-partition top-k then a merge of k-row
+    heaps, never a full sort of the vocabulary.
+    """
+    toks = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("total_count"),
+            F.countDistinct("doc_id").alias("doc_count"),
+        )
+        .orderBy(F.col("total_count").desc(), "token")
+        .limit(k)
+    )
+
+
+def tfidf_topk(corpus: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k keywords by tf-idf (keyword-extraction /
+    relevance-weighting pass): tf = count/doc_len, idf = ln(N/df),
+    ranked by (round(tfidf, 6) DESC, token ASC) so the cut is stable even
+    when two scores agree to 6 decimals.
+
+    Scale shape: gram counts hash-agg on (doc_id, token); doc lengths via
+    a window over the same partitioning (no second shuffle); document
+    frequencies hash-agg on token; the tf x idf join shuffles on token
+    (fact-fact at corpus scale — a 100 TB corpus has a vocabulary too
+    large to broadcast); N arrives via a one-row broadcast. round() on
+    both engines before ranking keeps the float comparison stable.
+    """
+    tok = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    tc = tc.withColumn("n_tok", F.sum("c").over(Window.partitionBy("doc_id")))
+    df_counts = tc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = corpus.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tc.join(df_counts, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("c") / F.col("n_tok"))
+                * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "rank", "tfidf")
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.2, "fr": 0.2, "und": 0.05}
 
 

@@ -1,0 +1,82 @@
+"""Time-series rollup operators over the ``events`` stream table.
+
+Beyond the reference surface (its windows are all 10 s tumbling — e.g.
+RT/app/dws/DwsTradeOrderWindow.java:172): the two aggregate shapes a
+warehouse user expects next are the hypertable-style *continuous
+aggregate* (downsample a raw event stream into per-key time buckets,
+keeping first/last/min/max/sum — the TimescaleDB/ClickHouse
+materialized-rollup pattern) and *hopping (sliding) windows* (Flink's
+``HOP``; Spark's ``window(ts, windowDuration, slideDuration)``).
+
+Scale posture: both are single hash-aggregation passes — partial
+aggregation map-side, one shuffle on (key, bucket). ``min_by/max_by``
+keep first/last values inside the same agg (no window-function sort, no
+self-join); the hop window fans each row into window/slide rows map-side
+(2x here), which is the canonical Spark plan for sliding aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BUCKET_MS = 60_000  # 1-minute rollup buckets
+HOP_WINDOW = "10 minutes"
+HOP_SLIDE = "5 minutes"
+
+
+def time_rollup(events: DataFrame, bucket_ms: int = BUCKET_MS) -> DataFrame:
+    """Per (user_id, time bucket): event count, exact value sum, first/last
+    value by event time, min/max value.
+
+    first/last use ``min_by/max_by`` on the raw microsecond timestamp
+    (unique per user in the fixture — verified no (user_id, ts)
+    duplicates), so the whole rollup is ONE partial-aggregatable hash agg:
+    the shape that turns 100 TB of raw events into a queryable downsample
+    without a sort or self-join. The value sum accumulates in
+    decimal(18,2) so the result is exact regardless of partition/merge
+    order (float sums would drift between engines).
+    """
+    # Integer DIV, not double division: a float quotient truncated back to
+    # bigint can land one-off at exact bucket boundaries.
+    bucket = F.expr(f"(unix_millis(ts) DIV {bucket_ms}) * {bucket_ms}")
+    return (
+        events.select("user_id", bucket.alias("bucket_ms"), "ts", "value")
+        .groupBy("user_id", "bucket_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+            F.min_by("value", "ts").alias("first_value"),
+            F.max_by("value", "ts").alias("last_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def hop_window_counts(events: DataFrame) -> DataFrame:
+    """Per (event_type, hopping 10-min window sliding by 5 min): count and
+    exact value sum. Spark's ``window()`` with a slide emits each row into
+    window/slide = 2 panes map-side and hash-aggregates — no
+    window-function sort. Window starts align to the epoch in multiples of
+    the slide (Spark's documented alignment), which the oracle reproduces
+    arithmetically."""
+    return (
+        events.groupBy(
+            F.window("ts", HOP_WINDOW, HOP_SLIDE).alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            "event_type",
+            F.unix_millis(F.col("w.start")).alias("ws_ms"),
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -49,6 +49,11 @@ SMJ_WHITELIST = {
     "dws_trade_user_spu_order_window",
     "dws_trade_province_order_window",
     "dws_trade_province_order_window_approx",
+    "dws_trade_province_source_rollup",
+    # tf x idf joins token counts with document frequencies on token: both
+    # sides derive from the full corpus (a 100 TB corpus's vocabulary is
+    # not broadcastable), so the shuffle join on token is the plan we want.
+    "text_tfidf_topk",
 }
 
 # Arrow-batched Python is allowed only where Python is the point.

@@ -27,6 +27,12 @@ ORACLED = [
     "multimodal_frame_sample",
     "text_sample_stratified",
     "decontaminate_ngram",
+    "text_repetition_stats",
+    "text_vocab_topk",
+    "text_tfidf_topk",
+    "embedding_quantize_int8",
+    "events_time_rollup",
+    "events_hop_window",
 ]
 
 
@@ -168,3 +174,94 @@ def test_pii_scrub_redacts_and_counts(spark):
     # the injection fixture itself is what the scrubber saw
     injected = {r.doc_id: r.text for r in pii_inject(corpus(spark, SF_SMOKE)).collect()}
     assert all("@example.com" in injected[d] for d in injected if d % 5 == 0)
+
+
+def test_quantize_error_bound(spark):
+    """int8 min-max quantization error is bounded by half a quantization
+    step of the widest dimension (the ScalarQuantizer guarantee)."""
+    from flink_realtime_datawarehouse_v3_spark.operators import simsearch
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    emb = tables.load(spark, SF_SMOKE, "embeddings")
+    rows = simsearch.quantize_int8(emb).collect()
+    assert rows
+    import numpy as np
+
+    vecs = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    widest = (vecs.max(axis=0) - vecs.min(axis=0)).max()
+    bound = widest / 255.0 / 2.0 + 1e-9
+    assert all(r.max_abs_err <= bound for r in rows)
+    assert all(0 <= r.q0 <= 255 and 0 <= r.q63 <= 255 for r in rows)
+
+
+def test_time_rollup_conserves_events(spark):
+    """Bucketed rollup partitions the event set: counts sum to the raw
+    count, and first/last respect min/max bounds."""
+    from flink_realtime_datawarehouse_v3_spark.operators import timeseries
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    events = tables.load(spark, SF_SMOKE, "events")
+    roll = timeseries.time_rollup(events).collect()
+    assert sum(r.n_events for r in roll) == events.count()
+    for r in roll:
+        assert r.min_value <= r.first_value <= r.max_value
+        assert r.min_value <= r.last_value <= r.max_value
+        assert r.bucket_ms % 60000 == 0
+
+
+def test_hop_window_double_counts(spark):
+    """Every event lands in exactly window/slide = 2 hopping panes, so
+    pane counts sum to 2x the raw count and consecutive panes overlap."""
+    from flink_realtime_datawarehouse_v3_spark.operators import timeseries
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    events = tables.load(spark, SF_SMOKE, "events")
+    panes = timeseries.hop_window_counts(events).collect()
+    assert sum(r.n_events for r in panes) == 2 * events.count()
+    assert all(r.ws_ms % 300000 == 0 for r in panes)
+
+
+def test_vocab_topk_order_and_bound(spark):
+    """Vocabulary page is sorted by (count DESC, token) and bounded by k."""
+    from flink_realtime_datawarehouse_v3_spark.operators import text_analysis
+    from flink_realtime_datawarehouse_v3_spark.sources import corpus as corpus_mod
+
+    rows = text_analysis.vocab_topk(corpus_mod.corpus(spark, SF_SMOKE), k=10).collect()
+    assert 0 < len(rows) <= 10
+    keys = [(-r.total_count, r.token) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.doc_count <= r.total_count for r in rows)
+
+
+def test_tfidf_rare_tokens_win(spark):
+    """The injected near-dup suffix tokens appear in ~1/7 of docs while
+    corpus words blanket every doc — tf-idf must rank the rare suffix
+    tokens first for the docs that carry them."""
+    rows = api.QUERIES["text_tfidf_topk"](spark, SF_SMOKE).collect()
+    top3: dict = {}
+    for r in rows:
+        if r.doc_id >= 2_000_000:
+            top3.setdefault(r.doc_id, set()).add(r.token)
+    assert top3
+    # the pair ties on tfidf, so either both make the page or neither;
+    # a doc may carry at most one even rarer base token in between.
+    assert all("appended" in toks or "nearduplicate" in toks for toks in top3.values())
+    assert sum("appended" in t and "nearduplicate" in t for t in top3.values()) >= len(top3) * 0.5
+
+
+def test_repetition_flags_duplicated_trigrams(spark):
+    """A repeated document body does not change top-gram fractions, but a
+    doc whose text is a pure A-B loop maxes the repetition signals."""
+    from flink_realtime_datawarehouse_v3_spark.operators import text_analysis
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "w x y z q r s t")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_analysis.repetition_stats(df).collect()}
+    # doc 1: bigrams = [ab, ba, ab, ba, ab, ba, ab] -> top 'a b' 4/7
+    assert out[1].n_bigrams == 7 and out[1].top_bigram_count == 4
+    assert out[1].dup_trigram_frac == 1.0
+    # doc 2: all grams unique
+    assert out[2].top_bigram_frac == round(1 / 7, 6)
+    assert out[2].dup_trigram_frac == 0.0
