@@ -924,6 +924,50 @@ register(
        GROUP BY 1, 2""",
 )
 
+from .operators import profiling as profiling_op  # noqa: E402
+
+# Column profiling: per-type distribution stats with EXACT sort-based
+# percentiles (Spark `percentile` == DuckDB `quantile_cont`, verified) and
+# decimal-power-sum mean/stddev so no float drift can occur. The
+# percentile_approx (t-digest) twin is the declared 100 TB drop-in.
+register(
+    "events_profile_stats",
+    lambda spark, sf: profiling_op.profile_stats(
+        tables_mod.load(spark, sf, "events")
+    ),
+    """SELECT event_type, count(*) AS n_events,
+              round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*), 6) AS mean_value,
+              round(sqrt((CAST(sum(CAST(value AS DECIMAL(18,2))
+                                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                          - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                            * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                            / count(*))
+                         / (count(*) - 1)), 6) AS stddev_value,
+              min(value) AS min_value, max(value) AS max_value,
+              round(quantile_cont(value, 0.5), 6) AS p50,
+              round(quantile_cont(value, 0.9), 6) AS p90,
+              round(quantile_cont(value, 0.99), 6) AS p99
+       FROM events GROUP BY event_type""",
+)
+
+# Left ANTI join (funnel drop): viewers who never purchased. Semi/anti
+# joins are absent from the reference surface (SURVEY.md §2.4 JN) but a
+# warehouse user expects them; the anti build side is the distinct
+# purchaser id set, not the purchase fact table.
+register(
+    "events_view_no_purchase",
+    lambda spark, sf: joins_plan.view_no_purchase_users(
+        tables_mod.load(spark, sf, "events")
+    ),
+    """SELECT user_id, count(*) AS n_views
+       FROM events v WHERE event_type = 'view'
+         AND NOT EXISTS (SELECT 1 FROM events p
+                         WHERE p.event_type = 'purchase'
+                           AND p.user_id = v.user_id)
+       GROUP BY user_id""",
+)
+
 from .operators import skew as skew_op  # noqa: E402
 
 
@@ -1373,6 +1417,19 @@ FROM (SELECT doc_id FROM corpus
 LEFT JOIN hits h USING (doc_id)""",
 )
 
+# Corpus-mix report over the raw documents table: ONE ROLLUP pass over
+# (source, lang) with GROUPING-bit level semantics identical to DuckDB.
+register(
+    "corpus_mix_report",
+    lambda spark, sf: text_analysis.corpus_mix_report(
+        tables.load(spark, sf, "documents")
+    ),
+    """SELECT source, lang, GROUPING(source, lang) AS level,
+              count(*) AS n_docs, sum(n_chars) AS total_chars,
+              round(sum(n_chars) / count(*), 6) AS mean_chars
+       FROM documents GROUP BY ROLLUP(source, lang)""",
+)
+
 # Gopher-style repetition quality signals (Rae et al. 2021): top-2-gram
 # occupancy and duplicated-3-gram fraction per doc — the repetition gate a
 # pretraining corpus pipeline runs before mixing.
@@ -1638,6 +1695,9 @@ def _register_streaming() -> None:
         # Session windows (gap-merge) under watermarked append mode —
         # the non-tumbling Flink window type; shares the batch oracle.
         "streaming_sessionize": ("stream_sessionize", "sessionize_events"),
+        # Continuous aggregate (1-min rollup with min_by/max_by first/
+        # last) under watermarked append mode; shares the batch oracle.
+        "streaming_time_rollup": ("stream_time_rollup", "events_time_rollup"),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -1749,15 +1809,15 @@ _DRIVER_WINDOW = [
     "embedding_quantize_int8",        # new r4: vector-index compression
     "events_time_rollup",             # new r4: hypertable continuous agg
     "events_hop_window",              # new r4: sliding windows (HOP)
+    "streaming_time_rollup",          # new r4: continuous agg, live form
+    "events_profile_stats",           # new r4: exact-percentile profiling
+    "events_view_no_purchase",        # new r4: left anti join (funnel drop)
+    "corpus_mix_report",              # new r4: ROLLUP mix dashboard
     # -- batch spine: one in-window representative per family -----------------
-    "dwd_trade_cart_add",             # P5 delta + dic lookup
     "dwd_trade_refund_pay_suc",       # J6 4-way composite-key join
     "dws_trade_cart_add_uu_window",   # D1 + A3
-    "dws_trade_payment_suc_window",   # D4 + D2 + A3
-    "dws_trade_order_window",         # D3 + A6 derived metrics
     "sink_dws_partitioned_roundtrip",  # K4 partitioned sink round trip
     "dws_trade_province_order_window",  # A5 exact distinct
-    "dws_trade_trademark_category_user_refund_window",  # J11
     "interval_join_events",           # J7
     "join_salted_skew",               # skew-safe fact join
     "join_bucketed_colocated",        # write-time bucketing, exchange-free
@@ -1783,6 +1843,10 @@ _DRIVER_TAIL = [
     "dws_traffic_page_view_window",   # A3 global window
     "dws_user_user_login_window",     # D2 7-day-return flags
     "dws_trade_user_spu_order_window",  # A4 + J11 star join
+    "dwd_trade_cart_add",             # P5 delta + dic lookup
+    "dws_trade_payment_suc_window",   # D4 + D2 + A3
+    "dws_trade_order_window",         # D3 + A6 derived metrics
+    "dws_trade_trademark_category_user_refund_window",  # J11
     "text_corpus_clean",
     "dwd_trade_order_detail",
     "dwd_traffic_display_log",

@@ -1,0 +1,65 @@
+"""Column-profiling operator: the statistics pass a data pipeline runs
+before trusting a numeric column (count / mean / stddev / min / max /
+exact percentiles per group).
+
+Beyond the reference surface: the reference's only aggregates are sums
+and counts (SURVEY.md §2.5); a warehouse serving training-data prep also
+needs distribution profiles to set quality-filter thresholds.
+
+Determinism across engines: the mean and variance are derived from EXACT
+decimal power sums (value has 2 decimals, value^2 has 4 — both sum
+without rounding in decimal, so partition/merge order cannot drift the
+result), then converted to double through the *identical* expression the
+oracle uses. Percentiles use Spark's exact ``percentile`` (sort-based,
+linear interpolation) which matches DuckDB's ``quantile_cont``
+bit-for-bit — verified, and the profile rounds to 6 decimals anyway.
+
+Scale: one hash aggregation; the percentile agg buffers each group's
+values, which is the standard exact-percentile cost — the approximate
+twin (``percentile_approx``, t-digest) is the drop-in at 100 TB and is
+exposed via ``approx=True`` (rows-only contract, like the HLL entry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PCTS = (0.5, 0.9, 0.99)
+
+
+def profile_stats(events: DataFrame, approx: bool = False) -> DataFrame:
+    """Per event_type distribution profile of ``value``."""
+    s1 = F.sum(F.col("value").cast("decimal(18,2)"))
+    s2 = F.sum(
+        F.col("value").cast("decimal(18,2)") * F.col("value").cast("decimal(18,2)")
+    )
+    n = F.count(F.lit(1))
+    pct = (
+        (lambda p: F.percentile_approx("value", p))
+        if approx
+        else (lambda p: F.percentile("value", p))
+    )
+    agg = events.groupBy("event_type").agg(
+        n.alias("n_events"),
+        s1.alias("__s1"),
+        s2.alias("__s2"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        *[pct(p).alias(f"__p{int(p * 100)}") for p in PCTS],
+    )
+    d1 = F.col("__s1").cast("double")
+    d2 = F.col("__s2").cast("double")
+    nn = F.col("n_events")
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.round(d1 / nn, 6).alias("mean_value"),
+        F.round(F.sqrt((d2 - d1 * d1 / nn) / (nn - 1)), 6).alias("stddev_value"),
+        "min_value",
+        "max_value",
+        *[
+            F.round(F.col(f"__p{int(p * 100)}"), 6).alias(f"p{int(p * 100)}")
+            for p in PCTS
+        ],
+    )

@@ -454,3 +454,31 @@ def sample_stratified(
             "doc_id", "lang_pred", F.round(F.col("__key"), 6).alias("sample_key")
         )
     )
+
+
+def corpus_mix_report(documents: DataFrame) -> DataFrame:
+    """Corpus-mix report over the raw documents table: doc counts, char
+    volume, and mean doc length at (source, lang), per-source, and
+    grand-total levels — ONE ``ROLLUP`` pass (shared map-side partial
+    agg), the mix dashboard every training-data pipeline keeps.
+
+    ``level`` is ``grouping_id()``, bit-identical to ANSI/DuckDB
+    ``GROUPING(source, lang)``. The mean divides two exact integers in
+    double, so the report is drift-free across engines.
+    """
+    return (
+        documents.rollup("source", "lang")
+        .agg(
+            F.grouping_id().alias("level"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "source",
+            "lang",
+            "level",
+            "n_docs",
+            "total_chars",
+            F.round(F.col("total_chars") / F.col("n_docs"), 6).alias("mean_chars"),
+        )
+    )

@@ -144,3 +144,22 @@ def activity_coupon_full_outer(topic_db: DataFrame) -> DataFrame:
             "coupon_use_id",
         )
     )
+
+
+def view_no_purchase_users(events: DataFrame) -> DataFrame:
+    """Left ANTI join (the funnel-drop query): users with at least one
+    view event and NO purchase event, with their view counts.
+
+    Semi/anti joins are absent from the reference (SURVEY.md §2.4 JN) but
+    first-class in Catalyst; the anti side ships only the distinct
+    purchase user ids through the shuffle — at 100 TB the build side is
+    the deduplicated key set, not the purchase fact table, and AQE can
+    broadcast it when small.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    purchasers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.join(purchasers, "user_id", "left_anti")

@@ -17,6 +17,8 @@ Pipelines covered (one per SURVEY.md streaming mechanism):
   + stream-static dic lookup (J1/J2/J3/W5)   -> stream_order_pre_process
 - 3-way payment join over two independent
   streams (J5)                               -> stream_pay_detail_suc
+- session windows (gap-merge, append mode)   -> stream_sessionize
+- continuous 1-min rollup w/ min_by/max_by   -> stream_time_rollup
 """
 
 from __future__ import annotations
@@ -660,5 +662,70 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # EventTimeWatermark and would silently eat the sentinels (same
         # constraint as _page_sentinel).
         return run_to_memory(session_agg(s), output_mode="append").filter(
+            F.col("user_id") != -1
+        )
+
+
+def stream_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable-style continuous aggregate as a LIVE streaming
+    query: watermarked 1-minute tumbling windows per user in append mode,
+    with first/last via min_by/max_by inside the streaming agg — i.e. the
+    materialized-rollup job a time-series warehouse runs continuously,
+    emitting each (user, bucket) exactly once on watermark passage.
+
+    Shares the batch oracle of ``events_time_rollup`` (window.start ==
+    the arithmetic bucket, both epoch-aligned). Sentinels: two heartbeat
+    rows 1 h / 2 h past max event time advance the watermark so every
+    real bucket flushes before availableNow terminates; the synthetic
+    user is dropped on the materialized output (a grouping-key filter
+    inside the plan would be pushed below EventTimeWatermark and eat the
+    sentinels — same constraint as stream_sessionize).
+    """
+    from ..sources import tables
+
+    e = tables.load(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis(F.col("ts")).alias("ts_ms"), "value"
+    )
+    with TempStreamDir() as d:
+        def sents(mx: int) -> list:
+            return [
+                spark.createDataFrame(
+                    [(-1, mx + h * 3_600_000, 0.0)],
+                    "user_id long, ts_ms long, value double",
+                )
+                for h in (1, 2)
+            ]
+
+        _write_replay(e, d.sub("in"), order_by=["ts_ms"], sentinels=sents, max_col="ts_ms")
+        s = (
+            read_stream(spark, d.sub("in"))
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+            .drop("ts_ms")
+            .withWatermark("ts", "2 seconds")
+        )
+        agg = (
+            s.groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("value_sum"),
+                F.min_by("value", "ts").alias("first_value"),
+                F.max_by("value", "ts").alias("last_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .select(
+                "user_id",
+                F.unix_millis(F.col("w.start")).alias("bucket_ms"),
+                "n_events",
+                "value_sum",
+                "first_value",
+                "last_value",
+                "min_value",
+                "max_value",
+            )
+        )
+        return run_to_memory(agg, output_mode="append").filter(
             F.col("user_id") != -1
         )

@@ -384,3 +384,9 @@ def test_stream_dim_app(spark):
     assert set(streamed) == set(batch)
     for sink_table, sdf in streamed.items():
         _same(sdf, batch[sink_table], f"dim_app:{sink_table}")
+
+
+def test_stream_time_rollup(spark):
+    stream = sp.stream_time_rollup(spark, SF_SMOKE)
+    batch = api.QUERIES["events_time_rollup"](spark, SF_SMOKE)
+    _same(stream, batch, "time_rollup")

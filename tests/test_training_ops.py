@@ -33,6 +33,9 @@ ORACLED = [
     "embedding_quantize_int8",
     "events_time_rollup",
     "events_hop_window",
+    "events_profile_stats",
+    "events_view_no_purchase",
+    "corpus_mix_report",
 ]
 
 
