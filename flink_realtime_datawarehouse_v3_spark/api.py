@@ -951,6 +951,16 @@ register(
        FROM events GROUP BY event_type""",
 )
 
+# The 100 TB drop-in: t-digest percentile_approx instead of the exact
+# sort-based percentile — declared approximation, rows-only in the driver
+# contract; the tolerance gate lives in tests/test_training_ops.py.
+register(
+    "events_profile_stats_approx",
+    lambda spark, sf: profiling_op.profile_stats(
+        tables_mod.load(spark, sf, "events"), approx=True
+    ),
+)
+
 # Left ANTI join (funnel drop): viewers who never purchased. Semi/anti
 # joins are absent from the reference surface (SURVEY.md §2.4 JN) but a
 # warehouse user expects them; the anti build side is the distinct
@@ -1425,7 +1435,8 @@ register(
         tables.load(spark, sf, "documents")
     ),
     """SELECT source, lang, GROUPING(source, lang) AS level,
-              count(*) AS n_docs, sum(n_chars) AS total_chars,
+              count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
               round(sum(n_chars) / count(*), 6) AS mean_chars
        FROM documents GROUP BY ROLLUP(source, lang)""",
 )
@@ -1451,7 +1462,7 @@ grams AS (
 ),
 counts AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3)
 SELECT doc_id,
-       sum(CASE WHEN n = 2 THEN c END) AS n_bigrams,
+       CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n_bigrams,
        max(CASE WHEN n = 2 THEN c END) AS top_bigram_count,
        round(max(CASE WHEN n = 2 THEN c END)
              / sum(CASE WHEN n = 2 THEN c END), 6) AS top_bigram_frac,
@@ -1875,6 +1886,7 @@ _DRIVER_TAIL = [
     # rows-only by design (no oracle possible) — never in a checked slot:
     "dws_trade_province_order_window_approx",
     "simsearch_ivf_topk",
+    "events_profile_stats_approx",
 ]
 
 

@@ -252,23 +252,22 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Carry the previous label through the projection so the fixpoint
+        # check is a filter over the just-checkpointed frame — no extra
+        # join job per round.
         new = (
             labels.join(nbr, labels.v == nbr.src, "left")
             .select(
                 labels.v.alias("v"),
+                F.col("label").alias("prev_label"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("label") != F.col("prev_label")).count()
+        labels = new.select("v", "label")
         if changed == 0:
             break
     if changed != 0:

@@ -165,3 +165,24 @@ def test_dws_sink_partition_pruning(spark, tmp_path):
     assert back.count() == want
 
 
+
+
+def test_new_r4_plan_shapes(plans):
+    """Round-4 operators keep their declared scale shapes:
+    - vocab top-k plans as TakeOrderedAndProject (per-partition heaps,
+      no full vocabulary sort);
+    - the time rollup is ONE hash aggregation (single exchange, no sort,
+      no join);
+    - the hop window expands panes map-side then hash-aggregates once;
+    - profiling is one aggregation pass (percentile is sort-based inside
+      the agg buffer, not a plan-level Sort)."""
+    assert "TakeOrderedAndProject" in plans["text_vocab_topk"]
+    for name in ("events_time_rollup", "events_hop_window", "events_profile_stats"):
+        p = plans[name]
+        assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, name
+        assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, name
+    assert "Expand" in plans["events_hop_window"]
+    # anti join builds on the distinct purchaser id set
+    assert re.search(r"Join LeftAnti|LeftAnti", plans["events_view_no_purchase"])
+    # quantization: stats come back via a one-row broadcast, never a collect
+    assert "BroadcastNestedLoopJoin" in plans["embedding_quantize_int8"]

@@ -268,3 +268,31 @@ def test_repetition_flags_duplicated_trigrams(spark):
     # doc 2: all grams unique
     assert out[2].top_bigram_frac == round(1 / 7, 6)
     assert out[2].dup_trigram_frac == 0.0
+
+
+def test_profile_approx_within_tolerance(spark):
+    """The t-digest scale twin tracks the exact profile: identical exact
+    stats, and each approximate percentile lands within +/-5 RANKS of its
+    target (value tolerance is meaningless in a sparse tail — rank error
+    is what t-digest bounds)."""
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    exact = {r.event_type: r for r in api.QUERIES["events_profile_stats"](spark, SF_SMOKE).collect()}
+    approx = {r.event_type: r for r in api.QUERIES["events_profile_stats_approx"](spark, SF_SMOKE).collect()}
+    assert set(exact) == set(approx)
+    vals: dict = {}
+    for r in tables.load(spark, SF_SMOKE, "events").select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for et, e in exact.items():
+        a = approx[et]
+        assert (a.n_events, a.mean_value, a.min_value, a.max_value) == (
+            e.n_events, e.mean_value, e.min_value, e.max_value
+        )
+        xs = sorted(vals[et])
+        n = len(xs)
+        for pct in (0.5, 0.9, 0.99):
+            got = getattr(a, f"p{int(pct * 100)}")
+            target = pct * (n - 1)
+            lo = xs[max(0, int(target) - 5)]
+            hi = xs[min(n - 1, int(target) + 6)]
+            assert lo <= got <= hi, (et, pct, got, lo, hi)
