@@ -1777,14 +1777,18 @@ _register_streaming()
 # ops) because later registrations reuse earlier ORACLES; the DRIVER order
 # is a separate concern, set here:
 #   1. entries with no driver row yet (the whole streaming plane W1-W12 +
-#      K2/K3/K5, multimodal, simsearch, stratified sampling) — the hard
-#      correctness signal must reach them this round;
+#      K2/K3/K5, multimodal, simsearch, stratified sampling, and every
+#      operator added this round) — the hard correctness signal must
+#      reach them this round;
 #   2. batch entries that keep each query family represented in-window
 #      (their rotated-out siblings are hash-green in CORRECTNESS_r03, so
 #      every entry has a green driver row in r03 or r04);
-#   3. past the cutoff: the rotated-out proven entries, then the two
-#      rows-only-by-design entries (province approx HLL, IVF top-k) which
-#      can never be hash-green and must not occupy checked slots.
+#   3. past the cutoff: the rotated-out proven entries, then the
+#      rows-only-by-design entries (province approx HLL, IVF top-k,
+#      approx percentiles) which can never be hash-green and must not
+#      occupy checked slots.
+# Invariants pinned by tests/test_driver_order.py: window == 50, all
+# oracled, rows-only strictly at the tail, rotated-out => r03-green.
 
 _DRIVER_WINDOW = [
     # -- streaming plane: W1-W12 mechanisms + K2/K3/K5 sinks ------------------
