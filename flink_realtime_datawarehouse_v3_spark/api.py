@@ -1709,6 +1709,9 @@ def _register_streaming() -> None:
         # Continuous aggregate (1-min rollup with min_by/max_by first/
         # last) under watermarked append mode; shares the batch oracle.
         "streaming_time_rollup": ("stream_time_rollup", "events_time_rollup"),
+        # Hopping windows live: every event in 2 panes, each pane emitted
+        # once on watermark passage; shares the batch oracle.
+        "streaming_hop_window": ("stream_hop_window", "events_hop_window"),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -1825,11 +1828,11 @@ _DRIVER_WINDOW = [
     "events_time_rollup",             # new r4: hypertable continuous agg
     "events_hop_window",              # new r4: sliding windows (HOP)
     "streaming_time_rollup",          # new r4: continuous agg, live form
+    "streaming_hop_window",           # new r4: sliding windows, live form
     "events_profile_stats",           # new r4: exact-percentile profiling
     "events_view_no_purchase",        # new r4: left anti join (funnel drop)
     "corpus_mix_report",              # new r4: ROLLUP mix dashboard
     # -- batch spine: one in-window representative per family -----------------
-    "dwd_trade_refund_pay_suc",       # J6 4-way composite-key join
     "dws_trade_cart_add_uu_window",   # D1 + A3
     "sink_dws_partitioned_roundtrip",  # K4 partitioned sink round trip
     "dws_trade_province_order_window",  # A5 exact distinct
@@ -1862,6 +1865,7 @@ _DRIVER_TAIL = [
     "dws_trade_payment_suc_window",   # D4 + D2 + A3
     "dws_trade_order_window",         # D3 + A6 derived metrics
     "dws_trade_trademark_category_user_refund_window",  # J11
+    "dwd_trade_refund_pay_suc",       # J6 4-way composite-key join
     "text_corpus_clean",
     "dwd_trade_order_detail",
     "dwd_traffic_display_log",

@@ -19,6 +19,7 @@ Pipelines covered (one per SURVEY.md streaming mechanism):
   streams (J5)                               -> stream_pay_detail_suc
 - session windows (gap-merge, append mode)   -> stream_sessionize
 - continuous 1-min rollup w/ min_by/max_by   -> stream_time_rollup
+- hopping (sliding) windows, append mode     -> stream_hop_window
 """
 
 from __future__ import annotations
@@ -728,4 +729,59 @@ def stream_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return run_to_memory(agg, output_mode="append").filter(
             F.col("user_id") != -1
+        )
+
+
+def stream_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows live: watermarked 10-min windows sliding
+    by 5 min per event_type, append mode — each pane emits exactly once on
+    watermark passage, and every event lands in window/slide = 2 panes.
+    Shares the batch oracle of ``events_hop_window``.
+
+    Sentinels: two heartbeat rows (event_type ``__sentinel__``) 1 h / 2 h
+    past max event time flush every open pane before availableNow
+    terminates; dropped on the materialized output (not inside the plan —
+    a pre-watermark filter would eat them, same constraint as
+    stream_sessionize)."""
+    from ..sources import tables
+
+    e = tables.load(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis(F.col("ts")).alias("ts_ms"), "value"
+    )
+    with TempStreamDir() as d:
+        def sents(mx: int) -> list:
+            return [
+                spark.createDataFrame(
+                    [("__sentinel__", mx + h * 3_600_000, 0.0)],
+                    "event_type string, ts_ms long, value double",
+                )
+                for h in (1, 2)
+            ]
+
+        _write_replay(e, d.sub("in"), order_by=["ts_ms"], sentinels=sents, max_col="ts_ms")
+        s = (
+            read_stream(spark, d.sub("in"))
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+            .drop("ts_ms")
+            .withWatermark("ts", "2 seconds")
+        )
+        agg = (
+            s.groupBy(
+                F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+            .select(
+                "event_type",
+                F.unix_millis(F.col("w.start")).alias("ws_ms"),
+                "n_events",
+                "value_sum",
+            )
+        )
+        return run_to_memory(agg, output_mode="append").filter(
+            F.col("event_type") != "__sentinel__"
         )

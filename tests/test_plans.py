@@ -186,3 +186,23 @@ def test_new_r4_plan_shapes(plans):
     assert re.search(r"Join LeftAnti|LeftAnti", plans["events_view_no_purchase"])
     # quantization: stats come back via a one-row broadcast, never a collect
     assert "BroadcastNestedLoopJoin" in plans["embedding_quantize_int8"]
+
+
+@pytest.mark.parametrize(
+    "name,want",
+    [
+        ("events_profile_stats", {"event_type", "value"}),
+        ("events_time_rollup", {"ts", "user_id", "value"}),
+        ("events_hop_window", {"ts", "event_type", "value"}),
+        ("events_view_no_purchase", {"user_id", "event_type"}),
+        ("corpus_mix_report", {"source", "lang", "n_chars"}),
+    ],
+)
+def test_events_scans_pruned(plans, name, want):
+    """Each events/documents scan reads exactly the needed columns (names
+    only — the fixture's ts physical type varies across generations)."""
+    scans = re.findall(r"ReadSchema: struct<([^>]*)", plans[name])
+    assert scans, f"{name}: no parquet scan found"
+    for s in scans:
+        got = {c.split(":")[0] for c in s.split(",") if ":" in c}
+        assert got <= want, f"{name}: scan reads extra columns {got - want}"

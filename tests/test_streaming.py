@@ -390,3 +390,9 @@ def test_stream_time_rollup(spark):
     stream = sp.stream_time_rollup(spark, SF_SMOKE)
     batch = api.QUERIES["events_time_rollup"](spark, SF_SMOKE)
     _same(stream, batch, "time_rollup")
+
+
+def test_stream_hop_window(spark):
+    stream = sp.stream_hop_window(spark, SF_SMOKE)
+    batch = api.QUERIES["events_hop_window"](spark, SF_SMOKE)
+    _same(stream, batch, "hop_window")
