@@ -1080,6 +1080,26 @@ register(
     ),
 )
 
+# SCD2 dimension history: every coupon_use version with its validity
+# interval — the as-of-joinable history form next to the SCD1 dim above.
+register(
+    "dim_coupon_use_scd2",
+    lambda spark, sf: dim_plan.scd2_history(
+        _cdc(spark, sf, ["coupon_use"]), dim_plan.DIM_CONFIG[1]
+    ),
+    oracle.sql(
+        """SELECT id, coupon_id, user_id, order_id, coupon_status, get_time,
+                  using_time, used_time,
+                  row_number() OVER w AS version,
+                  CAST(ts AS BIGINT) AS start_ts,
+                  lead(CAST(ts AS BIGINT)) OVER w AS end_ts,
+                  CAST(lead(CAST(ts AS BIGINT)) OVER w IS NULL AS INT) AS is_current
+           FROM coupon_use_cdc
+           WINDOW w AS (PARTITION BY id ORDER BY CAST(ts AS BIGINT))""",
+        "coupon_use_cdc",
+    ),
+)
+
 register(
     "dim_coupon_use",
     lambda spark, sf: dim_plan.route_one(
@@ -1832,8 +1852,8 @@ _DRIVER_WINDOW = [
     "events_profile_stats",           # new r4: exact-percentile profiling
     "events_view_no_purchase",        # new r4: left anti join (funnel drop)
     "corpus_mix_report",              # new r4: ROLLUP mix dashboard
+    "dim_coupon_use_scd2",            # new r4: SCD2 dimension history
     # -- batch spine: one in-window representative per family -----------------
-    "dws_trade_cart_add_uu_window",   # D1 + A3
     "sink_dws_partitioned_roundtrip",  # K4 partitioned sink round trip
     "dws_trade_province_order_window",  # A5 exact distinct
     "interval_join_events",           # J7
@@ -1866,6 +1886,7 @@ _DRIVER_TAIL = [
     "dws_trade_order_window",         # D3 + A6 derived metrics
     "dws_trade_trademark_category_user_refund_window",  # J11
     "dwd_trade_refund_pay_suc",       # J6 4-way composite-key join
+    "dws_trade_cart_add_uu_window",   # D1 + A3
     "text_corpus_clean",
     "dwd_trade_order_detail",
     "dwd_traffic_display_log",

@@ -142,3 +142,32 @@ def route_evolving(topic_db: DataFrame, versions: list[ConfigVersion]) -> DataFr
         .drop("__ts", "__upd")
         .select(*merged)
     )
+
+
+def scd2_history(topic_db: DataFrame, cfg: TableProcess) -> DataFrame:
+    """SCD type-2 dimension history: one row PER VERSION with a half-open
+    validity interval, instead of the router's keep-latest (SCD1) collapse.
+
+    The reference's dim layer is SCD1 (Phoenix UPSERT overwrites,
+    RT/utils/PhoenixUtil.java:25-44); a warehouse also needs the history
+    form for as-of dimension joins. Each CDC record opens a version at its
+    ts; ``end_ts`` = the next version's start (NULL while current).
+
+    Scale: one shuffle on the pk for the window (lead + row_number share
+    the single sort); (pk, ts) is unique in the changelog so the order —
+    and therefore every interval — is total and partitioning-independent.
+    """
+    from pyspark.sql import Window
+
+    routed = topic_db.filter(F.col("table") == cfg.source_table).select(
+        *[F.col("data").getItem(c).alias(c) for c in cfg.columns],
+        F.col("ts").cast("long").alias("start_ts"),
+    )
+    w = Window.partitionBy(cfg.sink_pk).orderBy("start_ts")
+    return routed.select(
+        *cfg.columns,
+        F.row_number().over(w).alias("version"),
+        "start_ts",
+        F.lead("start_ts").over(w).alias("end_ts"),
+        F.lead("start_ts").over(w).isNull().cast("int").alias("is_current"),
+    )

@@ -115,3 +115,29 @@ def test_decontaminate_flags_exact_dup_of_benchmark(spark):
     twin = rows.get(1_000_000)
     assert twin is not None and twin["contaminated"] == 1 and twin["n_overlap"] > 0
     assert any(r["contaminated"] == 0 for r in rows.values())
+
+
+def test_scd2_intervals_partition_history(spark):
+    """SCD2 contract: versions per id are 1..n in start_ts order, each
+    end_ts equals the next version's start_ts (half-open chain), exactly
+    one current row per id, and the current row is the SCD1 dim row."""
+    from flink_realtime_datawarehouse_v3_spark import api
+
+    rows = api.QUERIES["dim_coupon_use_scd2"](spark, SF_SMOKE).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    assert by_id
+    for vid, versions in by_id.items():
+        versions.sort(key=lambda r: r.version)
+        assert [v.version for v in versions] == list(range(1, len(versions) + 1))
+        for a, b in zip(versions, versions[1:]):
+            assert a.end_ts == b.start_ts and a.is_current == 0
+        assert versions[-1].is_current == 1 and versions[-1].end_ts is None
+    scd1 = {r.id: r for r in api.QUERIES["dim_coupon_use"](spark, SF_SMOKE).collect()}
+    assert set(scd1) == set(by_id)
+    for vid, versions in by_id.items():
+        cur = versions[-1]
+        assert (cur.coupon_status, cur.used_time) == (
+            scd1[vid].coupon_status, scd1[vid].used_time
+        )
