@@ -1100,6 +1100,49 @@ register(
     ),
 )
 
+# Event-time temporal join over the SCD2 history: each coupon PAY event
+# joined to the dim version valid just before it (as-of pay_ts - 1) —
+# always the used-but-unpaid version (status 1402, used_time NULL), which
+# the oracle verifies value-for-value.
+def _coupon_pay_asof(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    cdc_df = _cdc(spark, sf, ["coupon_use"])
+    pay = cdc_df.filter(
+        (F.col("type") == "update") & F.col("data").getItem("used_time").isNotNull()
+    ).select(
+        F.col("data").getItem("id").alias("id"),
+        F.col("ts").cast("long").alias("pay_ts"),
+        (F.col("ts").cast("long") - 1).alias("__asof_ts"),
+    )
+    hist = dim_plan.scd2_history(cdc_df, dim_plan.DIM_CONFIG[1])
+    return dim_plan.temporal_join_scd2(
+        pay, hist, "id", "__asof_ts",
+        ["version", "coupon_status", "using_time", "used_time"],
+    ).select("id", "pay_ts", "version", "coupon_status", "using_time", "used_time")
+
+
+register(
+    "temporal_join_coupon_asof",
+    _coupon_pay_asof,
+    oracle.sql(
+        """SELECT p.id, p.pay_ts, h.version, h.coupon_status,
+                  h.using_time, h.used_time
+           FROM (SELECT id, CAST(ts AS BIGINT) AS pay_ts FROM coupon_use_cdc
+                 WHERE type = 'update' AND used_time IS NOT NULL) p
+           JOIN (SELECT id, coupon_status, using_time, used_time,
+                        row_number() OVER w AS version,
+                        CAST(ts AS BIGINT) AS start_ts,
+                        lead(CAST(ts AS BIGINT)) OVER w AS end_ts
+                 FROM coupon_use_cdc
+                 WINDOW w AS (PARTITION BY id ORDER BY CAST(ts AS BIGINT))) h
+             ON p.id = h.id
+           WHERE h.start_ts <= p.pay_ts - 1
+             AND (h.end_ts IS NULL OR p.pay_ts - 1 < h.end_ts)""",
+        "coupon_use_cdc",
+    ),
+)
+
 register(
     "dim_coupon_use",
     lambda spark, sf: dim_plan.route_one(
@@ -1853,6 +1896,7 @@ _DRIVER_WINDOW = [
     "events_view_no_purchase",        # new r4: left anti join (funnel drop)
     "corpus_mix_report",              # new r4: ROLLUP mix dashboard
     "dim_coupon_use_scd2",            # new r4: SCD2 dimension history
+    "temporal_join_coupon_asof",      # new r4: event-time temporal join
     # -- batch spine: one in-window representative per family -----------------
     "sink_dws_partitioned_roundtrip",  # K4 partitioned sink round trip
     "dws_trade_province_order_window",  # A5 exact distinct
@@ -1863,7 +1907,6 @@ _DRIVER_WINDOW = [
     "dim_coupon_use",                 # J10/P6 config routing
     "text_chunk_tokens",              # new this round: LLM context packing
     "text_pii_scrub",                 # new this round: PII redaction + audit
-    "text_fingerprint",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -1887,6 +1930,7 @@ _DRIVER_TAIL = [
     "dws_trade_trademark_category_user_refund_window",  # J11
     "dwd_trade_refund_pay_suc",       # J6 4-way composite-key join
     "dws_trade_cart_add_uu_window",   # D1 + A3
+    "text_fingerprint",
     "text_corpus_clean",
     "dwd_trade_order_detail",
     "dwd_traffic_display_log",

@@ -171,3 +171,35 @@ def scd2_history(topic_db: DataFrame, cfg: TableProcess) -> DataFrame:
         F.lead("start_ts").over(w).alias("end_ts"),
         F.lead("start_ts").over(w).isNull().cast("int").alias("is_current"),
     )
+
+
+def temporal_join_scd2(
+    facts: DataFrame, history: DataFrame, pk: str, fact_ts: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Event-time temporal join (FlinkSQL ``FOR SYSTEM_TIME AS OF <rowtime>``
+    on a versioned table — the event-time form of the reference's
+    processing-time lookup join, RT/app/dwd/DwdTradeCartAdd.java:88-89):
+    each fact row picks the dim version whose half-open validity interval
+    [start_ts, end_ts) contains its event time. Inner semantics: a fact
+    before the first version has no as-of row.
+
+    Scale: an equi join on the pk carries the shuffle; the interval
+    predicates are post-join filters on the matched pk group (each group
+    holds only that key's few versions), so no range-join blowup — the
+    standard validity-interval join shape.
+    """
+    h = history.select(
+        F.col(pk).alias("__pk"),
+        "start_ts",
+        "end_ts",
+        *dim_cols,
+    )
+    return (
+        facts.join(h, facts[pk] == h.__pk)
+        .filter(
+            (F.col("start_ts") <= F.col(fact_ts))
+            & (F.col("end_ts").isNull() | (F.col(fact_ts) < F.col("end_ts")))
+        )
+        .drop("__pk", "start_ts", "end_ts")
+    )

@@ -141,3 +141,19 @@ def test_scd2_intervals_partition_history(spark):
         assert (cur.coupon_status, cur.used_time) == (
             scd1[vid].coupon_status, scd1[vid].used_time
         )
+
+
+def test_temporal_join_picks_pre_pay_version(spark):
+    """As-of (pay_ts - 1) must always resolve to the used-but-unpaid
+    version: coupon_status 1402, used_time still NULL, version = n-1."""
+    from flink_realtime_datawarehouse_v3_spark import api
+
+    rows = api.QUERIES["temporal_join_coupon_asof"](spark, SF_SMOKE).collect()
+    assert rows
+    history = {}
+    for r in api.QUERIES["dim_coupon_use_scd2"](spark, SF_SMOKE).collect():
+        history[r.id] = max(history.get(r.id, 0), r.version)
+    for r in rows:
+        assert r.coupon_status == "1402"
+        assert r.used_time is None and r.using_time is not None
+        assert r.version == history[r.id] - 1
