@@ -978,6 +978,17 @@ register(
        GROUP BY user_id""",
 )
 
+# INTERSECT set op: ids in both the view and purchase streams.
+register(
+    "events_viewers_and_buyers",
+    lambda spark, sf: joins_plan.viewers_and_buyers(
+        tables_mod.load(spark, sf, "events")
+    ),
+    """SELECT user_id FROM events WHERE event_type = 'view'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'purchase'""",
+)
+
 from .operators import skew as skew_op  # noqa: E402
 
 
@@ -1504,6 +1515,21 @@ register(
        FROM documents GROUP BY ROLLUP(source, lang)""",
 )
 
+# Pivoted corpus mix: wide-format per-source language counts (explicit
+# pivot value list -> ONE conditional-count hash agg, no discovery scan).
+register(
+    "corpus_lang_pivot",
+    lambda spark, sf: text_analysis.lang_source_pivot(
+        tables.load(spark, sf, "documents")
+    ),
+    """SELECT source,
+              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+              CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+              CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+              CAST(sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
+       FROM documents GROUP BY source""",
+)
+
 # Gopher-style repetition quality signals (Rae et al. 2021): top-2-gram
 # occupancy and duplicated-3-gram fraction per doc — the repetition gate a
 # pretraining corpus pipeline runs before mixing.
@@ -1897,10 +1923,11 @@ _DRIVER_WINDOW = [
     "corpus_mix_report",              # new r4: ROLLUP mix dashboard
     "dim_coupon_use_scd2",            # new r4: SCD2 dimension history
     "temporal_join_coupon_asof",      # new r4: event-time temporal join
+    "corpus_lang_pivot",              # new r4: explicit-list pivot report
+    "events_viewers_and_buyers",      # new r4: INTERSECT set op
     # -- batch spine: one in-window representative per family -----------------
     "sink_dws_partitioned_roundtrip",  # K4 partitioned sink round trip
     "dws_trade_province_order_window",  # A5 exact distinct
-    "interval_join_events",           # J7
     "join_salted_skew",               # skew-safe fact join
     "join_bucketed_colocated",        # write-time bucketing, exchange-free
     "join_activity_coupon_full_outer",  # J8
@@ -1910,7 +1937,6 @@ _DRIVER_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_cluster_keep",
 ]
 
 # Proven green in CORRECTNESS_r03; rotated past the cutoff this round. Each
@@ -1931,6 +1957,8 @@ _DRIVER_TAIL = [
     "dwd_trade_refund_pay_suc",       # J6 4-way composite-key join
     "dws_trade_cart_add_uu_window",   # D1 + A3
     "text_fingerprint",
+    "interval_join_events",           # J7
+    "dedup_cluster_keep",
     "text_corpus_clean",
     "dwd_trade_order_detail",
     "dwd_traffic_display_log",

@@ -482,3 +482,26 @@ def corpus_mix_report(documents: DataFrame) -> DataFrame:
             F.round(F.col("total_chars") / F.col("n_docs"), 6).alias("mean_chars"),
         )
     )
+
+
+LANGS = ["en", "de", "fr", "und"]
+
+
+def lang_source_pivot(documents: DataFrame) -> DataFrame:
+    """Pivoted corpus report: one row per source, one doc-count column per
+    language (the wide-format mix table a dashboard consumes).
+
+    ``pivot`` with an EXPLICIT value list: Catalyst turns it into a single
+    hash agg of conditional counts — one shuffle on source, no
+    values-discovery pre-pass (an unlisted pivot would first scan for the
+    distinct languages).
+    """
+    return (
+        documents.groupBy("source")
+        .pivot("lang", LANGS)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "source",
+            *[F.coalesce(F.col(lg), F.lit(0)).alias(f"n_{lg}") for lg in LANGS],
+        )
+    )

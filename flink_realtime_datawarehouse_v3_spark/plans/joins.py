@@ -163,3 +163,13 @@ def view_no_purchase_users(events: DataFrame) -> DataFrame:
     )
     purchasers = events.filter(F.col("event_type") == "purchase").select("user_id")
     return views.join(purchasers, "user_id", "left_anti")
+
+
+def viewers_and_buyers(events: DataFrame) -> DataFrame:
+    """INTERSECT (set-op family, absent from the reference like §2.8's
+    sort/limit): user ids present in BOTH the view and purchase event
+    streams. Catalyst plans INTERSECT as a left-semi aggregate join over
+    the deduplicated key sets — only distinct ids cross the shuffle."""
+    views = events.filter(F.col("event_type") == "view").select("user_id")
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.intersect(buys)

@@ -36,6 +36,10 @@ ORACLED = [
     "events_profile_stats",
     "events_view_no_purchase",
     "corpus_mix_report",
+    "corpus_lang_pivot",
+    "events_viewers_and_buyers",
+    "dim_coupon_use_scd2",
+    "temporal_join_coupon_asof",
 ]
 
 
