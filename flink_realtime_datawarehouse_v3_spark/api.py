@@ -1801,6 +1801,12 @@ def _register_streaming() -> None:
         # Hopping windows live: every event in 2 panes, each pane emitted
         # once on watermark passage; shares the batch oracle.
         "streaming_hop_window": ("stream_hop_window", "events_hop_window"),
+        # SCD2 history maintained incrementally per micro-batch (touched
+        # keys only); final table == the one-shot batch history.
+        "streaming_dim_coupon_scd2": (
+            "stream_dim_coupon_scd2",
+            "dim_coupon_use_scd2",
+        ),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -1922,6 +1928,7 @@ _DRIVER_WINDOW = [
     "events_view_no_purchase",        # new r4: left anti join (funnel drop)
     "corpus_mix_report",              # new r4: ROLLUP mix dashboard
     "dim_coupon_use_scd2",            # new r4: SCD2 dimension history
+    "streaming_dim_coupon_scd2",      # new r4: SCD2 maintained live
     "temporal_join_coupon_asof",      # new r4: event-time temporal join
     "corpus_lang_pivot",              # new r4: explicit-list pivot report
     "events_viewers_and_buyers",      # new r4: INTERSECT set op
@@ -1931,7 +1938,6 @@ _DRIVER_WINDOW = [
     "join_salted_skew",               # skew-safe fact join
     "join_bucketed_colocated",        # write-time bucketing, exchange-free
     "join_activity_coupon_full_outer",  # J8
-    "dim_coupon_use",                 # J10/P6 config routing
     "text_chunk_tokens",              # new this round: LLM context packing
     "text_pii_scrub",                 # new this round: PII redaction + audit
     "dedup_ngram_jaccard",
@@ -1957,6 +1963,7 @@ _DRIVER_TAIL = [
     "dwd_trade_refund_pay_suc",       # J6 4-way composite-key join
     "dws_trade_cart_add_uu_window",   # D1 + A3
     "text_fingerprint",
+    "dim_coupon_use",                 # J10/P6 config routing
     "interval_join_events",           # J7
     "dedup_cluster_keep",
     "text_corpus_clean",

@@ -785,3 +785,25 @@ def stream_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(agg, output_mode="append").filter(
             F.col("event_type") != "__sentinel__"
         )
+
+
+def stream_dim_coupon_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history maintained LIVE: replay the coupon_use CDC topic and
+    per micro-batch append the batch's versions + re-derive intervals for
+    the touched keys only (streaming/dim_app.py scd2_sink). The final
+    table must equal the batch scd2_history — i.e. the oracle of
+    ``dim_coupon_use_scd2`` — proving the incremental maintenance
+    converges to the one-shot window computation."""
+    from ..plans.dim import DIM_CONFIG
+    from .dim_app import scd2_sink
+
+    cfg = DIM_CONFIG[1]
+    with TempStreamDir() as d:
+        structured = cdc.topic_db(spark, sf_dir, only=[cfg.source_table])
+        _write_replay(structured, d.sub("in"), order_by=["ts"])
+        s = read_stream(spark, d.sub("in"))
+        out_dir = d.sub("dims")
+        run_foreach_batch(s, scd2_sink(out_dir, cfg))
+        return spark.read.parquet(
+            os.path.join(out_dir, cfg.sink_table + "_scd2")
+        ).localCheckpoint()

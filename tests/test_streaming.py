@@ -396,3 +396,10 @@ def test_stream_hop_window(spark):
     stream = sp.stream_hop_window(spark, SF_SMOKE)
     batch = api.QUERIES["events_hop_window"](spark, SF_SMOKE)
     _same(stream, batch, "hop_window")
+
+
+def test_stream_dim_coupon_scd2(spark):
+    """Incremental SCD2 maintenance converges to the one-shot history."""
+    stream = sp.stream_dim_coupon_scd2(spark, SF_SMOKE)
+    batch = api.QUERIES["dim_coupon_use_scd2"](spark, SF_SMOKE)
+    _same(stream, batch, "dim_coupon_scd2")
