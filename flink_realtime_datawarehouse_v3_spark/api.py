@@ -1807,6 +1807,12 @@ def _register_streaming() -> None:
             "stream_dim_coupon_scd2",
             "dim_coupon_use_scd2",
         ),
+        # W12 late-data discard: late duplicates injected post-watermark;
+        # the hash matches the normal oracle only if they are dropped.
+        "streaming_keyword_window_late": (
+            "stream_keyword_window_late",
+            "dws_traffic_source_keyword_page_view_window",
+        ),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -1895,6 +1901,7 @@ _DRIVER_WINDOW = [
     "streaming_unique_visitor",       # D1 keyed-state dedup
     "streaming_jump_detail",          # D5 CEP bounce w/ event-time timeout (W10)
     "streaming_keyword_window",       # A1 watermark + 10 s tumble (W1-W3)
+    "streaming_keyword_window_late",  # W12 late-data discard, hash-gated
     "streaming_order_pre_process",    # J1/J2/J3 stream-stream joins (W5)
     "streaming_traffic_union_window", # O1 union + chained stateful (W6)
     "streaming_pay_detail_suc",       # J5 two independent streams
@@ -1935,7 +1942,6 @@ _DRIVER_WINDOW = [
     # -- batch spine: one in-window representative per family -----------------
     "sink_dws_partitioned_roundtrip",  # K4 partitioned sink round trip
     "dws_trade_province_order_window",  # A5 exact distinct
-    "join_salted_skew",               # skew-safe fact join
     "join_bucketed_colocated",        # write-time bucketing, exchange-free
     "join_activity_coupon_full_outer",  # J8
     "text_chunk_tokens",              # new this round: LLM context packing
@@ -1964,6 +1970,7 @@ _DRIVER_TAIL = [
     "dws_trade_cart_add_uu_window",   # D1 + A3
     "text_fingerprint",
     "dim_coupon_use",                 # J10/P6 config routing
+    "join_salted_skew",               # skew-safe fact join
     "interval_join_events",           # J7
     "dedup_cluster_keep",
     "text_corpus_clean",

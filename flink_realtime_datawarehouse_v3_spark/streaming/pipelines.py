@@ -807,3 +807,53 @@ def stream_dim_coupon_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(
             os.path.join(out_dir, cfg.sink_table + "_scd2")
         ).localCheckpoint()
+
+
+def stream_keyword_window_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 on the driver board: the keyword window replay with LATE
+    duplicates injected — the earliest 50 page events re-sent (mids
+    renamed so they would inflate counts if accepted) in a trailing
+    micro-batch AFTER the first flush sentinel pushed the watermark hours
+    past end-of-data. The entry shares the NORMAL batch oracle: the hash
+    can only match if every late row is discarded (the reference has no
+    allowed-lateness or late side-output — default watermark semantics,
+    SURVEY.md W12)."""
+    page = _page_log(spark, sf_dir)
+    late = (
+        page.orderBy("ts", "event_id")
+        .limit(50)
+        .withColumn("mid", F.concat(F.lit("late_"), F.col("mid")))
+    )
+    with TempStreamDir() as d:
+        _write_replay(
+            page,
+            d.sub("in"),
+            order_by=["ts"],
+            sentinels=lambda mx: [
+                _page_sentinel(page, mx, hours=1),
+                late,
+                _page_sentinel(page, mx, hours=2),
+            ],
+            max_col="ts",
+        )
+        s = read_stream(spark, d.sub("in"))
+        s = s.withColumn("rt", rt_from_ms(F.col("ts"))).withWatermark("rt", "2 seconds")
+        words = s.filter(
+            (F.col("page_id") == "search")
+            & (F.col("item_type") == "keyword")
+            & F.col("item").isNotNull()
+        ).select(F.explode(tokenize(F.col("item"))).alias("word"), "rt")
+        agg = (
+            words.groupBy(F.window("rt", "10 seconds").alias("w"), "word")
+            .agg(F.count(F.lit(1)).alias("keyword_count"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+                F.lit("search").alias("source"),
+                F.col("word").alias("keyword"),
+                "keyword_count",
+            )
+        )
+        return run_to_memory(agg, output_mode="append").filter(
+            F.col("keyword") != SENTINEL_WORD
+        )
