@@ -1813,6 +1813,12 @@ def _register_streaming() -> None:
             "stream_keyword_window_late",
             "dws_traffic_source_keyword_page_view_window",
         ),
+        # Runtime schema evolution live: the broadcast config widens the
+        # dim between micro-batches; shares the batch era-split oracle.
+        "streaming_dim_user_info_evolve": (
+            "stream_dim_user_info_evolve",
+            "dim_user_info_schema_evolve",
+        ),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -1906,6 +1912,7 @@ _DRIVER_WINDOW = [
     "streaming_traffic_union_window", # O1 union + chained stateful (W6)
     "streaming_pay_detail_suc",       # J5 two independent streams
     "streaming_dim_user_info",        # J10/K5 broadcast-config DIM routing
+    "streaming_dim_user_info_evolve", # J10 runtime schema evolution, live
     "sink_checkpoint_recovery",       # K2/W11 exactly-once kill+resume
     "streaming_order_info_upsert",    # K3 keyed upsert sink
     "streaming_order_info_debounce",  # D4/W6 keep-latest + 5 s timer
@@ -1942,7 +1949,6 @@ _DRIVER_WINDOW = [
     # -- batch spine: one in-window representative per family -----------------
     "sink_dws_partitioned_roundtrip",  # K4 partitioned sink round trip
     "dws_trade_province_order_window",  # A5 exact distinct
-    "join_bucketed_colocated",        # write-time bucketing, exchange-free
     "join_activity_coupon_full_outer",  # J8
     "text_chunk_tokens",              # new this round: LLM context packing
     "text_pii_scrub",                 # new this round: PII redaction + audit
@@ -1971,6 +1977,7 @@ _DRIVER_TAIL = [
     "text_fingerprint",
     "dim_coupon_use",                 # J10/P6 config routing
     "join_salted_skew",               # skew-safe fact join
+    "join_bucketed_colocated",        # write-time bucketing, exchange-free
     "interval_join_events",           # J7
     "dedup_cluster_keep",
     "text_corpus_clean",

@@ -857,3 +857,39 @@ def stream_keyword_window_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(agg, output_mode="append").filter(
             F.col("keyword") != SENTINEL_WORD
         )
+
+
+def stream_dim_user_info_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime schema evolution UNDER STREAMING (J10 + the reference's
+    checkTable ALTER path, RT/app/func/TableProcessFunction.java:84-106):
+    the broadcast config changes between micro-batches — replay files are
+    split at the v2 config's effective_ts, the per-batch provider serves
+    the v1 column list for the early batches and the widened v2 list
+    (+phone_num) after, and the router's allowMissingColumns merge gives
+    rows upserted before the change NULL in the new column. Final table
+    must hash-match the batch era-split oracle
+    (``dim_user_info_schema_evolve``)."""
+    from ..plans.dim import USER_INFO_EVOLUTION
+    from .dim_app import dim_router
+
+    v1, v2 = USER_INFO_EVOLUTION
+    t_switch = v2.effective_ts
+    with TempStreamDir() as d:
+        structured = cdc.topic_db(spark, sf_dir, only=["user_info"])
+        early = structured.filter(F.col("ts").cast("long") < t_switch)
+        late = structured.filter(F.col("ts").cast("long") >= t_switch)
+        # Early era as the N_FILES range files; the late era rides the
+        # trailing-file mechanism so the config flip lands exactly on the
+        # era boundary (batch ids 0..N_FILES-1 = v1, >= N_FILES = v2).
+        _write_replay(early, d.sub("in"), order_by=["ts"], sentinels=[late])
+        s = read_stream(spark, d.sub("in"))
+        out_dir = d.sub("dims")
+        provider = lambda batch_id: [  # noqa: E731
+            (v1 if batch_id < N_FILES else v2).cfg
+        ]
+        run_foreach_batch(s, dim_router(out_dir, provider))
+        return (
+            spark.read.parquet(os.path.join(out_dir, "dim_user_info"))
+            .select("id", "name", "phone_num", "create_time")
+            .localCheckpoint()
+        )

@@ -403,3 +403,14 @@ def test_stream_dim_coupon_scd2(spark):
     stream = sp.stream_dim_coupon_scd2(spark, SF_SMOKE)
     batch = api.QUERIES["dim_coupon_use_scd2"](spark, SF_SMOKE)
     _same(stream, batch, "dim_coupon_scd2")
+
+
+def test_stream_dim_user_info_evolve(spark):
+    """Config widens mid-stream: rows routed before the switch carry NULL
+    in the added column; final table == batch era-split router."""
+    stream = sp.stream_dim_user_info_evolve(spark, SF_SMOKE)
+    batch = api.QUERIES["dim_user_info_schema_evolve"](spark, SF_SMOKE)
+    _same(stream, batch, "dim_user_info_evolve")
+    rows = stream.collect()
+    assert any(r.phone_num is None for r in rows), "no pre-switch era rows"
+    assert any(r.phone_num is not None for r in rows), "no post-switch rows"
