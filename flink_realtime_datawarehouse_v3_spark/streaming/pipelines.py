@@ -20,6 +20,9 @@ Pipelines covered (one per SURVEY.md streaming mechanism):
 - session windows (gap-merge, append mode)   -> stream_sessionize
 - continuous 1-min rollup w/ min_by/max_by   -> stream_time_rollup
 - hopping (sliding) windows, append mode     -> stream_hop_window
+- incremental SCD2 history maintenance       -> stream_dim_coupon_scd2
+- late-data discard, hash-gated (W12)        -> stream_keyword_window_late
+- runtime schema evolution, config flip live -> stream_dim_user_info_evolve
 """
 
 from __future__ import annotations
