@@ -56,6 +56,33 @@ def normalize(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _dtype_class(series) -> str:
+    """The driver's dtype-sensitivity class (mirrors tools/check_all.py):
+    int64 vs float64 vs Decimal-object columns hash differently there even
+    when their stringified values agree — e.g. DuckDB sum(BIGINT) returns
+    HUGEINT, which pandas maps away from int64."""
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    if pd.api.types.is_integer_dtype(series):
+        return "int"
+    if pd.api.types.is_float_dtype(series):
+        return "float"
+    if pd.api.types.is_bool_dtype(series):
+        return "bool"
+    for v in series:
+        if v is None:
+            continue
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, (list, np.ndarray)):
+            return "array"
+        break
+    return "other"
+
+
 def assert_parity(spark_df, duck_con, oracle_sql, name=""):
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
@@ -65,6 +92,16 @@ def assert_parity(spark_df, duck_con, oracle_sql, name=""):
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )
+    # Dtype sensitivity, like the driver (the value comparison below
+    # stringifies and would miss e.g. a HUGEINT-vs-bigint sum).
+    spdf = spark_df.toPandas()
+    odf = duck_con.execute(oracle_sql).df()
+    bad = [
+        f"{c}: spark={_dtype_class(spdf[c])} oracle={_dtype_class(odf[c])}"
+        for c in sorted(set(spdf.columns) & set(odf.columns))
+        if _dtype_class(spdf[c]) != _dtype_class(odf[c])
+    ]
+    assert not bad, f"{name}: dtype-class mismatch {bad}"
     _, s_norm = normalize(s_cols, s_rows)
     _, d_norm = normalize(d_cols, d_rows)
     assert len(s_norm) == len(d_norm), (
