@@ -37,16 +37,21 @@ def test_rows_only_entries_are_last():
     ), f"rows-only entries not at the tail: {rows_only}"
 
 
-def test_every_entry_has_r03_or_window_coverage():
-    """Rotated-out entries must be proven: green in CORRECTNESS_r03."""
+def test_every_entry_has_prior_round_or_window_coverage():
+    """Rotated-out entries must be proven: hash-green in SOME prior
+    round's driver record (CORRECTNESS_r*.json)."""
+    import glob
     import json
 
-    with open("/root/repo/CORRECTNESS_r03.json") as f:
-        r03 = json.load(f)
+    proven: set[str] = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        with open(path) as f:
+            rec = json.load(f)
+        proven |= {n for n, r in rec.items() if r.get("hash_match") is True}
     names = list(api.QUERIES)
     for n in names[50:]:
         if n not in api.ORACLES:
             continue  # rows-only by design
-        assert r03.get(n, {}).get("hash_match") is True, (
-            f"{n} rotated past the cutoff without a green r03 row"
+        assert n in proven, (
+            f"{n} rotated past the cutoff without a green row in any prior round"
         )
