@@ -978,6 +978,20 @@ register(
        GROUP BY user_id""",
 )
 
+# Analytic window frame: per-user running total, ROWS UNBOUNDED
+# PRECEDING with exact decimal prefix sums.
+register(
+    "events_running_total",
+    lambda spark, sf: timeseries_op.running_total(
+        tables_mod.load(spark, sf, "events")
+    ),
+    """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+       FROM events""",
+)
+
 # INTERSECT set op: ids in both the view and purchase streams.
 register(
     "events_viewers_and_buyers",
@@ -1946,10 +1960,10 @@ _DRIVER_WINDOW = [
     "temporal_join_coupon_asof",      # new r4: event-time temporal join
     "corpus_lang_pivot",              # new r4: explicit-list pivot report
     "events_viewers_and_buyers",      # new r4: INTERSECT set op
+    "events_running_total",           # new r4: analytic frame, exact prefix
     # -- batch spine: one in-window representative per family -----------------
     "sink_dws_partitioned_roundtrip",  # K4 partitioned sink round trip
     "dws_trade_province_order_window",  # A5 exact distinct
-    "join_activity_coupon_full_outer",  # J8
     "text_chunk_tokens",              # new this round: LLM context packing
     "text_pii_scrub",                 # new this round: PII redaction + audit
     "dedup_ngram_jaccard",
@@ -1978,6 +1992,7 @@ _DRIVER_TAIL = [
     "dim_coupon_use",                 # J10/P6 config routing
     "join_salted_skew",               # skew-safe fact join
     "join_bucketed_colocated",        # write-time bucketing, exchange-free
+    "join_activity_coupon_full_outer",  # J8
     "interval_join_events",           # J7
     "dedup_cluster_keep",
     "text_corpus_clean",

@@ -80,3 +80,30 @@ def hop_window_counts(events: DataFrame) -> DataFrame:
             "value_sum",
         )
     )
+
+
+def running_total(events: DataFrame) -> DataFrame:
+    """Per-user running value total ordered by event time (an explicit
+    ROWS UNBOUNDED PRECEDING frame — the analytic-window shape the
+    reference never uses, SURVEY.md §2.7). Accumulates in decimal(18,2)
+    so every prefix sum is exact regardless of engine or merge order.
+
+    Scale: one shuffle on user_id + one in-partition sort; the frame is
+    computed in a single forward pass per key (no per-row re-aggregation).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )

@@ -38,6 +38,7 @@ ORACLED = [
     "corpus_mix_report",
     "corpus_lang_pivot",
     "events_viewers_and_buyers",
+    "events_running_total",
     "dim_coupon_use_scd2",
     "temporal_join_coupon_asof",
 ]
