@@ -1003,6 +1003,33 @@ register(
        SELECT user_id FROM events WHERE event_type = 'purchase'""",
 )
 
+# Per-session funnel: conditional counts inside the same gap-merge agg
+# as sessionize_events — conversion analysis at zero extra shuffle cost.
+register(
+    "session_funnel",
+    lambda spark, sf: sessionize_op.session_funnel(
+        tables_mod.load(spark, sf, "events")
+    ),
+    f"""WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, event_type, event_id
+                   FROM events),
+        d AS (SELECT *, CASE WHEN lag(tms) OVER w IS NULL
+                             OR tms - lag(tms) OVER w > {sessionize_op.GAP_MS}
+                             THEN 1 ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d)
+    SELECT user_id, min(tms) AS session_start_ms,
+           count(*) AS n_events,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_views,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) > 0
+                AND count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+                AS INT) AS converted
+    FROM s GROUP BY user_id, sid""",
+)
+
 from .operators import skew as skew_op  # noqa: E402
 
 
@@ -1941,6 +1968,7 @@ _DRIVER_WINDOW = [
     "dim_user_info_schema_evolve",    # J10 + runtime schema evolution
     "asof_join_events",               # temporal as-of join, sort-once shape
     "sessionize_events",              # session windows (native session_window)
+    "session_funnel",                 # new r4: funnel metrics in the session agg
     "streaming_sessionize",           # session windows under streaming
     "dws_trade_province_source_rollup",  # ADS ROLLUP lattice, one pass
     "decontaminate_ngram",            # benchmark n-gram decontamination
@@ -1963,7 +1991,6 @@ _DRIVER_WINDOW = [
     "events_running_total",           # new r4: analytic frame, exact prefix
     # -- batch spine: one in-window representative per family -----------------
     "sink_dws_partitioned_roundtrip",  # K4 partitioned sink round trip
-    "dws_trade_province_order_window",  # A5 exact distinct
     "text_chunk_tokens",              # new this round: LLM context packing
     "text_pii_scrub",                 # new this round: PII redaction + audit
     "dedup_ngram_jaccard",
@@ -1993,6 +2020,7 @@ _DRIVER_TAIL = [
     "join_salted_skew",               # skew-safe fact join
     "join_bucketed_colocated",        # write-time bucketing, exchange-free
     "join_activity_coupon_full_outer",  # J8
+    "dws_trade_province_order_window",  # A5 exact distinct
     "interval_join_events",           # J7
     "dedup_cluster_keep",
     "text_corpus_clean",

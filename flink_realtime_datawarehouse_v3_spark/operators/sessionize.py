@@ -64,3 +64,41 @@ def session_agg(e: DataFrame) -> DataFrame:
 def session_stats(events: DataFrame) -> DataFrame:
     """Per (user, session): bounds, event count, value sum."""
     return session_agg(shape_events(events))
+
+
+def session_funnel(events: DataFrame) -> DataFrame:
+    """Per-session funnel: view / click / purchase counts and a converted
+    flag (>=1 view AND >=1 purchase inside one session) — the conversion
+    analysis a sessionized event warehouse exists to answer.
+
+    Same single gap-merge aggregation as :func:`session_stats` (one
+    shuffle on user_id, windows merged map-side); the funnel metrics are
+    conditional counts inside that agg, so the funnel costs nothing over
+    the plain session rollup.
+    """
+    e = events.select(
+        "user_id",
+        F.timestamp_millis(F.unix_millis(F.col("ts"))).alias("ts"),
+        "event_type",
+    )
+    n_of = lambda t: F.count(F.when(F.col("event_type") == t, 1))  # noqa: E731
+    agg = (
+        e.groupBy(F.session_window("ts", GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n_of("view").alias("n_views"),
+            n_of("click").alias("n_clicks"),
+            n_of("purchase").alias("n_purchases"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+        "n_events",
+        "n_views",
+        "n_clicks",
+        "n_purchases",
+        ((F.col("n_views") > 0) & (F.col("n_purchases") > 0))
+        .cast("int")
+        .alias("converted"),
+    )

@@ -39,6 +39,7 @@ ORACLED = [
     "corpus_lang_pivot",
     "events_viewers_and_buyers",
     "events_running_total",
+    "session_funnel",
     "dim_coupon_use_scd2",
     "temporal_join_coupon_asof",
 ]
