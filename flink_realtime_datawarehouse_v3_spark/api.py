@@ -1051,6 +1051,26 @@ def _salted_brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The skew DIAGNOSTIC that motivates the salted join below: top join keys
+# with counts and table share.
+def _heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    l = tables_mod.load(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("partkey")
+    )
+    return skew_op.heavy_hitters(l, "partkey")
+
+
+register(
+    "skew_heavy_hitters",
+    _heavy_hitters,
+    """SELECT l_partkey AS partkey, count(*) AS key_count,
+              round(count(*) / (SELECT count(*) FROM lineitem), 6) AS share
+       FROM lineitem GROUP BY 1
+       ORDER BY key_count DESC, partkey LIMIT 20""",
+)
+
 register(
     "join_salted_skew",
     _salted_brand_revenue,
@@ -1634,6 +1654,39 @@ SELECT doc_id, token, rank, tfidf FROM (
     FROM scored) WHERE rank <= 3""",
 )
 
+# Rank-based quality filter: top 60% by quality WITHIN each language
+# (budget-driven corpus cut; percent_rank with a doc_id tie-break so the
+# kept set is total and engine-independent).
+register(
+    "text_quality_top_fraction",
+    lambda spark, sf: text_analysis.quality_top_fraction(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id, lang_pred, quality_score,
+                   round(q_rank, 6) AS q_rank
+            FROM (SELECT doc_id, lang_pred, quality_score,
+                         percent_rank() OVER (
+                             PARTITION BY lang_pred
+                             ORDER BY quality_score DESC, doc_id) AS q_rank
+                  FROM (SELECT doc_id,
+                               round(0.4 * least(1.0, n_tokens / 400.0)
+                                     + 0.3 * (1.0 - n_punct / n_chars)
+                                     + 0.3 * least(1.0, se * 5.0), 6) AS quality_score,
+                               CASE WHEN greatest(se, sd, sf2) <= 0 THEN 'und'
+                                    WHEN se = greatest(se, sd, sf2) THEN 'en'
+                                    WHEN sd = greatest(se, sd, sf2) THEN 'de'
+                                    ELSE 'fr' END AS lang_pred
+                        FROM (SELECT doc_id,
+                                     len({_TOKS}) AS n_tokens,
+                                     length(text) AS n_chars,
+                                     len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+                                     len(list_filter({_TOKS}, t -> t IN {_STOP_EN})) / len({_TOKS}) AS se,
+                                     len(list_filter({_TOKS}, t -> t IN ('der','die','das','und','ist'))) / len({_TOKS}) AS sd,
+                                     len(list_filter({_TOKS}, t -> t IN ('le','la','et','les','des'))) / len({_TOKS}) AS sf2
+                              FROM corpus)))
+            WHERE q_rank <= 0.6"""
+    ),
+)
+
 _SAMPLE_RATE_CASE = (
     "CASE lang_pred "
     + " ".join(
@@ -1989,13 +2042,13 @@ _DRIVER_WINDOW = [
     "corpus_lang_pivot",              # new r4: explicit-list pivot report
     "events_viewers_and_buyers",      # new r4: INTERSECT set op
     "events_running_total",           # new r4: analytic frame, exact prefix
+    "text_quality_top_fraction",      # new r4: rank-based quality cut
+    "skew_heavy_hitters",             # new r4: join-key skew diagnostic
     # -- batch spine: one in-window representative per family -----------------
     "sink_dws_partitioned_roundtrip",  # K4 partitioned sink round trip
     "text_chunk_tokens",              # new this round: LLM context packing
     "text_pii_scrub",                 # new this round: PII redaction + audit
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
 ]
 
 # Proven green in CORRECTNESS_r03; rotated past the cutoff this round. Each
@@ -2022,6 +2075,8 @@ _DRIVER_TAIL = [
     "join_activity_coupon_full_outer",  # J8
     "dws_trade_province_order_window",  # A5 exact distinct
     "interval_join_events",           # J7
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_cluster_keep",
     "text_corpus_clean",
     "dwd_trade_order_detail",

@@ -52,3 +52,26 @@ def salted_join(
     )
     out = salted_big.join(salted_small, on=[on, SALT_COL], how=how)
     return out.drop(SALT_COL)
+
+
+def heavy_hitters(df: DataFrame, key: str, top: int = 20) -> DataFrame:
+    """Join-key skew diagnostic: the ``top`` heaviest keys with their row
+    counts and share of the table — the report that decides whether a join
+    needs salting (:func:`salted_join`) or AQE skew handling.
+
+    Count + share in one partial-combining hash agg; the top-k cut is
+    TakeOrderedAndProject (per-partition heaps). The share denominator
+    arrives via a one-row broadcast, never a driver collect.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("key_count"))
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "key_count",
+            F.round(F.col("key_count") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy(F.col("key_count").desc(), key)
+        .limit(top)
+    )

@@ -505,3 +505,31 @@ def lang_source_pivot(documents: DataFrame) -> DataFrame:
             *[F.coalesce(F.col(lg), F.lit(0)).alias(f"n_{lg}") for lg in LANGS],
         )
     )
+
+
+def quality_top_fraction(corpus: DataFrame, keep_frac: float = 0.6) -> DataFrame:
+    """Rank-based quality filtering: keep the top ``keep_frac`` of
+    documents BY QUALITY RANK within each predicted language (the
+    budget-driven form of corpus filtering — an absolute threshold drifts
+    as the mix changes; a rank cut spends a fixed token budget).
+
+    percent_rank over (lang, quality desc, doc_id) — doc_id tie-break
+    makes the cut total, so the kept set is partitioning- and
+    engine-independent. One shuffle on lang_pred; at 100 TB the same cut
+    runs as a per-language quantile estimate + filter, declared here via
+    the exact window form.
+    """
+    scored = quality_score(corpus).join(
+        lang_id(corpus).select("doc_id", "lang_pred"), "doc_id"
+    )
+    w = Window.partitionBy("lang_pred").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("q_rank", F.percent_rank().over(w))
+        .filter(F.col("q_rank") <= keep_frac)
+        .select(
+            "doc_id", "lang_pred", "quality_score",
+            F.round("q_rank", 6).alias("q_rank"),
+        )
+    )

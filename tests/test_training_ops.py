@@ -40,6 +40,8 @@ ORACLED = [
     "events_viewers_and_buyers",
     "events_running_total",
     "session_funnel",
+    "text_quality_top_fraction",
+    "skew_heavy_hitters",
     "dim_coupon_use_scd2",
     "temporal_join_coupon_asof",
 ]
