@@ -4,6 +4,7 @@ DIM routing, as-of join, sessionization, rollup, decontamination."""
 from __future__ import annotations
 
 import datetime as dt
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -157,3 +158,29 @@ def test_temporal_join_picks_pre_pay_version(spark):
         assert r.coupon_status == "1402"
         assert r.used_time is None and r.using_time is not None
         assert r.version == history[r.id] - 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dim_coupon_use_scd2",        # window over (pk, ts) — ts unique per pk
+        "events_running_total",       # frame over (ts, event_id) — unique
+        "text_quality_top_fraction",  # percent_rank w/ doc_id tie-break
+        "session_funnel",             # gap-merge agg
+        "skew_heavy_hitters",         # top-k with total (count, key) order
+    ],
+)
+def test_r4_entries_stable_across_partitioning(spark, name):
+    """Round-4 rank/window entries order by total keys, so results are
+    identical under different shuffle-partition counts."""
+    from flink_realtime_datawarehouse_v3_spark import api
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = sorted(map(str, api.QUERIES[name](spark, SF_SMOKE).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = sorted(map(str, api.QUERIES[name](spark, SF_SMOKE).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert a == b
