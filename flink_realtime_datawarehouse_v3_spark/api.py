@@ -951,6 +951,19 @@ register(
        FROM events GROUP BY event_type""",
 )
 
+# Fixed-width value histogram per type: the distribution's shape next to
+# profile_stats' quantiles; exact integer bin counts, one hash agg.
+register(
+    "events_value_histogram",
+    lambda spark, sf: profiling_op.value_histogram(
+        tables_mod.load(spark, sf, "events")
+    ),
+    """SELECT event_type,
+              CAST(floor(value / 25.0) AS BIGINT) * 25 AS bin_lo,
+              count(*) AS n_events
+       FROM events GROUP BY 1, 2""",
+)
+
 # The 100 TB drop-in: t-digest percentile_approx instead of the exact
 # sort-based percentile — declared approximation, rows-only in the driver
 # contract; the tolerance gate lives in tests/test_training_ops.py.
@@ -1654,6 +1667,25 @@ SELECT doc_id, token, rank, tfidf FROM (
     FROM scored) WHERE rank <= 3""",
 )
 
+# CCNet-style unigram LM quality signal: mean token log-prob under the
+# corpus's own unigram distribution. Per-token ln(p) is quantized to
+# integer micro-nats BEFORE the per-doc sum, so the accumulation is exact
+# integer arithmetic (float-sum order can't drift the hash).
+register(
+    "text_unigram_lm_score",
+    lambda spark, sf: text_analysis.unigram_lm_score(_corpus(spark, sf)),
+    f"""WITH {_CORPUS},
+tok AS (SELECT doc_id, UNNEST({_TOKS}) AS token FROM corpus),
+tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT count(*) AS n_total FROM tok),
+lp AS (SELECT token, CAST(round(ln(count(*) / (SELECT n_total FROM tot)) * 1e6)
+                          AS BIGINT) AS logp_micro
+       FROM tok GROUP BY token)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(CAST(sum(c * logp_micro) AS DOUBLE) / sum(c) / 1e6, 6) AS mean_logp
+FROM tc JOIN lp USING (token) GROUP BY doc_id""",
+)
+
 # Rank-based quality filter: top 60% by quality WITHIN each language
 # (budget-driven corpus cut; percent_rank with a doc_id tie-break so the
 # kept set is total and engine-independent).
@@ -2044,11 +2076,11 @@ _DRIVER_WINDOW = [
     "events_running_total",           # new r4: analytic frame, exact prefix
     "text_quality_top_fraction",      # new r4: rank-based quality cut
     "skew_heavy_hitters",             # new r4: join-key skew diagnostic
+    "text_unigram_lm_score",          # new r4: LM quality signal, exact sums
+    "events_value_histogram",         # new r4: exact fixed-width histogram
     # -- batch spine: one in-window representative per family -----------------
-    "sink_dws_partitioned_roundtrip",  # K4 partitioned sink round trip
     "text_chunk_tokens",              # new this round: LLM context packing
     "text_pii_scrub",                 # new this round: PII redaction + audit
-    "dedup_ngram_jaccard",
 ]
 
 # Proven green in CORRECTNESS_r03; rotated past the cutoff this round. Each
@@ -2075,6 +2107,8 @@ _DRIVER_TAIL = [
     "join_activity_coupon_full_outer",  # J8
     "dws_trade_province_order_window",  # A5 exact distinct
     "interval_join_events",           # J7
+    "sink_dws_partitioned_roundtrip",  # K4 partitioned sink round trip
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_cluster_keep",

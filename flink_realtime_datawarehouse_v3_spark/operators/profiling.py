@@ -63,3 +63,23 @@ def profile_stats(events: DataFrame, approx: bool = False) -> DataFrame:
             for p in PCTS
         ],
     )
+
+
+BIN_WIDTH = 25
+
+
+def value_histogram(events: DataFrame, bin_width: int = BIN_WIDTH) -> DataFrame:
+    """Fixed-width histogram of ``value`` per event_type (the profiling
+    companion to :func:`profile_stats` — the distribution's shape, not
+    just its quantiles). The bin label is the integer lower bound
+    (index * width as bigint — float/decimal labels stringify differently
+    across engines); one partial-combining hash agg, exact counts.
+    """
+    bin_lo = F.floor(F.col("value") / F.lit(float(bin_width))).cast(
+        "bigint"
+    ) * F.lit(bin_width)
+    return (
+        events.select("event_type", bin_lo.alias("bin_lo"))
+        .groupBy("event_type", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

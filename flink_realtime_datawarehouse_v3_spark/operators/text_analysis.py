@@ -533,3 +533,44 @@ def quality_top_fraction(corpus: DataFrame, keep_frac: float = 0.6) -> DataFrame
             F.round("q_rank", 6).alias("q_rank"),
         )
     )
+
+
+def unigram_lm_score(corpus: DataFrame) -> DataFrame:
+    """Unigram language-model scoring (the CCNet-style perplexity-proxy
+    quality signal): each document's mean token log-probability under the
+    corpus's own unigram distribution — low scores flag outlier/garbage
+    documents for the training mix.
+
+    Determinism across engines: a float sum's value depends on
+    accumulation order, so per-token ln(p) is first quantized to integer
+    MICRO-nats (round(ln(p) * 1e6) as bigint); the per-document sum is
+    then exact integer arithmetic — order-independent — and only the
+    final mean divides back to double. Token probabilities come from one
+    hash agg over the exploded corpus; the doc join shuffles on token
+    (vocabulary-sized side, not broadcastable at corpus scale).
+    """
+    tok = corpus.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    totals = tok.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    logp = vocab.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.round(F.log(F.col("tf") / F.col("n_total")) * 1e6)
+        .cast("bigint")
+        .alias("logp_micro"),
+    )
+    return (
+        tc.join(logp, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("logp_micro")).alias("__sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("__sum_micro") / F.col("n_tokens") / F.lit(1e6), 6).alias(
+                "mean_logp"
+            ),
+        )
+    )

@@ -42,6 +42,8 @@ ORACLED = [
     "session_funnel",
     "text_quality_top_fraction",
     "skew_heavy_hitters",
+    "text_unigram_lm_score",
+    "events_value_histogram",
     "dim_coupon_use_scd2",
     "temporal_join_coupon_asof",
 ]
