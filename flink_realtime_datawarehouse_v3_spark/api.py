@@ -1686,6 +1686,30 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
 FROM tc JOIN lp USING (token) GROUP BY doc_id""",
 )
 
+# Collocation mining: top-50 adjacent pairs by PMI (ranked on the
+# 6-decimal rounded score with (a, b) tie-breaks — a total cut).
+register(
+    "text_bigram_pmi_topk",
+    lambda spark, sf: text_analysis.bigram_pmi_topk(_corpus(spark, sf)),
+    f"""WITH {_CORPUS},
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+pairs AS (
+    SELECT UNNEST(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                 i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+    FROM toks WHERE len(t) >= 2),
+ab AS (SELECT p.a AS a, p.b AS b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+ct AS (SELECT t, count(*) AS c_t FROM (
+           SELECT p.a AS t FROM pairs UNION ALL SELECT p.b FROM pairs)
+       GROUP BY t),
+n AS (SELECT count(*) AS n_pairs FROM pairs)
+SELECT a, b, c_ab,
+       round(ln(c_ab * 4.0 * (SELECT n_pairs FROM n)
+                / (ca.c_t * cb.c_t)), 6) AS pmi
+FROM ab JOIN ct ca ON ab.a = ca.t JOIN ct cb ON ab.b = cb.t
+WHERE c_ab >= 5
+ORDER BY pmi DESC, a, b LIMIT 50""",
+)
+
 # Rank-based quality filter: top 60% by quality WITHIN each language
 # (budget-driven corpus cut; percent_rank with a doc_id tie-break so the
 # kept set is total and engine-independent).
@@ -2046,7 +2070,6 @@ _DRIVER_WINDOW = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
-    "dedup_embedding_cosine",
     "simsearch_cosine_topk",
     "text_sample_stratified",
     # -- new this round: every new entry gets its r04 driver row --------------
@@ -2078,7 +2101,8 @@ _DRIVER_WINDOW = [
     "skew_heavy_hitters",             # new r4: join-key skew diagnostic
     "text_unigram_lm_score",          # new r4: LM quality signal, exact sums
     "events_value_histogram",         # new r4: exact fixed-width histogram
-    # -- batch spine: one in-window representative per family -----------------
+    "text_bigram_pmi_topk",           # new r4: PMI collocation mining
+    # -- batch spine (r4-new, no prior driver row) ----------------------------
     "text_chunk_tokens",              # new this round: LLM context packing
     "text_pii_scrub",                 # new this round: PII redaction + audit
 ]
@@ -2087,6 +2111,7 @@ _DRIVER_WINDOW = [
 # one's oracle still runs in-window through its streaming twin where one
 # exists (e.g. dwd_traffic_page_log via streaming_base_log).
 _DRIVER_TAIL = [
+    "dedup_embedding_cosine",         # hash-green in r01+r02
     # rotated out this round (all hash-green in CORRECTNESS_r03):
     "dwd_interaction_comment",        # S5/J3 dic lookup join
     "dwd_trade_order_refund",         # J4 double lookup

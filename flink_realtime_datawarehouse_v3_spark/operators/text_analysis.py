@@ -574,3 +574,62 @@ def unigram_lm_score(corpus: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def bigram_pmi_topk(
+    corpus: DataFrame, k: int = 50, min_count: int = 5
+) -> DataFrame:
+    """Collocation extraction: top-k adjacent token pairs by pointwise
+    mutual information, PMI = ln(c_ab * N / (c_a * c_b)) — the phrase
+    mining pass of a tokenizer/vocabulary pipeline (word2vec-style phrase
+    joining).
+
+    Ranking is on the 6-decimal rounded PMI with an (a, b) tie-break, so
+    the TakeOrdered cut is total and engine-stable. Shapes: one explode +
+    hash agg for bigram counts, one for unigrams; the two count joins
+    shuffle on the token key (vocabulary-scale sides); N arrives via a
+    one-row broadcast; the final cut is per-partition top-k heaps.
+    """
+    toks = tokens(F.col("text"))
+    size = F.size(toks)
+    pairs_arr = F.when(
+        size >= 2,
+        F.transform(
+            F.sequence(F.lit(1), size - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i.cast("int")).alias("a"),
+                F.element_at(toks, (i + 1).cast("int")).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = corpus.select(F.explode(pairs_arr).alias("p")).select("p.a", "p.b")
+    c_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = pairs.select(F.col("a").alias("t")).unionAll(
+        pairs.select(F.col("b").alias("t"))
+    )
+    # Unigram counts in bigram positions: each token's occurrences as a
+    # left or right neighbor — the standard PMI denominator convention.
+    c_t = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c_t"))
+    n_total = pairs.groupBy().agg(F.count(F.lit(1)).alias("n_pairs"))
+    scored = (
+        c_ab.filter(F.col("c_ab") >= min_count)
+        .join(c_t.select(F.col("t").alias("a"), F.col("c_t").alias("c_a")), "a")
+        .join(c_t.select(F.col("t").alias("b"), F.col("c_t").alias("c_b")), "b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            # Convention: counts normalized by bigram total N and position
+            # totals 2N -> constant offset vs other PMI conventions, which
+            # cannot change the ranking.
+            F.round(
+                F.log(
+                    F.col("c_ab") * F.lit(4.0) * F.col("n_pairs")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(k)

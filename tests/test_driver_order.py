@@ -15,18 +15,20 @@ def test_window_is_50_and_fully_oracle_checked():
 
 
 def test_never_checked_entries_sit_inside_window():
-    """The r03 driver-unchecked families (streaming, multimodal, simsearch,
-    embedding dedup, stratified sampling, checkpoint recovery) must all be
-    in the first 50 this round."""
+    """Every oracled entry with NO hash-green row in any prior round's
+    driver record must sit in the first 50 (the checked window) — the
+    window exists precisely to get unproven entries their hard signal."""
+    import glob
+    import json
+
+    proven: set[str] = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        with open(path) as f:
+            rec = json.load(f)
+        proven |= {n for n, r in rec.items() if r.get("hash_match") is True}
     window = set(list(api.QUERIES)[:50])
-    priority = {n for n in api.QUERIES if n.startswith(("streaming_", "multimodal_"))}
-    priority |= {
-        "sink_checkpoint_recovery",
-        "dedup_embedding_cosine",
-        "simsearch_cosine_topk",
-        "text_sample_stratified",
-    }
-    assert priority <= window, f"missing from window: {priority - window}"
+    unproven = {n for n in api.ORACLES if n not in proven}
+    assert unproven <= window, f"unproven entries outside window: {unproven - window}"
 
 
 def test_rows_only_entries_are_last():

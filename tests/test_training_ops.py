@@ -44,6 +44,7 @@ ORACLED = [
     "skew_heavy_hitters",
     "text_unigram_lm_score",
     "events_value_histogram",
+    "text_bigram_pmi_topk",
     "dim_coupon_use_scd2",
     "temporal_join_coupon_asof",
 ]
