@@ -1969,6 +1969,12 @@ def _register_streaming() -> None:
             "stream_dim_user_info_evolve",
             "dim_user_info_schema_evolve",
         ),
+        # COMPLETE output mode: running global histogram, final snapshot
+        # == the batch histogram oracle.
+        "streaming_value_histogram": (
+            "stream_value_histogram",
+            "events_value_histogram",
+        ),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -2070,7 +2076,6 @@ _DRIVER_WINDOW = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
-    "simsearch_cosine_topk",
     "text_sample_stratified",
     # -- new this round: every new entry gets its r04 driver row --------------
     "dim_user_info_schema_evolve",    # J10 + runtime schema evolution
@@ -2101,6 +2106,7 @@ _DRIVER_WINDOW = [
     "skew_heavy_hitters",             # new r4: join-key skew diagnostic
     "text_unigram_lm_score",          # new r4: LM quality signal, exact sums
     "events_value_histogram",         # new r4: exact fixed-width histogram
+    "streaming_value_histogram",      # new r4: COMPLETE output mode, live
     "text_bigram_pmi_topk",           # new r4: PMI collocation mining
     # -- batch spine (r4-new, no prior driver row) ----------------------------
     "text_chunk_tokens",              # new this round: LLM context packing
@@ -2112,6 +2118,7 @@ _DRIVER_WINDOW = [
 # exists (e.g. dwd_traffic_page_log via streaming_base_log).
 _DRIVER_TAIL = [
     "dedup_embedding_cosine",         # hash-green in r01+r02
+    "simsearch_cosine_topk",          # hash-green in r01+r02
     # rotated out this round (all hash-green in CORRECTNESS_r03):
     "dwd_interaction_comment",        # S5/J3 dic lookup join
     "dwd_trade_order_refund",         # J4 double lookup

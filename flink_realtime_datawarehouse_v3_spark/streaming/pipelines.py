@@ -896,3 +896,23 @@ def stream_dim_user_info_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", "name", "phone_num", "create_time")
             .localCheckpoint()
         )
+
+
+def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode — the third Structured Streaming output form
+    beside the append-mode windows and the foreachBatch/update-style
+    MERGEs: a running global histogram whose memory sink holds the latest
+    full snapshot each micro-batch, so after availableNow the table equals
+    the batch histogram exactly. No watermark: complete mode retains every
+    group, bounded here by the bin space — the production contract for
+    complete-mode aggregations (state = O(groups), never O(rows))."""
+    from ..operators.profiling import value_histogram
+    from ..sources import tables
+
+    e = tables.load(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis(F.col("ts")).alias("ts_ms"), "value"
+    )
+    with TempStreamDir() as d:
+        _write_replay(e, d.sub("in"), order_by=["ts_ms"])
+        s = read_stream(spark, d.sub("in"))
+        return run_to_memory(value_histogram(s), output_mode="complete")

@@ -414,3 +414,9 @@ def test_stream_dim_user_info_evolve(spark):
     rows = stream.collect()
     assert any(r.phone_num is None for r in rows), "no pre-switch era rows"
     assert any(r.phone_num is not None for r in rows), "no post-switch rows"
+
+
+def test_stream_value_histogram_complete_mode(spark):
+    stream = sp.stream_value_histogram(spark, SF_SMOKE)
+    batch = api.QUERIES["events_value_histogram"](spark, SF_SMOKE)
+    _same(stream, batch, "value_histogram")
