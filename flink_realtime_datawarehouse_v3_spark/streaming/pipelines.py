@@ -23,6 +23,7 @@ Pipelines covered (one per SURVEY.md streaming mechanism):
 - incremental SCD2 history maintenance       -> stream_dim_coupon_scd2
 - late-data discard, hash-gated (W12)        -> stream_keyword_window_late
 - runtime schema evolution, config flip live -> stream_dim_user_info_evolve
+- COMPLETE-mode running aggregation         -> stream_value_histogram
 """
 
 from __future__ import annotations
