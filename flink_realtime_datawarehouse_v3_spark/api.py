@@ -1990,6 +1990,30 @@ def _register_streaming() -> None:
         ORACLES.get("dim_user_info"),
     )
 
+    # J8 live: watermarked stream-stream FULL OUTER join — outer rows emit
+    # only when both watermarks pass the join bound, so the contract is
+    # the BANDED full outer (its own oracle): a same-key pair further
+    # apart than the band is two unmatched rows, exactly what bounded
+    # streaming state can ever produce. At sf0.01/sf0.1 every same-key
+    # pair has delta 0 and the banded result equals the unbanded J8; the
+    # sf0.001 fixture carries one colliding detail id ~3 years apart,
+    # which the band correctly splits.
+    register(
+        "streaming_activity_coupon_full_outer",
+        _sp.stream_activity_coupon_full_outer,
+        oracle.sql(
+            """SELECT coalesce(a.order_detail_id, c.order_detail_id) AS order_detail_id,
+                      a.activity_id, a.activity_rule_id,
+                      c.coupon_id, c.coupon_use_id
+               FROM order_detail_activity_cdc a
+               FULL OUTER JOIN order_detail_coupon_cdc c
+                 ON a.order_detail_id = c.order_detail_id
+                AND abs(CAST(a.ts AS BIGINT) - CAST(c.ts AS BIGINT)) <= 5""",
+            "order_detail_activity_cdc",
+            "order_detail_coupon_cdc",
+        ),
+    )
+
     # K2/W11 exactly-once: checkpointed parquet sink, killed after the
     # first committed batch and resumed from the same checkpoint; the
     # recovered sink must hash against the plain batch oracle (any lost or
@@ -2065,6 +2089,7 @@ _DRIVER_WINDOW = [
     "streaming_keyword_window",       # A1 watermark + 10 s tumble (W1-W3)
     "streaming_keyword_window_late",  # W12 late-data discard, hash-gated
     "streaming_order_pre_process",    # J1/J2/J3 stream-stream joins (W5)
+    "streaming_activity_coupon_full_outer",  # J8 full outer, live
     "streaming_traffic_union_window", # O1 union + chained stateful (W6)
     "streaming_pay_detail_suc",       # J5 two independent streams
     "streaming_dim_user_info",        # J10/K5 broadcast-config DIM routing
@@ -2100,7 +2125,6 @@ _DRIVER_WINDOW = [
     "streaming_dim_coupon_scd2",      # new r4: SCD2 maintained live
     "temporal_join_coupon_asof",      # new r4: event-time temporal join
     "corpus_lang_pivot",              # new r4: explicit-list pivot report
-    "events_viewers_and_buyers",      # new r4: INTERSECT set op
     "events_running_total",           # new r4: analytic frame, exact prefix
     "text_quality_top_fraction",      # new r4: rank-based quality cut
     "skew_heavy_hitters",             # new r4: join-key skew diagnostic
@@ -2117,6 +2141,9 @@ _DRIVER_WINDOW = [
 # one's oracle still runs in-window through its streaming twin where one
 # exists (e.g. dwd_traffic_page_log via streaming_base_log).
 _DRIVER_TAIL = [
+    # slot 51: the one unproven entry the 50-slot window cannot hold this
+    # round (pytest + check_all green; rotates into the window next round)
+    "events_viewers_and_buyers",      # INTERSECT set op
     "dedup_embedding_cosine",         # hash-green in r01+r02
     "simsearch_cosine_topk",          # hash-green in r01+r02
     # rotated out this round (all hash-green in CORRECTNESS_r03):

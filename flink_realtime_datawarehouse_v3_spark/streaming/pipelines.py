@@ -24,6 +24,7 @@ Pipelines covered (one per SURVEY.md streaming mechanism):
 - late-data discard, hash-gated (W12)        -> stream_keyword_window_late
 - runtime schema evolution, config flip live -> stream_dim_user_info_evolve
 - COMPLETE-mode running aggregation         -> stream_value_histogram
+- stream-stream FULL OUTER join, banded     -> stream_activity_coupon_full_outer
 """
 
 from __future__ import annotations
@@ -917,3 +918,77 @@ def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         _write_replay(e, d.sub("in"), order_by=["ts_ms"])
         s = read_stream(spark, d.sub("in"))
         return run_to_memory(value_histogram(s), output_mode="complete")
+
+
+def stream_activity_coupon_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 as a WATERMARKED STREAM-STREAM FULL OUTER join — the join mode
+    Spark gates hardest: matched rows emit immediately, unmatched rows
+    only when BOTH sides\' watermarks pass the join bound. Matching
+    activity/coupon rows share their CDC ts exactly (verified max delta
+    0), so the ±5 s band is lossless and the result hash-matches the
+    batch J8 oracle.
+
+    Both tables ride ONE replayed topic_db stream split into two
+    watermarked branches (the reference\'s actual topology — one Kafka
+    topic, per-job filters; same shape as stream_order_pre_process): with
+    a single ts-ordered file source the branches co-advance through event
+    time, whereas two independently range-partitioned sources drift apart
+    at file boundaries and the global watermark late-drops the slower
+    side (measured: ~half the rows lost). Sentinels carry one row PER
+    TABLE per wave so each branch\'s pushed-down filter lets its watermark
+    advance; they join nothing and are dropped by key prefix on the
+    output side."""
+    d_col = F.col("data")
+    tables_ = ["order_detail_activity", "order_detail_coupon"]
+
+    def _sent(mx: int, h: int) -> DataFrame:
+        return spark.createDataFrame(
+            [("gmall", t, "insert", {"order_detail_id": f"__sent_{h}"},
+              None, str(int(mx) + h * 3600)) for t in tables_],
+            "database string, `table` string, type string, "
+            "data map<string,string>, old map<string,string>, ts string",
+        )
+
+    with TempStreamDir() as dirs:
+        raw = cdc.topic_db(spark, sf_dir, only=tables_).withColumn(
+            "__order", F.col("ts").cast("long")
+        )
+        _write_replay(
+            raw, dirs.sub("in"), order_by=["__order"],
+            sentinels=lambda mx: [_sent(mx, 1), _sent(mx, 2)],
+            max_col="__order",
+        )
+        s = read_stream(spark, dirs.sub("in")).drop("__order")
+
+        def branch(table: str, id_alias: str, cols: dict[str, str]) -> DataFrame:
+            b = s.filter(F.col("table") == table).select(
+                d_col.getItem("order_detail_id").alias(id_alias),
+                *[d_col.getItem(src_).alias(dst) for src_, dst in cols.items()],
+                F.timestamp_seconds(F.col("ts").cast("long")).alias(f"{id_alias}_et"),
+            )
+            return b.withWatermark(f"{id_alias}_et", "5 seconds")
+
+        oa = branch(
+            "order_detail_activity", "a_detail_id",
+            {"activity_id": "activity_id", "activity_rule_id": "activity_rule_id"},
+        )
+        oc = branch(
+            "order_detail_coupon", "c_detail_id",
+            {"coupon_id": "coupon_id", "coupon_use_id": "coupon_use_id"},
+        )
+        joined = oa.join(
+            oc,
+            (F.col("a_detail_id") == F.col("c_detail_id"))
+            & (F.col("c_detail_id_et") >= F.col("a_detail_id_et") - F.expr("INTERVAL 5 SECONDS"))
+            & (F.col("c_detail_id_et") <= F.col("a_detail_id_et") + F.expr("INTERVAL 5 SECONDS")),
+            "full_outer",
+        ).select(
+            F.coalesce("a_detail_id", "c_detail_id").alias("order_detail_id"),
+            "activity_id",
+            "activity_rule_id",
+            "coupon_id",
+            "coupon_use_id",
+        )
+        return run_to_memory(joined, output_mode="append").filter(
+            ~F.col("order_detail_id").startswith("__sent_")
+        )

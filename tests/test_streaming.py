@@ -420,3 +420,39 @@ def test_stream_value_histogram_complete_mode(spark):
     stream = sp.stream_value_histogram(spark, SF_SMOKE)
     batch = api.QUERIES["events_value_histogram"](spark, SF_SMOKE)
     _same(stream, batch, "value_histogram")
+
+
+def test_stream_activity_coupon_full_outer(spark):
+    """Watermarked stream-stream FULL OUTER join == the BANDED batch full
+    outer (the contract bounded streaming state can produce: a same-key
+    pair outside the +/-5 s band is two unmatched rows; sf0.001 carries
+    one such colliding detail id ~3 years apart, split by design)."""
+    stream = sp.stream_activity_coupon_full_outer(spark, SF_SMOKE)
+    from flink_realtime_datawarehouse_v3_spark.sources import cdc as cdc_mod
+
+    d = F.col("data")
+    oa = cdc_mod.topic_db_parsed(spark, SF_SMOKE, only=["order_detail_activity"]).select(
+        d.getItem("order_detail_id").alias("a_detail_id"),
+        d.getItem("activity_id").alias("activity_id"),
+        d.getItem("activity_rule_id").alias("activity_rule_id"),
+        F.col("ts").cast("long").alias("a_ts"),
+    )
+    oc = cdc_mod.topic_db_parsed(spark, SF_SMOKE, only=["order_detail_coupon"]).select(
+        d.getItem("order_detail_id").alias("c_detail_id"),
+        d.getItem("coupon_id").alias("coupon_id"),
+        d.getItem("coupon_use_id").alias("coupon_use_id"),
+        F.col("ts").cast("long").alias("c_ts"),
+    )
+    batch = (
+        oa.join(
+            oc,
+            (oa.a_detail_id == oc.c_detail_id)
+            & (F.abs(oa.a_ts - oc.c_ts) <= 5),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("a_detail_id", "c_detail_id").alias("order_detail_id"),
+            "activity_id", "activity_rule_id", "coupon_id", "coupon_use_id",
+        )
+    )
+    _same(stream, batch, "activity_coupon_full_outer")
