@@ -1437,6 +1437,32 @@ exact_pairs AS (
 )
 """
 
+# Capped variant of the shingle index: shingles with document frequency
+# above text_dedup.MAX_SHINGLE_DF are stop-shingles, dropped BEFORE sizing
+# and joining (mirrors ngram_jaccard_pairs' guard against the k^2
+# candidate blowup of a ubiquitous shingle). Used by dedup_ngram_jaccard
+# and the cluster closure built on its pairs; the MinHash/SimHash oracles
+# keep the uncapped `sh`/`exact_pairs` their Spark twins use.
+_SHINGLES_CAPPED_CTE = f"""
+shc AS (
+    SELECT sh.doc_id, sh.shingle FROM sh
+    JOIN (SELECT shingle FROM sh GROUP BY shingle
+          HAVING count(*) <= {text_dedup.MAX_SHINGLE_DF}) ok
+      USING (shingle)
+),
+sizes_c AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+exact_pairs_capped AS (
+    SELECT c.a, c.b,
+           round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+    FROM (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+          FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY 1, 2) c
+    JOIN sizes_c sa ON c.a = sa.doc_id
+    JOIN sizes_c sb ON c.b = sb.doc_id
+    WHERE round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) >= 0.5
+)
+"""
+
 def _ngram_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # Shared by the pair-emitting entry AND the cluster closure; the
     # shingle self-join is the expensive part, so compute it once per
@@ -1453,7 +1479,8 @@ def _ngram_pairs(spark: SparkSession, sf: str) -> DataFrame:
 register(
     "dedup_ngram_jaccard",
     _ngram_pairs,
-    f"WITH {_CORPUS}, {_SHINGLES_CTE} SELECT a, b, jaccard FROM exact_pairs",
+    f"WITH {_CORPUS}, {_SHINGLES_CTE}, {_SHINGLES_CAPPED_CTE}"
+    " SELECT a, b, jaccard FROM exact_pairs_capped",
 )
 
 _MINHASH_MIN = ", ".join(
@@ -1524,11 +1551,11 @@ register(
     lambda spark, sf: text_dedup.dedup_clusters(
         _corpus(spark, sf), _ngram_pairs(spark, sf)
     ),
-    f"""WITH RECURSIVE {_CORPUS}, {_SHINGLES_CTE},
+    f"""WITH RECURSIVE {_CORPUS}, {_SHINGLES_CTE}, {_SHINGLES_CAPPED_CTE},
 edges AS (
-    SELECT a AS src, b AS dst FROM exact_pairs
+    SELECT a AS src, b AS dst FROM exact_pairs_capped
     UNION ALL
-    SELECT b AS src, a AS dst FROM exact_pairs
+    SELECT b AS src, a AS dst FROM exact_pairs_capped
 ),
 reach(v, l) AS (
     SELECT doc_id, doc_id FROM corpus

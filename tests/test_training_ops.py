@@ -114,6 +114,46 @@ def test_dedup_cluster_keep(spark, duck):
     assert_parity(df, duck, api.ORACLES["dedup_cluster_keep"], "dedup_cluster_keep")
 
 
+def test_ngram_hot_shingle_cap(spark):
+    """A ubiquitous shingle must not quadratically blow the candidate set:
+    with the DF cap active, 50 docs sharing one boilerplate shingle (and
+    nothing else) produce ZERO candidate pairs; uncapped they produce all
+    50*49/2 (observable at threshold=0)."""
+    from flink_realtime_datawarehouse_v3_spark.operators import text_dedup
+
+    docs = [
+        (i, f"common boiler plate unique{i} token{i} word{i}") for i in range(50)
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = text_dedup.ngram_jaccard_pairs(
+        corpus, threshold=0.0, max_shingle_df=10
+    ).count()
+    uncapped = text_dedup.ngram_jaccard_pairs(
+        corpus, threshold=0.0, max_shingle_df=None
+    ).count()
+    assert capped == 0, capped
+    assert uncapped == 50 * 49 // 2, uncapped
+
+
+def test_cluster_chain_logarithmic(spark):
+    """Large-star/small-star closes a 64-node PATH (diameter 63) in
+    O(log d) rounds — plain min-label propagation would need 63 and blow
+    the max_iter=20 budget, so this also proves which algorithm runs."""
+    import pyspark.sql.functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.operators import text_dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(63)], "a long, b long, jaccard double"
+    )
+    corpus = spark.range(64).select(F.col("id").alias("doc_id"))
+    stats: dict = {}
+    rows = text_dedup.dedup_clusters(corpus, pairs, _stats=stats).collect()
+    assert stats["rounds"] <= 8, stats
+    assert all(r.cluster_id == 0 for r in rows)
+    assert sum(r.keep for r in rows) == 1
+
+
 def test_sample_stratified(spark, duck):
     """Deterministic stratified sample: subset of corpus, rate-plausible,
     rerun-identical, oracle parity."""
