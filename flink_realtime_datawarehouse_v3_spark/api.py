@@ -1123,6 +1123,23 @@ register(
     ),
 )
 
+register(
+    "join_activity_coupon_right_outer",
+    lambda spark, sf: joins_plan.activity_coupon_right_outer(
+        _cdc(spark, sf, ["order_detail_activity", "order_detail_coupon"])
+    ),
+    oracle.sql(
+        """SELECT oc.order_detail_id AS order_detail_id,
+                  oa.activity_id, oa.activity_rule_id,
+                  oc.coupon_id, oc.coupon_use_id
+           FROM order_detail_activity_cdc oa
+           RIGHT OUTER JOIN order_detail_coupon_cdc oc
+             ON oa.order_detail_id = oc.order_detail_id""",
+        "order_detail_activity_cdc",
+        "order_detail_coupon_cdc",
+    ),
+)
+
 
 # --- DIM layer: config-driven routing (J10/P6/K5) ----------------------------
 
@@ -2122,7 +2139,9 @@ _register_streaming()
 _WINDOW_ROUND = 5
 
 _DRIVER_WINDOW = [
+    # unproven first (no hash-green row in any round < _WINDOW_ROUND):
     "events_viewers_and_buyers",
+    "join_activity_coupon_right_outer",  # new r5: J9 right-retention
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2171,11 +2190,11 @@ _DRIVER_WINDOW = [
     "dwd_traffic_user_jump_detail",
     "dws_traffic_source_keyword_page_view_window",
     "dws_traffic_vc_ch_ar_is_new_page_view_window",
-    "dim_user_info",
 ]
 
 # Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
 _DRIVER_TAIL = [
+    "dim_user_info",
     "streaming_favor_add",
     "streaming_base_log",
     "streaming_unique_visitor",

@@ -146,6 +146,33 @@ def activity_coupon_full_outer(topic_db: DataFrame) -> DataFrame:
     )
 
 
+def activity_coupon_right_outer(topic_db: DataFrame) -> DataFrame:
+    """J9 right outer join (TEST/Flink05_SQL_JoinTest.java:45-60 documents
+    the inner/left/right retention trio): every coupon detail row is kept,
+    with NULL activity columns where no activity references the detail —
+    the mirror of the left-retention shape used throughout the DWD joins.
+    Same machinery (hash join on the order_detail key); the retained side
+    merely flips."""
+    d = F.col("data")
+    oa = topic_db.filter(F.col("table") == "order_detail_activity").select(
+        d.getItem("order_detail_id").alias("a_detail_id"),
+        d.getItem("activity_id").alias("activity_id"),
+        d.getItem("activity_rule_id").alias("activity_rule_id"),
+    )
+    oc = topic_db.filter(F.col("table") == "order_detail_coupon").select(
+        d.getItem("order_detail_id").alias("c_detail_id"),
+        d.getItem("coupon_id").alias("coupon_id"),
+        d.getItem("coupon_use_id").alias("coupon_use_id"),
+    )
+    return oa.join(oc, oa.a_detail_id == oc.c_detail_id, "right_outer").select(
+        F.col("c_detail_id").alias("order_detail_id"),
+        "activity_id",
+        "activity_rule_id",
+        "coupon_id",
+        "coupon_use_id",
+    )
+
+
 def view_no_purchase_users(events: DataFrame) -> DataFrame:
     """Left ANTI join (the funnel-drop query): users with at least one
     view event and NO purchase event, with their view counts.

@@ -11,7 +11,8 @@ from .conftest import SF_SMOKE, assert_parity
 
 @pytest.mark.parametrize(
     "name",
-    ["interval_join_events", "join_activity_coupon_full_outer", "join_salted_skew",
+    ["interval_join_events", "join_activity_coupon_full_outer",
+     "join_activity_coupon_right_outer", "join_salted_skew",
      "join_bucketed_colocated", "asof_join_events", "sessionize_events"],
 )
 def test_parity(spark, duck, name):
