@@ -1619,6 +1619,16 @@ FROM (SELECT doc_id FROM corpus
 LEFT JOIN hits h USING (doc_id)""",
 )
 
+# Bloom-filter twin of decontaminate_ngram: the membership test when the
+# benchmark shingle set outgrows a broadcast. Deterministic xxhash64
+# bit-probing has no DuckDB equivalent -> rows-only entry; the hard gate
+# is tests/test_training_ops.py::test_decontaminate_bloom (superset of
+# the exact semi-join + FP bound).
+register(
+    "decontaminate_bloom",
+    lambda spark, sf: text_dedup.decontaminate_bloom(_corpus(spark, sf)),
+)
+
 # Corpus-mix report over the raw documents table: ONE ROLLUP pass over
 # (source, lang) with GROUPING-bit level semantics identical to DuckDB.
 register(
@@ -2250,6 +2260,7 @@ _DRIVER_TAIL = [
     "dws_trade_province_order_window_approx",
     "simsearch_ivf_topk",
     "events_profile_stats_approx",
+    "decontaminate_bloom",
 ]
 
 

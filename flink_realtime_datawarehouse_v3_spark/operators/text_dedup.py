@@ -362,6 +362,12 @@ def dedup_clusters(
 BENCH_MOD = 97  # corpus docs with doc_id % 97 == 0 form the held-out set
 DECON_N = 8  # token-shingle width for the overlap test
 
+# Bloom-filter decontamination twin: m bits / k hashes, sized for a
+# benchmark-shingle set up to ~10^5 entries at <1% FP ((1-e^{-kn/m})^k).
+# Deterministic (xxhash64 with fixed per-hash seeds), so reruns agree.
+BLOOM_BITS = 1 << 20
+BLOOM_K = 5
+
 
 def decontaminate(corpus: DataFrame, n: int = DECON_N) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any n-token
@@ -399,5 +405,86 @@ def decontaminate(corpus: DataFrame, n: int = DECON_N) -> DataFrame:
             "doc_id",
             F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
             (F.coalesce("n_overlap", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def _bloom_hit(i: int, m: int) -> str:
+    """SQL predicate: hash i of `shingle` finds its bit set in the staged
+    `bloom_bits` array<long> column."""
+    pos = f"pmod(xxhash64(shingle, {i}), {m})"
+    return (
+        f"(element_at(bloom_bits, CAST({pos} DIV 64 AS INT) + 1) & "
+        f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
+    )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame, n: int = DECON_N, m: int = BLOOM_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Bloom-filter twin of :func:`decontaminate` — the shape for when the
+    benchmark shingle set outgrows a hash-join broadcast.
+
+    Build: the benchmark shingles' k bit positions are computed
+    distributed (explode -> word/mask -> bit_or per word); only the
+    OCCUPIED 64-bit words are collected — bounded by m/64 longs (128 KiB
+    at the default m = 2^20), a fixed-size index artifact like the IVF
+    centroid sample, never proportional to the corpus.
+
+    Probe: the packed bit array rides as ONE literal expression node
+    (shared, not per-row state) and each candidate shingle tests its k
+    positions with xxhash64 / element_at / shiftleft — whole-stage-codegen
+    JVM expressions, no join against the benchmark at all. A corpus doc
+    is flagged when any of its shingles hits all k bits.
+
+    Guarantees (pytest-gated vs the exact semi-join twin,
+    tests/test_training_ops.py::test_decontaminate_bloom):
+    - NO false negatives: every exactly-contaminated doc is flagged;
+    - false-positive docs bounded by the (1 - e^{-kn/m})^k shingle FP rate.
+
+    Deterministic hashing but not SQL-expressible in DuckDB (no xxhash64)
+    -> registered rows-only, with the parity pytest as the gate.
+    """
+    is_bench = (F.col("doc_id") % BENCH_MOD == 0) & (F.col("doc_id") < 1_000_000)
+    bench_sh = (
+        shingles_exploded(corpus.filter(is_bench), n=n).select("shingle").distinct()
+    )
+    pos = F.explode(
+        F.array(*[F.expr(f"pmod(xxhash64(shingle, {i}), {m})") for i in range(k)])
+    ).alias("pos")
+    words = (
+        bench_sh.select(pos)
+        .select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+        .collect()
+    )
+    bits = [0] * (m // 64)
+    for r in words:
+        bits[r["word"]] = r["mask"]
+    cand = corpus.filter(~is_bench)
+    hit = F.expr(" AND ".join(_bloom_hit(i, m) for i in range(k)))
+    hits = (
+        shingles_exploded(cand, n=n)
+        .withColumn("bloom_bits", F.lit(bits))
+        .withColumn("hit", hit)
+        .filter(F.col("hit"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    return (
+        cand.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).cast("int").alias(
+                "contaminated"
+            ),
         )
     )

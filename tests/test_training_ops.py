@@ -114,6 +114,33 @@ def test_dedup_cluster_keep(spark, duck):
     assert_parity(df, duck, api.ORACLES["dedup_cluster_keep"], "dedup_cluster_keep")
 
 
+def test_decontaminate_bloom(spark):
+    """Bloom twin vs exact semi-join: NO false negatives (every exactly
+    contaminated doc flagged), hit counts per doc >= exact counts, and
+    false-positive docs within the filter's design bound."""
+    exact = {
+        r.doc_id: r
+        for r in api.QUERIES["decontaminate_ngram"](spark, SF_SMOKE).collect()
+    }
+    bloom = {
+        r.doc_id: r
+        for r in api.QUERIES["decontaminate_bloom"](spark, SF_SMOKE).collect()
+    }
+    assert set(bloom) == set(exact)  # same candidate universe
+    for doc_id, e in exact.items():
+        b = bloom[doc_id]
+        if e.contaminated:
+            assert b.contaminated, f"false negative on doc {doc_id}"
+        assert b.n_bloom_hits >= e.n_overlap, doc_id
+    fp = sum(
+        1
+        for doc_id, b in bloom.items()
+        if b.contaminated and not exact[doc_id].contaminated
+    )
+    # Generous bound: design FP rate is <<1% per shingle at this fill.
+    assert fp <= max(2, len(bloom) // 100), fp
+
+
 def test_ngram_hot_shingle_cap(spark):
     """A ubiquitous shingle must not quadratically blow the candidate set:
     with the DF cap active, 50 docs sharing one boilerplate shingle (and
