@@ -499,6 +499,55 @@ register(
     ),
 )
 
+# CJK keyword window: segmentation recomputed INDEPENDENTLY on both
+# engines — Spark runs the dictionary FMM Pandas UDF, DuckDB a recursive
+# longest-dictionary-prefix CTE over the same bundled dict. WITH RECURSIVE
+# prefixes the composed CTE chain (DuckDB allows the keyword even though
+# only `seg` recurses).
+from .functions import tokenize as tokenize_mod  # noqa: E402
+
+_CJK_DICT_VALUES = ", ".join(f"('{w}')" for w in tokenize_mod.CJK_DICT)
+_CJK_PHRASE_CASE = "CASE CAST(p.ts AS BIGINT) % 4 " + " ".join(
+    f"WHEN {i} THEN '{p}'" for i, p in enumerate(tokenize_mod.CJK_PHRASES[:3])
+) + f" ELSE '{tokenize_mod.CJK_PHRASES[3]}' END"
+
+register(
+    "dws_traffic_keyword_cjk_window",
+    lambda spark, sf: dws.traffic_keyword_cjk_window(_page(spark, sf)),
+    oracle.sql(
+        f"""SELECT 'search' AS source, {_stt_edt()}, tok AS keyword,
+                   count(*) AS keyword_count
+            FROM (SELECT {_CJK_PHRASE_CASE} AS phrase, {_WS_MS} AS ws
+                  FROM dwd_page_log p
+                  WHERE p.page_id = 'search' AND p.item_type = 'keyword'
+                    AND p.item IS NOT NULL) src
+            JOIN (
+              WITH RECURSIVE cjk_dict(w) AS (
+                  SELECT * FROM (VALUES {_CJK_DICT_VALUES}) t(w)
+              ),
+              seg(phrase, rest, tok) AS (
+                  SELECT DISTINCT {_CJK_PHRASE_CASE} AS phrase,
+                         {_CJK_PHRASE_CASE},
+                         CAST(NULL AS VARCHAR)
+                  FROM dwd_page_log p
+                  WHERE p.page_id = 'search' AND p.item_type = 'keyword'
+                    AND p.item IS NOT NULL
+                  UNION
+                  SELECT phrase, substr(rest, length(m) + 1), m
+                  FROM (SELECT phrase, rest,
+                               coalesce((SELECT w FROM cjk_dict
+                                         WHERE starts_with(rest, w)
+                                         ORDER BY length(w) DESC LIMIT 1),
+                                        substr(rest, 1, 1)) AS m
+                        FROM seg WHERE rest <> '')
+              )
+              SELECT phrase, tok FROM seg WHERE tok IS NOT NULL
+            ) toks USING (phrase)
+            GROUP BY ws, tok""",
+        *oracle.LOG_CTES,
+    ),
+)
+
 register(
     "dws_traffic_vc_ch_ar_is_new_page_view_window",
     lambda spark, sf: dws.traffic_vc_ch_ar_is_new_page_view_window(
@@ -2152,6 +2201,7 @@ _DRIVER_WINDOW = [
     # unproven first (no hash-green row in any round < _WINDOW_ROUND):
     "events_viewers_and_buyers",
     "join_activity_coupon_right_outer",  # new r5: J9 right-retention
+    "dws_traffic_keyword_cjk_window",    # new r5: U1 CJK dict segmenter
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2199,11 +2249,11 @@ _DRIVER_WINDOW = [
     "dwd_traffic_unique_visitor_detail",
     "dwd_traffic_user_jump_detail",
     "dws_traffic_source_keyword_page_view_window",
-    "dws_traffic_vc_ch_ar_is_new_page_view_window",
 ]
 
 # Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
 _DRIVER_TAIL = [
+    "dws_traffic_vc_ch_ar_is_new_page_view_window",
     "dim_user_info",
     "streaming_favor_add",
     "streaming_base_log",

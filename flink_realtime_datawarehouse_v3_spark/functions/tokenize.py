@@ -86,3 +86,61 @@ def segment_bpe_pandas_udf(s: pd.Series) -> pd.Series:
         return out
 
     return s.map(seg)
+
+
+# --- dictionary-driven CJK segmentation (IK-Analyzer parity plug) -----------
+#
+# The reference's KeywordUtil (RT/utils/KeywordUtil.java:18-37) runs
+# IK-Analyzer smart segmentation over Chinese search keywords. IK's core
+# mechanism is dictionary-driven maximum matching; this ships the same
+# mechanism — greedy forward maximum match (FMM) over a bundled dictionary,
+# single-character fallback — deterministically, with the DuckDB oracle
+# computing the identical segmentation via a recursive longest-prefix CTE.
+# The dictionary is a parameter (a real deployment loads IK's main dict);
+# segmentation here is a pure function of (text, dict) on both engines.
+
+CJK_DICT: list[str] = [
+    "数据仓库", "大数据", "数据", "仓库", "实时", "流式",
+    "处理", "引擎", "分析", "计算", "窗口", "聚合",
+]
+
+# Deterministic synthetic search phrases the CJK keyword-window entry maps
+# log rows onto (ts % len(CJK_PHRASES)); the third exercises the
+# single-char fallback (湖 is not in the dictionary).
+CJK_PHRASES: list[str] = [
+    "实时数据仓库",
+    "大数据流式处理",
+    "数据湖实时分析",
+    "实时窗口聚合计算",
+]
+
+
+def _fmm(text: str | None, dictset: set[str], maxlen: int) -> list[str]:
+    """Greedy forward maximum match: at each position take the LONGEST
+    dictionary word prefix, else the single character. Mirrors the
+    oracle's recursive `ORDER BY length(w) DESC LIMIT 1` CTE exactly
+    (a prefix of fixed length is unique, so no tie-break is needed)."""
+    if text is None:
+        return []
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        match = None
+        for length in range(min(maxlen, n - i), 0, -1):
+            cand = text[i : i + length]
+            if cand in dictset:
+                match = cand
+                break
+        if match is None:
+            match = text[i]
+        out.append(match)
+        i += len(match)
+    return out
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def segment_cjk_pandas_udf(s: pd.Series) -> pd.Series:
+    """Arrow-batched dictionary FMM segmentation over :data:`CJK_DICT`."""
+    dictset = set(CJK_DICT)
+    maxlen = max(map(len, CJK_DICT))
+    return s.map(lambda t: _fmm(t, dictset, maxlen))

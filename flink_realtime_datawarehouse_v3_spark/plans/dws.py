@@ -82,6 +82,50 @@ def traffic_source_keyword_page_view_window(
     )
 
 
+def traffic_keyword_cjk_window(page: DataFrame) -> DataFrame:
+    """U1 with the CJK segmenter plugged in: the keyword window over
+    Chinese search phrases, dictionary FMM segmentation (IK-Analyzer's
+    core mechanism, RT/utils/KeywordUtil.java:18-37) via the Arrow-batched
+    plug point.
+
+    The synthetic log carries latin keywords, so the search rows are
+    deterministically mapped onto the bundled CJK phrase list
+    (``ts % len(CJK_PHRASES)``) — the oracle applies the same mapping and
+    segments with a recursive longest-dictionary-prefix CTE, so the
+    segmentation itself is independently recomputed, not hard-coded.
+
+    Scale: the UDF is Arrow-batched and purely per-row; everything else is
+    the same explode -> tumble -> hash-agg shape as the latin window.
+    """
+    from ..functions.tokenize import CJK_PHRASES, segment_cjk_pandas_udf
+
+    phrases = F.array(*[F.lit(p) for p in CJK_PHRASES])
+    filtered = page.filter(
+        (F.col("page_id") == "search")
+        & (F.col("item_type") == "keyword")
+        & F.col("item").isNotNull()
+    ).select(
+        F.element_at(
+            phrases,
+            (F.col("ts").cast("bigint") % len(CJK_PHRASES) + 1).cast("int"),
+        ).alias("item"),
+        rt_from_ms(F.col("ts")).alias("rt"),
+    )
+    words = filtered.select(
+        F.explode(segment_cjk_pandas_udf(F.col("item"))).alias("word"), "rt"
+    )
+    return (
+        tumble(words, F.col("rt"), "word")
+        .agg(F.count(F.lit(1)).alias("keyword_count"))
+        .select(
+            F.lit("search").alias("source"),
+            *stt_edt(),
+            F.col("word").alias("keyword"),
+            "keyword_count",
+        )
+    )
+
+
 def traffic_vc_ch_ar_is_new_page_view_window(
     page: DataFrame, uv: DataFrame, jump: DataFrame
 ) -> DataFrame:

@@ -100,6 +100,32 @@ def test_bpe_segmenter_deterministic_subwords(spark):
     assert out.count() > 0
 
 
+def test_cjk_segmenter_fmm(spark, duck):
+    """Dictionary FMM segmentation: greedy longest match, single-char
+    fallback for out-of-dictionary chars, and oracle parity for the full
+    CJK keyword window (the oracle recomputes segmentation via a recursive
+    longest-prefix CTE — independent of the Python implementation)."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.functions.tokenize import (
+        segment_cjk_pandas_udf,
+    )
+
+    df = spark.createDataFrame(
+        [("实时数据仓库",), ("数据湖实时分析",), (None,)], "item string"
+    )
+    rows = df.select(segment_cjk_pandas_udf(F.col("item")).alias("t")).collect()
+    assert rows[0].t == ["实时", "数据仓库"]  # longest match beats 数据+仓库
+    assert rows[1].t == ["数据", "湖", "实时", "分析"]  # 湖 = fallback
+    assert rows[2].t == []
+    assert_parity(
+        api.QUERIES["dws_traffic_keyword_cjk_window"](spark, SF_SMOKE),
+        duck,
+        api.ORACLES["dws_traffic_keyword_cjk_window"],
+        "dws_traffic_keyword_cjk_window",
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     [
