@@ -1846,6 +1846,42 @@ register(
     ),
 )
 
+# Quantile-threshold twin of the rank cut: per-language exact order
+# statistic as an AGGREGATE (quantile_cont == Spark `percentile`), then a
+# broadcast threshold filter — no per-language window sort, skew-immune.
+register(
+    "text_quality_top_quantile",
+    lambda spark, sf: text_analysis.quality_top_quantile(_corpus(spark, sf)),
+    _csql(
+        f""", scored AS (
+                SELECT doc_id,
+                       round(0.4 * least(1.0, n_tokens / 400.0)
+                             + 0.3 * (1.0 - n_punct / n_chars)
+                             + 0.3 * least(1.0, se * 5.0), 6) AS quality_score,
+                       CASE WHEN greatest(se, sd, sf2) <= 0 THEN 'und'
+                            WHEN se = greatest(se, sd, sf2) THEN 'en'
+                            WHEN sd = greatest(se, sd, sf2) THEN 'de'
+                            ELSE 'fr' END AS lang_pred
+                FROM (SELECT doc_id,
+                             len({_TOKS}) AS n_tokens,
+                             length(text) AS n_chars,
+                             len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+                             len(list_filter({_TOKS}, t -> t IN {_STOP_EN})) / len({_TOKS}) AS se,
+                             len(list_filter({_TOKS}, t -> t IN ('der','die','das','und','ist'))) / len({_TOKS}) AS sd,
+                             len(list_filter({_TOKS}, t -> t IN ('le','la','et','les','des'))) / len({_TOKS}) AS sf2
+                      FROM corpus)
+            ),
+            thr AS (
+                SELECT lang_pred,
+                       round(quantile_cont(quality_score, 0.4), 6) AS q_thr
+                FROM scored GROUP BY lang_pred
+            )
+            SELECT s.doc_id, s.lang_pred, s.quality_score, t.q_thr
+            FROM scored s JOIN thr t USING (lang_pred)
+            WHERE s.quality_score >= t.q_thr"""
+    ),
+)
+
 _SAMPLE_RATE_CASE = (
     "CASE lang_pred "
     + " ".join(
@@ -2202,6 +2238,7 @@ _DRIVER_WINDOW = [
     "events_viewers_and_buyers",
     "join_activity_coupon_right_outer",  # new r5: J9 right-retention
     "dws_traffic_keyword_cjk_window",    # new r5: U1 CJK dict segmenter
+    "text_quality_top_quantile",         # new r5: skew-immune quantile cut
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2248,11 +2285,11 @@ _DRIVER_WINDOW = [
     "dwd_traffic_action_log",
     "dwd_traffic_unique_visitor_detail",
     "dwd_traffic_user_jump_detail",
-    "dws_traffic_source_keyword_page_view_window",
 ]
 
 # Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
 _DRIVER_TAIL = [
+    "dws_traffic_source_keyword_page_view_window",
     "dws_traffic_vc_ch_ar_is_new_page_view_window",
     "dim_user_info",
     "streaming_favor_add",

@@ -535,6 +535,36 @@ def quality_top_fraction(corpus: DataFrame, keep_frac: float = 0.6) -> DataFrame
     )
 
 
+def quality_top_quantile(corpus: DataFrame, keep_frac: float = 0.6) -> DataFrame:
+    """Quantile-threshold twin of :func:`quality_top_fraction` — the form
+    that survives extreme per-language skew.
+
+    The rank cut sorts every language partition (percent_rank window); one
+    dominant language concentrates that sort on one shuffle partition. This
+    twin instead computes the per-language (1 - keep_frac) order statistic
+    with an AGGREGATE (no window sort), broadcasts the tiny per-language
+    threshold table, and keeps docs scoring at-or-above it — two hash aggs
+    + a broadcast-join filter, skew-immune. Kept set may differ from the
+    rank cut only at tied/interpolated boundary scores (documented trade).
+
+    ``percentile`` here is Spark's exact interpolated order statistic
+    (== DuckDB quantile_cont, so the entry hash-matches); at 100 TB swap
+    in approx_percentile's t-digest — same plan shape, bounded memory.
+    """
+    scored = quality_score(corpus).join(
+        lang_id(corpus).select("doc_id", "lang_pred"), "doc_id"
+    )
+    p = 1.0 - keep_frac
+    thr = scored.groupBy("lang_pred").agg(
+        F.round(F.expr(f"percentile(quality_score, {p})"), 6).alias("q_thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang_pred")
+        .filter(F.col("quality_score") >= F.col("q_thr"))
+        .select("doc_id", "lang_pred", "quality_score", "q_thr")
+    )
+
+
 def unigram_lm_score(corpus: DataFrame) -> DataFrame:
     """Unigram language-model scoring (the CCNet-style perplexity-proxy
     quality signal): each document's mean token log-probability under the

@@ -38,6 +38,7 @@ ORACLED = [
     "corpus_mix_report",
     "corpus_lang_pivot",
     "events_viewers_and_buyers",
+    "text_quality_top_quantile",
     "events_running_total",
     "session_funnel",
     "text_quality_top_fraction",
@@ -112,6 +113,22 @@ def test_dedup_cluster_keep(spark, duck):
         assert sum(m.keep for m in members) == 1
         assert min(m.doc_id for m in members) == cid
     assert_parity(df, duck, api.ORACLES["dedup_cluster_keep"], "dedup_cluster_keep")
+
+
+def test_quality_top_quantile_no_window_sort(spark):
+    """The quantile cut must plan as agg + broadcast filter — no Window
+    operator (that per-language sort is exactly what it exists to avoid)."""
+    df = api.QUERIES["text_quality_top_quantile"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    rank_kept = {
+        r.doc_id for r in api.QUERIES["text_quality_top_fraction"](spark, SF_SMOKE).collect()
+    }
+    quant_kept = {r.doc_id for r in df.collect()}
+    # Same budget intent: the two cuts agree up to boundary ties.
+    overlap = len(rank_kept & quant_kept) / max(1, len(rank_kept | quant_kept))
+    assert overlap >= 0.9, overlap
 
 
 def test_decontaminate_bloom(spark):
