@@ -37,9 +37,14 @@ def time_rollup(events: DataFrame, bucket_ms: int = BUCKET_MS) -> DataFrame:
     decimal(18,2) so the result is exact regardless of partition/merge
     order (float sums would drift between engines).
     """
-    # Integer DIV, not double division: a float quotient truncated back to
-    # bigint can land one-off at exact bucket boundaries.
-    bucket = F.expr(f"(unix_millis(ts) DIV {bucket_ms}) * {bucket_ms}")
+    # FLOOR-division semantics, matching the oracle's `//`: Spark's DIV
+    # truncates toward zero, which diverges on pre-epoch (negative
+    # epoch-ms) timestamps. floor(x/b)*b with exact integer re-multiply;
+    # the double quotient is exact for |x| < 2^53 (epoch-ms until year
+    # ~287396), so no boundary off-by-one.
+    bucket = F.expr(
+        f"CAST(floor(unix_millis(ts) / {bucket_ms}) AS BIGINT) * {bucket_ms}"
+    )
     return (
         events.select("user_id", bucket.alias("bucket_ms"), "ts", "value")
         .groupBy("user_id", "bucket_ms")

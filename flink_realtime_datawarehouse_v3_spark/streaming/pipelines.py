@@ -936,8 +936,10 @@ def stream_activity_coupon_full_outer(spark: SparkSession, sf_dir: str) -> DataF
     at file boundaries and the global watermark late-drops the slower
     side (measured: ~half the rows lost). Sentinels carry one row PER
     TABLE per wave so each branch\'s pushed-down filter lets its watermark
-    advance; they join nothing and are dropped by key prefix on the
-    output side."""
+    advance; the per-wave activity and coupon sentinels share an
+    order_detail_id and ts, so they match EACH OTHER in the join — the
+    coalesced id keeps its __sent_ prefix and the output-side prefix
+    filter drops the joined row."""
     d_col = F.col("data")
     tables_ = ["order_detail_activity", "order_detail_coupon"]
 
