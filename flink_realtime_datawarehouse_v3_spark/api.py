@@ -1054,6 +1054,83 @@ register(
        FROM events""",
 )
 
+from .operators import analytics as analytics_op  # noqa: E402
+
+# Per-group top-N: rank window + filter, rewritten by Catalyst into
+# WindowGroupLimit (per-partition per-group heaps before the sort).
+register(
+    "events_topn_per_group",
+    lambda spark, sf: analytics_op.topn_per_group(
+        tables_mod.load(spark, sf, "events")
+    ),
+    f"""SELECT event_type, rn, event_id, user_id, value
+        FROM (SELECT event_type, event_id, user_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events)
+        WHERE rn <= {analytics_op.TOPN}""",
+)
+
+# Cohort retention matrix: first-seen date per user -> distinct active
+# users per (cohort, day offset).
+register(
+    "events_retention_cohort",
+    lambda spark, sf: analytics_op.retention_cohort(
+        tables_mod.load(spark, sf, "events")
+    ),
+    f"""WITH dts AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+cohort AS (SELECT user_id, min(dt) AS cohort_dt FROM dts GROUP BY user_id)
+SELECT strftime(c.cohort_dt, '%Y-%m-%d') AS cohort_dt,
+       CAST(datediff('day', c.cohort_dt, d.dt) AS INT) AS day_offset,
+       count(DISTINCT d.user_id) AS n_active
+FROM dts d JOIN cohort c USING (user_id)
+WHERE datediff('day', c.cohort_dt, d.dt) <= {analytics_op.RETENTION_MAX_DAYS}
+GROUP BY 1, 2""",
+)
+
+# Full CUBE lattice over (event_type, date) with GROUPING bits.
+register(
+    "events_type_day_cube",
+    lambda spark, sf: analytics_op.type_day_cube(
+        tables_mod.load(spark, sf, "events")
+    ),
+    """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+              GROUPING(event_type, CAST(ts AS DATE)) AS level,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))""",
+)
+
+# Lag-frame inter-event gaps per user; exact integer microsecond sums.
+register(
+    "events_user_gap_stats",
+    lambda spark, sf: analytics_op.user_gap_stats(
+        tables_mod.load(spark, sf, "events")
+    ),
+    """WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events)
+SELECT user_id, count(*) + 1 AS n_events, max(gap_us) AS max_gap_us,
+       CAST(sum(gap_us) AS BIGINT) / count(*) AS mean_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""",
+)
+
+# JSON property extraction (Catalyst get_json_object) + per-type stats.
+register(
+    "events_props_k_stats",
+    lambda spark, sf: analytics_op.props_k_stats(
+        tables_mod.load(spark, sf, "events")
+    ),
+    """SELECT event_type, count(*) AS n_events,
+              CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max
+       FROM (SELECT event_type,
+                    CAST(json_extract_string(props, '$.k') AS INT) AS k
+             FROM events)
+       WHERE k IS NOT NULL GROUP BY event_type""",
+)
+
 # INTERSECT set op: ids in both the view and purchase streams.
 register(
     "events_viewers_and_buyers",
@@ -2239,6 +2316,11 @@ _DRIVER_WINDOW = [
     "join_activity_coupon_right_outer",  # new r5: J9 right-retention
     "dws_traffic_keyword_cjk_window",    # new r5: U1 CJK dict segmenter
     "text_quality_top_quantile",         # new r5: skew-immune quantile cut
+    "events_topn_per_group",             # new r5: WindowGroupLimit top-N
+    "events_retention_cohort",           # new r5: cohort retention matrix
+    "events_type_day_cube",              # new r5: CUBE lattice + GROUPING
+    "events_user_gap_stats",             # new r5: lag frame, exact gaps
+    "events_props_k_stats",              # new r5: JSON property extraction
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2280,15 +2362,15 @@ _DRIVER_WINDOW = [
     "dwd_trade_cancel_detail",
     "dwd_trade_pay_detail_suc",
     "dwd_traffic_page_log",
+]
+
+# Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
+_DRIVER_TAIL = [
     "dwd_traffic_start_log",
     "dwd_traffic_error_log",
     "dwd_traffic_action_log",
     "dwd_traffic_unique_visitor_detail",
     "dwd_traffic_user_jump_detail",
-]
-
-# Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
-_DRIVER_TAIL = [
     "dws_traffic_source_keyword_page_view_window",
     "dws_traffic_vc_ch_ar_is_new_page_view_window",
     "dim_user_info",

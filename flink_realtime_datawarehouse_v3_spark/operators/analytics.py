@@ -1,0 +1,143 @@
+"""Event-analytics operators over the events table (beyond-reference
+surface, §2.8-adjacent: per-group top-N, cohort retention, CUBE lattice,
+lag-frame gap statistics, JSON property extraction).
+
+Scale notes are per-function; every aggregate is partial-combining and
+every window is keyed by a high-cardinality column so no single partition
+concentrates the work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TOPN = 3
+RETENTION_MAX_DAYS = 7
+
+
+def topn_per_group(events: DataFrame, n: int = TOPN) -> DataFrame:
+    """Top-N events by value per event_type (rank window + filter).
+
+    The (value DESC, event_id) order is total, so the kept set is
+    engine-independent. Catalyst rewrites the rank-filter into
+    WindowGroupLimit (gated in tests): each partition keeps a per-group
+    N-row heap BEFORE the shuffle-sort, so the full per-group sort never
+    materializes — the TakeOrdered shape, per group.
+    """
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select("event_type", "rn", "event_id", "user_id", "value")
+    )
+
+
+def retention_cohort(
+    events: DataFrame, max_days: int = RETENTION_MAX_DAYS
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen date; for each
+    (cohort_dt, day_offset <= max_days) the count of distinct users active
+    that day.
+
+    Two hash shuffles: min(dt) per user, then the distinct-count keyed by
+    (cohort_dt, offset) after a user-keyed join — the cohort side is one
+    row per user (narrow), and at 100 TB both shuffles key on user_id
+    first, so the plan reuses the partitioning.
+    """
+    dts = events.select("user_id", F.to_date("ts").alias("dt"))
+    cohort = dts.groupBy("user_id").agg(F.min("dt").alias("cohort_dt"))
+    return (
+        dts.join(cohort, "user_id")
+        .withColumn("day_offset", F.datediff("dt", "cohort_dt"))
+        .filter(F.col("day_offset") <= max_days)
+        .groupBy("cohort_dt", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        # dates cross the oracle boundary as strings (pandas date vs
+        # Timestamp classes otherwise diverge)
+        .select(
+            F.date_format("cohort_dt", "yyyy-MM-dd").alias("cohort_dt"),
+            "day_offset",
+            "n_active",
+        )
+    )
+
+
+def type_day_cube(events: DataFrame) -> DataFrame:
+    """CUBE over (event_type, event date): counts and exact value sums at
+    every aggregation level, GROUPING bits exposed — the full lattice the
+    ROLLUP mix report only walks one path of. One pass; Spark expands the
+    grouping sets map-side and partial-combines per set."""
+    return (
+        events.select(
+            "event_type",
+            F.to_date("ts").alias("dt"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .cube("event_type", "dt")
+        .agg(
+            F.grouping_id("event_type", "dt").alias("level"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("value_sum"),
+        )
+        .select(
+            "event_type",
+            F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+            "level",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def user_gap_stats(events: DataFrame) -> DataFrame:
+    """Inter-event gap statistics per user (lag frame): number of events,
+    max gap and mean gap in MICROSECONDS between consecutive events.
+
+    Gaps are exact integer differences of the microsecond timestamp and
+    the sum is integer arithmetic (order-proof); only the final mean
+    divides to double. One shuffle on user_id; the per-user sort is
+    bounded by per-user event counts (thousands, not corpus-scale).
+    Users with fewer than 2 events are excluded (no gaps exist).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        events.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.max("gap_us").alias("max_gap_us"),
+        # NO round(): at ~1e10 magnitude round(x, 6) exceeds the double
+        # mantissa and each engine garbles it differently; the bare IEEE
+        # division of two exact integers is bit-identical on both.
+        (F.sum("gap_us") / F.count(F.lit(1))).alias("mean_gap_us"),
+    )
+
+
+def props_k_stats(events: DataFrame) -> DataFrame:
+    """JSON property extraction + aggregation: pull the integer `k` out of
+    the props JSON string per event, aggregate per event_type. The parse
+    is Catalyst's get_json_object (JVM, no Python); at scale the
+    extraction runs in the scan projection so only the integer crosses
+    the shuffle."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

@@ -14,7 +14,7 @@ DWS = [n for n in api.QUERIES if n.startswith("dws_") and n in api.ORACLES]
 
 
 def test_count():
-    assert len(DWS) == 12
+    assert len(DWS) == 13  # 12 warehouse windows + the CJK keyword window
 
 
 @pytest.mark.parametrize("name", DWS)

@@ -39,6 +39,11 @@ ORACLED = [
     "corpus_lang_pivot",
     "events_viewers_and_buyers",
     "text_quality_top_quantile",
+    "events_topn_per_group",
+    "events_retention_cohort",
+    "events_type_day_cube",
+    "events_user_gap_stats",
+    "events_props_k_stats",
     "events_running_total",
     "session_funnel",
     "text_quality_top_fraction",
@@ -113,6 +118,15 @@ def test_dedup_cluster_keep(spark, duck):
         assert sum(m.keep for m in members) == 1
         assert min(m.doc_id for m in members) == cid
     assert_parity(df, duck, api.ORACLES["dedup_cluster_keep"], "dedup_cluster_keep")
+
+
+def test_topn_per_group_uses_window_group_limit(spark):
+    """The rank filter must be rewritten into WindowGroupLimit (per-group
+    heaps before the sort) — otherwise the per-group top-N materializes a
+    full sort of every group."""
+    df = api.QUERIES["events_topn_per_group"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
 
 
 def test_quality_top_quantile_no_window_sort(spark):
