@@ -1142,6 +1142,18 @@ register(
        SELECT user_id FROM events WHERE event_type = 'purchase'""",
 )
 
+# EXCEPT set op: distinct viewer ids with no purchase (the set-op sibling
+# of the anti-join funnel query).
+register(
+    "events_viewers_minus_buyers",
+    lambda spark, sf: joins_plan.viewers_minus_buyers(
+        tables_mod.load(spark, sf, "events")
+    ),
+    """SELECT user_id FROM events WHERE event_type = 'view'
+       EXCEPT
+       SELECT user_id FROM events WHERE event_type = 'purchase'""",
+)
+
 # Per-session funnel: conditional counts inside the same gap-merge agg
 # as sessionize_events — conversion analysis at zero extra shuffle cost.
 register(
@@ -1745,6 +1757,59 @@ FROM (SELECT doc_id FROM corpus
 LEFT JOIN hits h USING (doc_id)""",
 )
 
+# Corpus-health duplicate-n-gram rate per source slice (Gopher/Dolma
+# duplicate-text diagnostic): occurrences vs distinct shingles.
+register(
+    "corpus_dup_ngram_rate",
+    lambda spark, sf: text_dedup.dup_ngram_rate(
+        tables_mod.load(spark, sf, "documents")
+    ),
+    f"""WITH occ AS (
+    SELECT source, UNNEST({_SHINGLE_LIST}) AS shingle FROM documents
+),
+per AS (SELECT source, shingle, count(*) AS c FROM occ GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS total_ngrams,
+       count(*) AS distinct_ngrams,
+       round((CAST(sum(c) AS BIGINT) - count(*)) / CAST(sum(c) AS BIGINT), 6)
+           AS dup_rate,
+       max(c) AS max_ngram_count
+FROM per GROUP BY source""",
+)
+
+# PageRank over the near-dup pair graph: 10 fixed power-method steps in
+# exact integer micro-units (rank DIV degree contributions), so Spark's
+# iterative joins and the oracle's recursive CTE agree bit-for-bit —
+# iterative-algorithm coverage beyond the CC closure.
+register(
+    "graph_pagerank_neardup",
+    lambda spark, sf: text_dedup.pagerank_neardup(
+        _corpus(spark, sf), _ngram_pairs(spark, sf)
+    ),
+    f"""WITH RECURSIVE {_CORPUS}, {_SHINGLES_CTE}, {_SHINGLES_CAPPED_CTE},
+edges AS (
+    SELECT a AS src, b AS dst FROM exact_pairs_capped
+    UNION
+    SELECT b AS src, a AS dst FROM exact_pairs_capped
+),
+deg AS (SELECT src AS v, count(*) AS deg FROM edges GROUP BY src),
+pr(iter, v, deg, rank) AS (
+    SELECT 0, v, deg, CAST({text_dedup.PAGERANK_MICRO} AS BIGINT) FROM deg
+    UNION ALL
+    SELECT x.iter + 1, x.dst, dd.deg,
+           CAST({15 * text_dedup.PAGERANK_MICRO // 100}
+                + ({text_dedup.PAGERANK_D85} * x.in_sum) // 100 AS BIGINT)
+    FROM (SELECT p.iter AS iter, e.dst AS dst,
+                 sum(p.rank // p.deg) AS in_sum
+          FROM pr p JOIN edges e ON e.src = p.v
+          WHERE p.iter < {text_dedup.PAGERANK_ITERS}
+          GROUP BY 1, 2) x
+    JOIN deg dd ON dd.v = x.dst
+)
+SELECT v AS doc_id, rank AS rank_micro
+FROM pr WHERE iter = {text_dedup.PAGERANK_ITERS}""",
+)
+
 # Bloom-filter twin of decontaminate_ngram: the membership test when the
 # benchmark shingle set outgrows a broadcast. Deterministic xxhash64
 # bit-probing has no DuckDB equivalent -> rows-only entry; the hard gate
@@ -2321,6 +2386,9 @@ _DRIVER_WINDOW = [
     "events_type_day_cube",              # new r5: CUBE lattice + GROUPING
     "events_user_gap_stats",             # new r5: lag frame, exact gaps
     "events_props_k_stats",              # new r5: JSON property extraction
+    "events_viewers_minus_buyers",       # new r5: EXCEPT set op
+    "corpus_dup_ngram_rate",             # new r5: duplicate-text health
+    "graph_pagerank_neardup",            # new r5: integer power iteration
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2359,13 +2427,13 @@ _DRIVER_WINDOW = [
     "dwd_tool_coupon_pay",
     "dwd_interaction_favor_add",
     "dwd_trade_order_pre_process",
-    "dwd_trade_cancel_detail",
-    "dwd_trade_pay_detail_suc",
-    "dwd_traffic_page_log",
 ]
 
 # Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
 _DRIVER_TAIL = [
+    "dwd_trade_cancel_detail",
+    "dwd_trade_pay_detail_suc",
+    "dwd_traffic_page_log",
     "dwd_traffic_start_log",
     "dwd_traffic_error_log",
     "dwd_traffic_action_log",

@@ -488,3 +488,118 @@ def decontaminate_bloom(
             ),
         )
     )
+
+
+def dup_ngram_rate(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """Corpus-health metric: per source, the fraction of n-gram
+    OCCURRENCES that are repeats of an already-seen shingle (Gopher/Dolma
+    style duplicate-text rate — high values flag boilerplate-heavy or
+    template-generated slices before they reach training).
+
+    One explode + one two-level hash agg: occurrences count per (source,
+    shingle), then per source total/distinct/top roll up. The exact
+    count-distinct is per-source (bounded groups); at extreme vocabulary
+    swap approx_count_distinct — same plan shape.
+    """
+    sh = corpus.select("source", "doc_id", F.col("text").alias("text"))
+    occ = (
+        sh.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size(tokens(F.col("text"))) - n, F.lit(0)),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(
+                                tokens(F.col("text")), (i + j + 1).cast("int")
+                            )
+                            for j in range(n)
+                        ],
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return occ.groupBy("source").agg(
+        F.sum("c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6
+        ).alias("dup_rate"),
+        F.max("c").alias("max_ngram_count"),
+    )
+
+
+# PageRank over the near-dup graph: fixed-iteration power method in exact
+# integer micro-units, so the result is independent of partition/merge
+# order AND reproducible bit-for-bit by the DuckDB oracle's recursive CTE.
+PAGERANK_ITERS = 10
+PAGERANK_MICRO = 1_000_000  # ranks carried as integer micro-units
+PAGERANK_D85 = 85  # damping 0.85 as integer percent parts
+
+
+def pagerank_neardup(
+    corpus: DataFrame, pairs: DataFrame, iters: int = PAGERANK_ITERS
+) -> DataFrame:
+    """PageRank over the undirected near-dup pair graph (nodes = docs in
+    >=1 pair), ``iters`` fixed power-method steps.
+
+    Determinism contract: ranks are BIGINT micro-units; each step
+    new = (15 * MICRO) / 100 + (85 * sum(contrib)) / 100 with
+    contrib = rank DIV degree — all integer division, so Spark and the
+    oracle's recursive CTE agree exactly (the float form would drift by
+    accumulation order). Dangling nodes don't exist (every node has >=1
+    edge by construction).
+
+    Scale: each step is one join edges->ranks + one hash agg, the same
+    bounded-round shape as the CC operator; lineage truncated per step
+    via localCheckpoint. 10 steps = 10 bounded shuffles regardless of
+    graph size.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("v"), "deg").localCheckpoint()
+    ranks = nodes.select(
+        "v", "deg", F.lit(PAGERANK_MICRO).cast("bigint").alias("rank")
+    )
+    base = (15 * PAGERANK_MICRO) // 100
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("v").alias("src"),
+                    F.expr("rank DIV deg").alias("contrib"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.v == contrib.dst, "left")
+            .select(
+                "v",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PAGERANK_D85} * coalesce(in_sum, 0)) DIV 100"
+                    )
+                ).cast("bigint").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("v").alias("doc_id"), F.col("rank").alias("rank_micro")
+    )

@@ -200,3 +200,14 @@ def viewers_and_buyers(events: DataFrame) -> DataFrame:
     views = events.filter(F.col("event_type") == "view").select("user_id")
     buys = events.filter(F.col("event_type") == "purchase").select("user_id")
     return views.intersect(buys)
+
+
+def viewers_minus_buyers(events: DataFrame) -> DataFrame:
+    """EXCEPT — the other half of the set-op family: distinct viewer ids
+    with no purchase. Catalyst plans EXCEPT DISTINCT as a left-ANTI
+    aggregate join over deduplicated keys (same shuffle shape as
+    INTERSECT); semantically the set-op sibling of the
+    view_no_purchase_users anti-join, minus the per-user counts."""
+    views = events.filter(F.col("event_type") == "view").select("user_id")
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.subtract(buys)

@@ -44,6 +44,9 @@ ORACLED = [
     "events_type_day_cube",
     "events_user_gap_stats",
     "events_props_k_stats",
+    "events_viewers_minus_buyers",
+    "corpus_dup_ngram_rate",
+    "graph_pagerank_neardup",
     "events_running_total",
     "session_funnel",
     "text_quality_top_fraction",
@@ -191,6 +194,29 @@ def test_ngram_hot_shingle_cap(spark):
     ).count()
     assert capped == 0, capped
     assert uncapped == 50 * 49 // 2, uncapped
+
+
+def test_pagerank_properties(spark):
+    """Integer power iteration: mass stays near n_nodes * MICRO (integer
+    division only leaks downward), hub nodes outrank leaves on a star,
+    and a rerun is bit-identical."""
+    import pyspark.sql.functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.operators import text_dedup
+
+    # star: 0 joined to 1..5 (hub has degree 5, leaves degree 1)
+    pairs = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(1, 6)], "a long, b long, jaccard double"
+    )
+    corpus = spark.range(6).select(F.col("id").alias("doc_id"))
+    r1 = {r.doc_id: r.rank_micro for r in
+          text_dedup.pagerank_neardup(corpus, pairs).collect()}
+    r2 = {r.doc_id: r.rank_micro for r in
+          text_dedup.pagerank_neardup(corpus, pairs).collect()}
+    assert r1 == r2
+    assert r1[0] > r1[1] == r1[2] == r1[3] == r1[4] == r1[5]
+    total = sum(r1.values())
+    assert 0.9 * 6 * text_dedup.PAGERANK_MICRO <= total <= 6 * text_dedup.PAGERANK_MICRO
 
 
 def test_cluster_chain_logarithmic(spark):
