@@ -1707,7 +1707,7 @@ register(
         _corpus(spark, sf), _ngram_pairs(spark, sf)
     ),
     f"""WITH RECURSIVE {_CORPUS}, {_SHINGLES_CTE}, {_SHINGLES_CAPPED_CTE},
-edges AS (
+edges AS MATERIALIZED (
     SELECT a AS src, b AS dst FROM exact_pairs_capped
     UNION ALL
     SELECT b AS src, a AS dst FROM exact_pairs_capped
@@ -1787,12 +1787,12 @@ register(
         _corpus(spark, sf), _ngram_pairs(spark, sf)
     ),
     f"""WITH RECURSIVE {_CORPUS}, {_SHINGLES_CTE}, {_SHINGLES_CAPPED_CTE},
-edges AS (
+edges AS MATERIALIZED (
     SELECT a AS src, b AS dst FROM exact_pairs_capped
     UNION
     SELECT b AS src, a AS dst FROM exact_pairs_capped
 ),
-deg AS (SELECT src AS v, count(*) AS deg FROM edges GROUP BY src),
+deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM edges GROUP BY src),
 pr(iter, v, deg, rank) AS (
     SELECT 0, v, deg, CAST({text_dedup.PAGERANK_MICRO} AS BIGINT) FROM deg
     UNION ALL

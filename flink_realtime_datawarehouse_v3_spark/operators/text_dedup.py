@@ -99,24 +99,39 @@ def ngram_jaccard_pairs(
     pytest gate: tests/test_training_ops.py::test_ngram_hot_shingle_cap.
     """
     sh = shingles_exploded(corpus, n)
+    # Inverted-index pair generation in ONE shuffle of the index: group
+    # the postings per shingle, drop hot shingles by the DF cap (list
+    # length), then emit the (a < b) doc pairs from each bounded posting
+    # list locally — no shingle self-join (which would shuffle the index
+    # twice and materialize candidates through the exchange). The cap
+    # doubles as the memory bound on the per-shingle list.
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
+        postings = postings.filter(F.size("docs") <= max_shingle_df)
+    docs = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        # The hot set is tiny by construction (only shingles above the
-        # cap) -> broadcast anti-join, no extra shuffle of the index.
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    )
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = (
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        if max_shingle_df is None
+        else postings.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
     )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
@@ -467,11 +482,15 @@ def decontaminate_bloom(
     bits = [0] * (m // 64)
     for r in words:
         bits[r["word"]] = r["mask"]
+    # ONE SQL literal (a single py4j round trip + parse; ConstantFolding
+    # collapses it to a single array Literal node). F.lit(list) here would
+    # issue one JVM call per element — measured ~8 s for 16k elements.
+    bits_expr = F.expr("array(" + ",".join(f"{v}L" for v in bits) + ")")
     cand = corpus.filter(~is_bench)
     hit = F.expr(" AND ".join(_bloom_hit(i, m) for i in range(k)))
     hits = (
         shingles_exploded(cand, n=n)
-        .withColumn("bloom_bits", F.lit(bits))
+        .withColumn("bloom_bits", bits_expr)
         .withColumn("hit", hit)
         .filter(F.col("hit"))
         .groupBy("doc_id")
