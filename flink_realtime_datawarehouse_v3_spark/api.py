@@ -2211,6 +2211,12 @@ def _register_streaming() -> None:
             "stream_keyword_window",
             "dws_traffic_source_keyword_page_view_window",
         ),
+        # U1 CJK: the Arrow-batched dictionary-FMM segmenter inside the
+        # watermarked window; shares the recursive-CTE batch oracle.
+        "streaming_keyword_cjk_window": (
+            "stream_keyword_cjk_window",
+            "dws_traffic_keyword_cjk_window",
+        ),
         "streaming_order_pre_process": (
             "stream_order_pre_process",
             "dwd_trade_order_pre_process",
@@ -2389,6 +2395,7 @@ _DRIVER_WINDOW = [
     "events_viewers_minus_buyers",       # new r5: EXCEPT set op
     "corpus_dup_ngram_rate",             # new r5: duplicate-text health
     "graph_pagerank_neardup",            # new r5: integer power iteration
+    "streaming_keyword_cjk_window",      # new r5: CJK segmenter, live
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2424,13 +2431,13 @@ _DRIVER_WINDOW = [
     "dwd_user_register",
     "dwd_tool_coupon_get",
     "dwd_tool_coupon_order",
-    "dwd_tool_coupon_pay",
     "dwd_interaction_favor_add",
     "dwd_trade_order_pre_process",
 ]
 
 # Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
 _DRIVER_TAIL = [
+    "dwd_tool_coupon_pay",
     "dwd_trade_cancel_detail",
     "dwd_trade_pay_detail_suc",
     "dwd_traffic_page_log",

@@ -206,6 +206,66 @@ def stream_keyword_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def stream_keyword_cjk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+A1 with the dictionary-FMM CJK segmenter (an Arrow-batched
+    Pandas UDF) running INSIDE the watermarked streaming window — proves
+    the segmenter plug point holds under micro-batch execution, not just
+    batch. Same replay/sentinel protocol as stream_keyword_window; the
+    sentinel row keeps its latin marker token (a projection, not a
+    filter, so it still advances the watermark) and is dropped on the
+    output side."""
+    from ..functions.tokenize import CJK_PHRASES, segment_cjk_pandas_udf
+
+    page = _page_log(spark, sf_dir)
+    with TempStreamDir() as d:
+        _write_replay(
+            page,
+            d.sub("in"),
+            order_by=["ts"],
+            sentinels=lambda mx: [
+                _page_sentinel(page, mx, hours=1),
+                _page_sentinel(page, mx, hours=2),
+            ],
+            max_col="ts",
+        )
+        s = read_stream(spark, d.sub("in"))
+        s = s.withColumn("rt", rt_from_ms(F.col("ts"))).withWatermark(
+            "rt", "2 seconds"
+        )
+        phrases = F.array(*[F.lit(p) for p in CJK_PHRASES])
+        toks = F.when(
+            F.col("item") == SENTINEL_WORD, F.array(F.lit(SENTINEL_WORD))
+        ).otherwise(
+            segment_cjk_pandas_udf(
+                F.element_at(
+                    phrases,
+                    (F.col("ts").cast("bigint") % len(CJK_PHRASES) + 1).cast(
+                        "int"
+                    ),
+                )
+            )
+        )
+        words = s.filter(
+            (F.col("page_id") == "search")
+            & (F.col("item_type") == "keyword")
+            & F.col("item").isNotNull()
+        ).select(F.explode(toks).alias("word"), "rt")
+        agg = (
+            words.groupBy(F.window("rt", "10 seconds").alias("w"), "word")
+            .agg(F.count(F.lit(1)).alias("keyword_count"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+                F.lit("search").alias("source"),
+                F.col("word").alias("keyword"),
+                "keyword_count",
+            )
+        )
+        return run_to_memory(agg, output_mode="append").filter(
+            F.col("keyword") != SENTINEL_WORD
+        )
+
+
 def stream_unique_visitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 UV dedup with per-mid date state."""
     page = _page_log(spark, sf_dir)

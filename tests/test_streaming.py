@@ -45,6 +45,14 @@ def test_stream_keyword_window(spark):
     _same(stream, batch, "keyword_window")
 
 
+def test_stream_keyword_cjk_window(spark):
+    """The Arrow-batched CJK FMM segmenter under the watermarked window
+    must reproduce the batch CJK keyword window exactly."""
+    stream = sp.stream_keyword_cjk_window(spark, SF_SMOKE)
+    batch = api.QUERIES["dws_traffic_keyword_cjk_window"](spark, SF_SMOKE)
+    _same(stream, batch, "keyword_cjk_window")
+
+
 def test_stream_unique_visitor(spark):
     stream = sp.stream_unique_visitor(spark, SF_SMOKE)
     batch = api.QUERIES["dwd_traffic_unique_visitor_detail"](spark, SF_SMOKE)
