@@ -1931,6 +1931,30 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
 FROM tc JOIN lp USING (token) GROUP BY doc_id""",
 )
 
+# Bigram LM scoring: mean conditional ln P(w2|w1) per doc in exact
+# integer micro-nats (the CCNet rung above the unigram form).
+register(
+    "text_bigram_lm_score",
+    lambda spark, sf: text_analysis.bigram_lm_score(_corpus(spark, sf)),
+    f"""WITH {_CORPUS},
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+pairs AS (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, len(t) - 1),
+                                 i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+    FROM toks WHERE len(t) >= 2),
+ab AS (SELECT p.a AS a, p.b AS b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+ca AS (SELECT p.a AS a, count(*) AS c_a FROM pairs GROUP BY 1),
+lp AS (SELECT ab.a, ab.b,
+              CAST(round(ln(c_ab / c_a) * 1e6) AS BIGINT) AS logp_micro
+       FROM ab JOIN ca USING (a)),
+dc AS (SELECT doc_id, p.a AS a, p.b AS b, count(*) AS c
+       FROM pairs GROUP BY 1, 2, 3)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(c * logp_micro) AS DOUBLE) / sum(c) / 1e6, 6) AS mean_logp
+FROM dc JOIN lp USING (a, b) GROUP BY doc_id""",
+)
+
 # Collocation mining: top-50 adjacent pairs by PMI (ranked on the
 # 6-decimal rounded score with (a, b) tie-breaks — a total cut).
 register(
@@ -2396,6 +2420,7 @@ _DRIVER_WINDOW = [
     "corpus_dup_ngram_rate",             # new r5: duplicate-text health
     "graph_pagerank_neardup",            # new r5: integer power iteration
     "streaming_keyword_cjk_window",      # new r5: CJK segmenter, live
+    "text_bigram_lm_score",              # new r5: bigram LM micro-nats
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2430,13 +2455,13 @@ _DRIVER_WINDOW = [
     "dedup_exact",
     "dwd_user_register",
     "dwd_tool_coupon_get",
-    "dwd_tool_coupon_order",
     "dwd_interaction_favor_add",
     "dwd_trade_order_pre_process",
 ]
 
 # Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
 _DRIVER_TAIL = [
+    "dwd_tool_coupon_order",
     "dwd_tool_coupon_pay",
     "dwd_trade_cancel_detail",
     "dwd_trade_pay_detail_suc",

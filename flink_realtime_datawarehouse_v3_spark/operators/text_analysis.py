@@ -606,6 +606,62 @@ def unigram_lm_score(corpus: DataFrame) -> DataFrame:
     )
 
 
+def bigram_lm_score(corpus: DataFrame) -> DataFrame:
+    """Bigram language-model scoring — the next CCNet rung above
+    :func:`unigram_lm_score`: each document's mean conditional
+    log-probability ln P(w2|w1) = ln(c(w1,w2)/c(w1,*)) under the corpus's
+    own bigram counts (self-scoring, so no unseen-bigram zeros and no
+    smoothing parameter to pick).
+
+    Same determinism contract as the unigram form: per-bigram ln(p)
+    quantized to integer micro-nats, per-doc sums exact integer
+    arithmetic, one final division. Two vocabulary-key shuffles (bigram
+    counts, doc-bigram join) — the same shape text_bigram_pmi_topk
+    already pays; docs with fewer than 2 tokens have no bigrams and are
+    excluded (documented).
+    """
+    base = corpus.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i.cast("int")).alias("a"),
+                    F.element_at(F.col("t"), (i + 1).cast("int")).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    c_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    logp = c_ab.join(c_a, "a").select(
+        "a",
+        "b",
+        F.round(F.log(F.col("c_ab") / F.col("c_a")) * 1e6)
+        .cast("bigint")
+        .alias("logp_micro"),
+    )
+    dc = pairs.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dc.join(logp, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("logp_micro")).alias("__sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("__sum_micro") / F.col("n_bigrams") / F.lit(1e6), 6
+            ).alias("mean_logp"),
+        )
+    )
+
+
 def bigram_pmi_topk(
     corpus: DataFrame, k: int = 50, min_count: int = 5
 ) -> DataFrame:

@@ -47,6 +47,7 @@ ORACLED = [
     "events_viewers_minus_buyers",
     "corpus_dup_ngram_rate",
     "graph_pagerank_neardup",
+    "text_bigram_lm_score",
     "events_running_total",
     "session_funnel",
     "text_quality_top_fraction",
