@@ -2102,6 +2102,11 @@ WHERE rank <= 10""",
 # against the exact baseline.
 register("simsearch_ivf_topk", lambda spark, sf: simsearch.ivf_topk(_emb(spark, sf)))
 
+# PQ asymmetric-distance top-k: database vectors live as 8 nibble codes,
+# queries precompute distance tables, ADC candidates re-ranked exactly.
+# Deterministic but two-stage-argmin -> rows-only + recall pytest.
+register("simsearch_pq_topk", lambda spark, sf: simsearch.pq_topk(_emb(spark, sf)))
+
 # Scalar int8 quantization of the embedding column (vector-index storage
 # compression); the driver hash covers the full int vector via q_digest.
 register(
@@ -2530,6 +2535,7 @@ _DRIVER_TAIL = [
     "simsearch_ivf_topk",
     "events_profile_stats_approx",
     "decontaminate_bloom",
+    "simsearch_pq_topk",
 ]
 
 

@@ -296,3 +296,178 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# --- product quantization (FAISS PQ posture) --------------------------------
+
+PQ_M = 8  # subspaces: 64 dims -> 8 slices of 8
+PQ_K = 16  # centroids per subspace (4-bit codes)
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample_every: int = 3,
+    iters: int = 10,
+    sample_cap: int = SAMPLE_CAP,
+) -> list[list[list[float]]]:
+    """Per-subspace L2 k-means on the deterministic bounded sample (the PQ
+    codebook training step; same bounded-sample posture as
+    :func:`kmeans_centroids` — nothing driver-side scales with the
+    corpus). Vectors are L2-normalized first so ADC L2 ranking matches
+    cosine ranking (||q-v||^2 = 2 - 2cos on the unit sphere).
+    Returns codebooks[m][k][d_sub]."""
+    import numpy as np
+
+    rows = (
+        embeddings.filter(F.col("vec_id") % sample_every == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_cap)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: empty training sample")
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    d = x.shape[1]
+    dsub = d // m
+    books = []
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        k_eff = min(k, len(xs))
+        cen = xs[np.linspace(0, len(xs) - 1, k_eff).astype(int)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k_eff):
+                members = xs[assign == j]
+                if len(members):
+                    cen[j] = members.mean(axis=0)
+        books.append([[float(v) for v in c] for c in cen])
+    return books
+
+
+def _unit(col: Column) -> Column:
+    n = _norm(col)
+    return F.transform(col, lambda x: x / n)
+
+
+def _subvec(col: Column, s: int, dsub: int) -> Column:
+    return F.slice(col, s * dsub + 1, dsub)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(embeddings: DataFrame, books: list) -> DataFrame:
+    """(vec_id, code array<int>): per subspace, the index of the nearest
+    codebook centroid (argmin L2, ties -> lowest index via the first
+    array_position match). Pure Catalyst — 8 x 16 small fold expressions
+    in whole-stage codegen; 64 doubles compress to 8 nibbles."""
+    m = len(books)
+    dsub = len(books[0][0])
+    v = embeddings.select("vec_id", _unit(_dvec(F.col("embedding"))).alias("v"))
+    code_parts = []
+    for s, book in enumerate(books):
+        sub = _subvec(F.col("v"), s, dsub)
+        dists = F.array(
+            *[
+                F.round(_l2sq(sub, F.array(*[F.lit(c) for c in cen])), 10)
+                for cen in book
+            ]
+        )
+        code_parts.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return v.select("vec_id", "v", F.array(*code_parts).alias("code"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    every: int = 100,
+    candidates: int = 50,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: queries keep exact (normalized)
+    vectors; database vectors are represented ONLY by their m nibble
+    codes. Each query precomputes its m x 16 distance table to the
+    codebooks (broadcast, one row per query); the approximate distance to
+    a database vector is the sum of m table lookups — the scan touches 8
+    ints per vector instead of 64 doubles (the PQ memory/bandwidth win).
+    The ``candidates`` best by ADC are re-ranked exactly; top-k returned.
+
+    Deterministic end-to-end (seeded codebooks, tie-breaks on ids), but
+    the two-stage argmin pipeline is not naturally one SQL query ->
+    registered rows-only with a recall pytest vs the exact baseline
+    (same contract as simsearch_ivf_topk).
+    """
+    books = pq_codebooks(embeddings)
+    m = len(books)
+    dsub = len(books[0][0])
+    coded = pq_encode(embeddings, books).select("vec_id", "code")
+    q = _queries(embeddings, every).select(
+        "q_id", _unit(F.col("q_vec")).alias("q_vec")
+    )
+    # per-query distance tables: array[m] of array[k] of double
+    tables = F.array(
+        *[
+            F.array(
+                *[
+                    F.round(
+                        _l2sq(
+                            _subvec(F.col("q_vec"), s, dsub),
+                            F.array(*[F.lit(c) for c in cen]),
+                        ),
+                        10,
+                    )
+                    for cen in book
+                ]
+            )
+            for s, book in enumerate(books)
+        ]
+    )
+    qt = q.select("q_id", "q_vec", tables.alias("dt"))
+    # ADC scan: sum of m table lookups per (query, code) pair.
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("dt"), s + 1),
+            F.element_at(F.col("code"), s + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    scanned = (
+        qt.crossJoin(coded)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "q_vec", F.col("vec_id").alias("neighbor_id"), adc.alias("adc"))
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("neighbor_id"))
+    cands = (
+        scanned.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= candidates)
+        .select("q_id", "q_vec", "neighbor_id")
+    )
+    # exact re-rank of the candidate set only
+    v = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _dvec(F.col("embedding")).alias("v_vec"),
+    )
+    rescored = cands.join(v, "neighbor_id").select(
+        "q_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), _unit(F.col("v_vec"))), 4).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine_sim")
+    )

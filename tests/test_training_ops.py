@@ -96,6 +96,28 @@ def test_ivf_recall(spark):
     assert len(brute & ivf) / len(brute) >= 0.5
 
 
+def test_pq_recall_and_compression(spark):
+    """PQ ADC must recover most brute-force top-10 neighbors, and the code
+    column must actually be the compressed representation (m small ints)."""
+    from flink_realtime_datawarehouse_v3_spark.operators import simsearch
+
+    brute = {
+        (r.q_id, r.neighbor_id)
+        for r in api.QUERIES["simsearch_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    pq = {
+        (r.q_id, r.neighbor_id)
+        for r in api.QUERIES["simsearch_pq_topk"](spark, SF_SMOKE).collect()
+    }
+    assert brute
+    assert len(brute & pq) / len(brute) >= 0.5
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    books = simsearch.pq_codebooks(emb)
+    coded = simsearch.pq_encode(emb, books).select("code").first().code
+    assert len(coded) == simsearch.PQ_M
+    assert all(0 <= c < simsearch.PQ_K for c in coded)
+
+
 def test_embedding_near_dup_pairs_shape(spark):
     df = api.QUERIES["dedup_embedding_cosine"](spark, SF_SMOKE)
     rows = df.collect()
