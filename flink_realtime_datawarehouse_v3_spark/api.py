@@ -1757,6 +1757,34 @@ FROM (SELECT doc_id FROM corpus
 LEFT JOIN hits h USING (doc_id)""",
 )
 
+# Incremental (cross-corpus) dedup: flag each incoming doc against the
+# existing base without re-deduplicating the base — the ingestion shape.
+register(
+    "dedup_incremental",
+    lambda spark, sf: text_dedup.dedup_incremental(
+        _corpus(spark, sf), _ngram_pairs(spark, sf)
+    ),
+    f"""WITH {_CORPUS}, {_SHINGLES_CTE}, {_SHINGLES_CAPPED_CTE},
+base_h AS (SELECT md5(text) AS h, min(doc_id) AS exact_dup_of
+           FROM corpus WHERE doc_id < {text_dedup.INCREMENTAL_BASE_MAX}
+           GROUP BY 1),
+inc AS (SELECT doc_id, md5(text) AS h FROM corpus
+        WHERE doc_id >= {text_dedup.INCREMENTAL_BASE_MAX}),
+near AS (SELECT b AS doc_id, min(a) AS near_dup_of
+         FROM exact_pairs_capped
+         WHERE a < {text_dedup.INCREMENTAL_BASE_MAX}
+           AND b >= {text_dedup.INCREMENTAL_BASE_MAX}
+         GROUP BY b)
+SELECT i.doc_id,
+       coalesce(bh.exact_dup_of, nr.near_dup_of) AS dup_of,
+       CASE WHEN bh.exact_dup_of IS NOT NULL THEN 'exact'
+            WHEN nr.near_dup_of IS NOT NULL THEN 'near'
+            ELSE 'new' END AS match_type
+FROM inc i
+LEFT JOIN base_h bh USING (h)
+LEFT JOIN near nr USING (doc_id)""",
+)
+
 # Corpus-health duplicate-n-gram rate per source slice (Gopher/Dolma
 # duplicate-text diagnostic): occurrences vs distinct shingles.
 register(
@@ -2426,6 +2454,7 @@ _DRIVER_WINDOW = [
     "graph_pagerank_neardup",            # new r5: integer power iteration
     "streaming_keyword_cjk_window",      # new r5: CJK segmenter, live
     "text_bigram_lm_score",              # new r5: bigram LM micro-nats
+    "dedup_incremental",                 # new r5: ingestion-time dedup
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2460,12 +2489,12 @@ _DRIVER_WINDOW = [
     "dedup_exact",
     "dwd_user_register",
     "dwd_tool_coupon_get",
-    "dwd_interaction_favor_add",
     "dwd_trade_order_pre_process",
 ]
 
 # Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
 _DRIVER_TAIL = [
+    "dwd_interaction_favor_add",
     "dwd_tool_coupon_order",
     "dwd_tool_coupon_pay",
     "dwd_trade_cancel_detail",

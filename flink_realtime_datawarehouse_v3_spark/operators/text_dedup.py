@@ -622,3 +622,53 @@ def pagerank_neardup(
     return ranks.select(
         F.col("v").alias("doc_id"), F.col("rank").alias("rank_micro")
     )
+
+
+INCREMENTAL_BASE_MAX = 1_000_000  # corpus ids below this are the base set
+
+
+def dedup_incremental(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Incremental (cross-corpus) dedup — the ingestion-time shape: flag
+    each INCOMING doc (id >= INCREMENTAL_BASE_MAX, the synthesized
+    exact/near clones) against the EXISTING base corpus, without
+    re-deduplicating the base against itself.
+
+    match_type: 'exact' (same md5, joined hash-to-hash against the base —
+    the base side ships only (hash, min id), never text), else 'near'
+    (a capped-index Jaccard pair linking it to a base doc — reuses the
+    SAME materialized pair set the self-dedup pipeline produces; pairs
+    inside the incoming batch are ignored here), else 'new'. dup_of is
+    the smallest matching base doc id.
+
+    Scale: two hash joins keyed on md5/doc_id; the base never self-joins,
+    so an incoming batch of any size dedups against a 100 TB base at
+    batch-size x lookup cost — the standard new-crawl-vs-corpus pass.
+    """
+    is_base = F.col("doc_id") < INCREMENTAL_BASE_MAX
+    base_h = (
+        corpus.filter(is_base)
+        .select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    inc = corpus.filter(~is_base).select("doc_id", F.md5("text").alias("h"))
+    exact = inc.join(base_h, "h", "left").select("doc_id", "exact_dup_of")
+    near = (
+        pairs.filter(
+            (F.col("a") < INCREMENTAL_BASE_MAX)
+            & (F.col("b") >= INCREMENTAL_BASE_MAX)
+        )
+        .groupBy(F.col("b").alias("doc_id"))
+        .agg(F.min("a").alias("near_dup_of"))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup_of", "near_dup_of").alias("dup_of"),
+            F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact"))
+            .when(F.col("near_dup_of").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("new"))
+            .alias("match_type"),
+        )
+    )

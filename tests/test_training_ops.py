@@ -48,6 +48,7 @@ ORACLED = [
     "corpus_dup_ngram_rate",
     "graph_pagerank_neardup",
     "text_bigram_lm_score",
+    "dedup_incremental",
     "events_running_total",
     "session_funnel",
     "text_quality_top_fraction",
@@ -94,6 +95,29 @@ def test_ivf_recall(spark):
     }
     assert brute
     assert len(brute & ivf) / len(brute) >= 0.5
+
+
+def test_dedup_incremental_semantics(spark):
+    """Exact clones flag 'exact', near clones 'near', and every dup_of
+    points into the base id range."""
+    rows = api.QUERIES["dedup_incremental"](spark, SF_SMOKE).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.match_type, []).append(r)
+        if r.match_type != "new":
+            assert r.dup_of is not None and r.dup_of < 1_000_000
+        else:
+            assert r.dup_of is None
+    # the synthesized corpus guarantees both clone classes exist
+    assert by_type.get("exact"), "exact clones must be flagged"
+    assert by_type.get("near"), "near clones must be flagged"
+    for r in by_type["exact"]:
+        assert r.doc_id >= 1_000_000
+    # +1M ids are verbatim copies of doc_id-1M -> dup_of should be exactly that
+    for r in by_type["exact"]:
+        if r.doc_id < 2_000_000:
+            assert r.dup_of == r.doc_id - 1_000_000
 
 
 def test_pq_recall_and_compression(spark):
