@@ -73,6 +73,13 @@ def reset_session_caches() -> None:
         df.unpersist()
     _cdc._ODS_CACHE.clear()
     _bucketed._READY.clear()
+    # The iterative operators (cluster closure, PageRank) localCheckpoint
+    # per round; those checkpointed RDDs stay persisted until Python drops
+    # the references and the ContextCleaner runs. Force the collection so
+    # a long-lived sweep session doesn't carry them across SF dirs.
+    import gc
+
+    gc.collect()
 
 
 # --- DWD: single-table CDC pipelines -----------------------------------------
@@ -1129,6 +1136,30 @@ register(
                     CAST(json_extract_string(props, '$.k') AS INT) AS k
              FROM events)
        WHERE k IS NOT NULL GROUP BY event_type""",
+)
+
+# Z-score anomaly flags per event_type: moments from exact decimal sums
+# (order-independent), broadcast back as a filter; both engines filter on
+# the 6-decimal-rounded score so the boundary is identical.
+register(
+    "events_value_anomalies",
+    lambda spark, sf: analytics_op.value_anomalies(
+        tables_mod.load(spark, sf, "events")
+    ),
+    f"""WITH s AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,8)) AS s1,
+           sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+                    AS DECIMAL(38,8))) AS s2
+    FROM events GROUP BY 1),
+st AS (SELECT event_type, CAST(s1 AS DOUBLE) / n AS mean,
+              sqrt((CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n) AS sd
+       FROM s)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - st.mean) / st.sd, 6) AS zscore
+FROM events e JOIN st USING (event_type)
+WHERE abs(round((e.value - st.mean) / st.sd, 6)) > {analytics_op.ZSCORE_THRESHOLD}""",
 )
 
 # INTERSECT set op: ids in both the view and purchase streams.
@@ -2455,6 +2486,7 @@ _DRIVER_WINDOW = [
     "streaming_keyword_cjk_window",      # new r5: CJK segmenter, live
     "text_bigram_lm_score",              # new r5: bigram LM micro-nats
     "dedup_incremental",                 # new r5: ingestion-time dedup
+    "events_value_anomalies",            # new r5: exact-moment z-score
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2488,12 +2520,12 @@ _DRIVER_WINDOW = [
     "text_token_stats",
     "dedup_exact",
     "dwd_user_register",
-    "dwd_tool_coupon_get",
     "dwd_trade_order_pre_process",
 ]
 
 # Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
 _DRIVER_TAIL = [
+    "dwd_tool_coupon_get",
     "dwd_interaction_favor_add",
     "dwd_tool_coupon_order",
     "dwd_tool_coupon_pay",

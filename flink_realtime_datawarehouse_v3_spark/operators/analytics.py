@@ -141,3 +141,52 @@ def props_k_stats(events: DataFrame) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+ZSCORE_THRESHOLD = 3.0
+
+
+def value_anomalies(events: DataFrame, z: float = ZSCORE_THRESHOLD) -> DataFrame:
+    """Anomalous event values per event_type: |value - mean| > z * stddev
+    (population moments of the type's own distribution).
+
+    Determinism contract: mean and variance are derived from EXACT
+    decimal sums (sum, sum of squares — decimal(38,8), order-independent)
+    rather than the engines' streaming stddev aggregates, whose float
+    accumulation order differs; the final z computation divides exact
+    values in IEEE doubles, identical on both engines. One hash agg for
+    the per-type moments (6 rows), broadcast back over the events —
+    single scan + broadcast filter at any scale.
+    """
+    v = F.col("value").cast("decimal(18,2)")
+    stats = (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).cast("decimal(38,8)").alias("s1"),
+            F.sum((v * v).cast("decimal(38,8)")).alias("s2"),
+        )
+        .select(
+            "event_type",
+            (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+            F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                    / F.col("n")
+                )
+                / F.col("n")
+            ).alias("sd"),
+        )
+    )
+    return (
+        events.select("event_id", "event_type", "value")
+        .join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "zscore",
+            F.round((F.col("value") - F.col("mean")) / F.col("sd"), 6),
+        )
+        .filter(F.abs(F.col("zscore")) > z)
+        .select("event_id", "event_type", "value", "zscore")
+    )

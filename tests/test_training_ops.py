@@ -49,6 +49,7 @@ ORACLED = [
     "graph_pagerank_neardup",
     "text_bigram_lm_score",
     "dedup_incremental",
+    "events_value_anomalies",
     "events_running_total",
     "session_funnel",
     "text_quality_top_fraction",
