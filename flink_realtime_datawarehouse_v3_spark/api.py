@@ -1162,6 +1162,37 @@ FROM events e JOIN st USING (event_type)
 WHERE abs(round((e.value - st.mean) / st.sd, 6)) > {analytics_op.ZSCORE_THRESHOLD}""",
 )
 
+# Exact-moment Pearson correlation (value vs props.k) per event_type.
+register(
+    "events_value_k_corr",
+    lambda spark, sf: analytics_op.value_k_correlation(
+        tables_mod.load(spark, sf, "events")
+    ),
+    """WITH b AS (
+    SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x,
+           CAST(CAST(json_extract_string(props, '$.k') AS INT)
+                AS DECIMAL(18,2)) AS y
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL),
+m AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(x) AS DECIMAL(38,8)) AS sx,
+           CAST(sum(y) AS DECIMAL(38,8)) AS sy,
+           sum(CAST(x * x AS DECIMAL(38,8))) AS sxx,
+           sum(CAST(y * y AS DECIMAL(38,8))) AS syy,
+           sum(CAST(x * y AS DECIMAL(38,8))) AS sxy
+    FROM b GROUP BY 1)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS pearson_r
+FROM m""",
+)
+
 # INTERSECT set op: ids in both the view and purchase streams.
 register(
     "events_viewers_and_buyers",
@@ -2215,6 +2246,42 @@ FROM (SELECT x.vec_id AS a, y.vec_id AS b,
 WHERE cosine_sim >= 0.97""",
 )
 
+# The CC closure composed over the EMBEDDING near-dup pairs: the same
+# large-star/small-star operator closing a different modality's pair set
+# (one kept vector per semantic-duplicate cluster).
+register(
+    "dedup_embedding_cluster_keep",
+    lambda spark, sf: text_dedup.dedup_clusters(
+        corpus_mod.emb_corpus(spark, sf)
+        .select("vec_id")
+        .withColumnRenamed("vec_id", "doc_id"),
+        simsearch.cosine_near_dup_pairs(corpus_mod.emb_corpus(spark, sf)),
+    ).toDF("vec_id", "cluster_id", "keep"),
+    f"""WITH RECURSIVE {_EMB_CORPUS},
+bucketed AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM emb),
+epairs AS MATERIALIZED (
+    SELECT a, b FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               round(list_cosine_similarity(x.embedding, y.embedding), 4)
+                   AS cosine_sim
+        FROM bucketed x JOIN bucketed y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+    WHERE cosine_sim >= 0.97),
+edges AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM epairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM epairs
+),
+reach(v, l) AS (
+    SELECT vec_id, vec_id FROM emb
+    UNION
+    SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT v AS vec_id, min(l) AS cluster_id,
+       CAST(v = min(l) AS INT) AS keep
+FROM reach GROUP BY v""",
+)
+
 register(
     "multimodal_decode",
     lambda spark, sf: multimodal.decode_features(
@@ -2487,6 +2554,8 @@ _DRIVER_WINDOW = [
     "text_bigram_lm_score",              # new r5: bigram LM micro-nats
     "dedup_incremental",                 # new r5: ingestion-time dedup
     "events_value_anomalies",            # new r5: exact-moment z-score
+    "dedup_embedding_cluster_keep",      # new r5: CC over embedding pairs
+    "events_value_k_corr",               # new r5: exact Pearson moments
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2517,14 +2586,14 @@ _DRIVER_WINDOW = [
     "dwd_trade_order_detail",
     "dwd_traffic_display_log",
     "dws_user_user_register_window",
-    "text_token_stats",
     "dedup_exact",
-    "dwd_user_register",
     "dwd_trade_order_pre_process",
 ]
 
 # Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
 _DRIVER_TAIL = [
+    "text_token_stats",
+    "dwd_user_register",
     "dwd_tool_coupon_get",
     "dwd_interaction_favor_add",
     "dwd_tool_coupon_order",

@@ -190,3 +190,39 @@ def value_anomalies(events: DataFrame, z: float = ZSCORE_THRESHOLD) -> DataFrame
         .filter(F.abs(F.col("zscore")) > z)
         .select("event_id", "event_type", "value", "zscore")
     )
+
+
+def value_k_correlation(events: DataFrame) -> DataFrame:
+    """Pearson correlation between the event value and the JSON `k`
+    property, per event_type — same determinism contract as
+    :func:`value_anomalies`: all five moments accumulate as EXACT
+    decimals (order-independent), and the closed-form correlation is then
+    evaluated over their double casts with an identical expression shape
+    on both engines (the built-in corr() aggregates stream floats in
+    engine-specific order and cannot hash-match). One hash agg, 6-row
+    output."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    base = events.select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("x"),
+        k.cast("decimal(18,2)").alias("y"),
+    ).filter(F.col("y").isNotNull())
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,8)").alias("sx"),
+        F.sum("y").cast("decimal(38,8)").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,8)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,8)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    return m.select(
+        "event_type",
+        "n",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("pearson_r"),
+    )

@@ -50,6 +50,8 @@ ORACLED = [
     "text_bigram_lm_score",
     "dedup_incremental",
     "events_value_anomalies",
+    "dedup_embedding_cluster_keep",
+    "events_value_k_corr",
     "events_running_total",
     "session_funnel",
     "text_quality_top_fraction",
