@@ -1193,6 +1193,19 @@ SELECT event_type, n,
 FROM m""",
 )
 
+# Sort/limit over an aggregate (top event types); the streaming twin runs
+# it as the COMPLETE-mode sorted snapshot.
+register(
+    "events_type_counts_top",
+    lambda spark, sf: analytics_op.type_counts_top(
+        tables_mod.load(spark, sf, "events")
+    ),
+    f"""SELECT event_type, count(*) AS n_events
+        FROM events GROUP BY event_type
+        ORDER BY n_events DESC, event_type
+        LIMIT {analytics_op.TYPE_TOP_K}""",
+)
+
 # INTERSECT set op: ids in both the view and purchase streams.
 register(
     "events_viewers_and_buyers",
@@ -2417,6 +2430,12 @@ def _register_streaming() -> None:
             "stream_value_histogram",
             "events_value_histogram",
         ),
+        # COMPLETE-mode global sort+limit: ORDER BY/LIMIT are only legal
+        # in complete mode; final snapshot == the batch top-k oracle.
+        "streaming_type_counts_top": (
+            "stream_type_counts_top",
+            "events_type_counts_top",
+        ),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -2556,6 +2575,8 @@ _DRIVER_WINDOW = [
     "events_value_anomalies",            # new r5: exact-moment z-score
     "dedup_embedding_cluster_keep",      # new r5: CC over embedding pairs
     "events_value_k_corr",               # new r5: exact Pearson moments
+    "events_type_counts_top",            # new r5: sort/limit over agg
+    "streaming_type_counts_top",         # new r5: COMPLETE-mode sort
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2582,16 +2603,16 @@ _DRIVER_WINDOW = [
     "sink_dws_partitioned_roundtrip",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "text_corpus_clean",
     "dwd_trade_order_detail",
     "dwd_traffic_display_log",
     "dws_user_user_register_window",
-    "dedup_exact",
     "dwd_trade_order_pre_process",
 ]
 
 # Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
 _DRIVER_TAIL = [
+    "text_corpus_clean",
+    "dedup_exact",
     "text_token_stats",
     "dwd_user_register",
     "dwd_tool_coupon_get",

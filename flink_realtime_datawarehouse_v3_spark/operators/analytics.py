@@ -226,3 +226,22 @@ def value_k_correlation(events: DataFrame) -> DataFrame:
         "n",
         F.round(cov / F.sqrt(vx * vy), 6).alias("pearson_r"),
     )
+
+
+TYPE_TOP_K = 3
+
+
+def type_counts_top(events: DataFrame, k: int = TYPE_TOP_K) -> DataFrame:
+    """Global top-k event types by count (ORDER BY + LIMIT over an
+    aggregate — the §2.8 sort/limit shape, with a deterministic
+    (count DESC, event_type) total order). Catalyst plans the
+    sort+limit as TakeOrderedAndProject over the 6-row aggregate; under
+    Structured Streaming the same query is the COMPLETE-mode sorted
+    snapshot (sorting is only legal in complete mode — the streaming twin
+    exercises exactly that)."""
+    return (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "event_type")
+        .limit(k)
+    )

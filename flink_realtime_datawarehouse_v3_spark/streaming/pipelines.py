@@ -25,6 +25,8 @@ Pipelines covered (one per SURVEY.md streaming mechanism):
 - runtime schema evolution, config flip live -> stream_dim_user_info_evolve
 - COMPLETE-mode running aggregation         -> stream_value_histogram
 - stream-stream FULL OUTER join, banded     -> stream_activity_coupon_full_outer
+- CJK dictionary-FMM segmenter in-window    -> stream_keyword_cjk_window
+- COMPLETE-mode global ORDER BY / LIMIT     -> stream_type_counts_top
 """
 
 from __future__ import annotations
@@ -1067,3 +1069,21 @@ def stream_activity_coupon_full_outer(spark: SparkSession, sf_dir: str) -> DataF
         return run_to_memory(joined, output_mode="append").filter(
             ~F.col("order_detail_id").startswith("__sent_")
         )
+
+
+def stream_type_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE-mode global sort+limit: Structured Streaming allows ORDER
+    BY (and LIMIT after it) only in complete mode, where every trigger
+    re-emits the full sorted snapshot; after availableNow the memory sink
+    holds exactly the batch top-k. State is O(groups) (6 event types),
+    never O(rows)."""
+    from ..operators.analytics import type_counts_top
+    from ..sources import tables
+
+    e = tables.load(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    with TempStreamDir() as d:
+        _write_replay(e, d.sub("in"), order_by=["ts_ms"])
+        s = read_stream(spark, d.sub("in"))
+        return run_to_memory(type_counts_top(s), output_mode="complete")

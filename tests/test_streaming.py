@@ -53,6 +53,15 @@ def test_stream_keyword_cjk_window(spark):
     _same(stream, batch, "keyword_cjk_window")
 
 
+def test_stream_type_counts_top(spark):
+    """COMPLETE-mode ORDER BY/LIMIT: the final snapshot equals the batch
+    top-k (sorting is only legal in complete mode — this is the one
+    streaming query allowed to sort)."""
+    stream = sp.stream_type_counts_top(spark, SF_SMOKE)
+    batch = api.QUERIES["events_type_counts_top"](spark, SF_SMOKE)
+    _same(stream, batch, "type_counts_top")
+
+
 def test_stream_unique_visitor(spark):
     stream = sp.stream_unique_visitor(spark, SF_SMOKE)
     batch = api.QUERIES["dwd_traffic_unique_visitor_detail"](spark, SF_SMOKE)

@@ -52,6 +52,7 @@ ORACLED = [
     "events_value_anomalies",
     "dedup_embedding_cluster_keep",
     "events_value_k_corr",
+    "events_type_counts_top",
     "events_running_total",
     "session_funnel",
     "text_quality_top_fraction",
