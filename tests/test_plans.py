@@ -36,6 +36,10 @@ SMJ_WHITELIST = {
     "dwd_trade_refund_pay_suc",      # refund_payment x order_info x refund_info
     "join_activity_coupon_full_outer",  # full-outer changelog join (J8)
     "simsearch_ivf_topk",            # candidate x query bucket join
+    # LSH bucket SELF-join of the full embedding table feeding the CC
+    # closure — both sides are the corpus (not broadcastable at 100 TB);
+    # the sign-bit bucket key is what bounds the join, not a broadcast.
+    "dedup_embedding_cluster_keep",
     # order_detail x order_info (J1) is fact-fact (lineitem x orders
     # scale): order_info is NOT broadcastable at 100 TB, so SMJ on the
     # equi key is the plan we want; AQE converts to broadcast at small SF.
