@@ -555,6 +555,39 @@ register(
     ),
 )
 
+# U1 through the engine's SQL surface: the SAME keyword window written as
+# one Spark SQL query invoking a registered Python UDTF via LATERAL —
+# mirroring the reference's `LATERAL TABLE(SplitFunction(item))` verbatim
+# (RT/app/dws/DwsTrafficSourceKeywordPageViewWindow.java:57-75). Arrow
+# UDTF; the Catalyst tokenizer remains the hot path, this proves the
+# registration + SQL-lateral surface. Shares the keyword-window oracle.
+def _keyword_window_udtf_sql(spark: SparkSession, sf: str) -> DataFrame:
+    tokenize_mod.register_split_udtf(spark)
+    _page(spark, sf).createOrReplaceTempView("page_log_for_udtf")
+    return spark.sql(
+        """
+        SELECT 'search' AS source,
+               date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
+               date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS edt,
+               word AS keyword,
+               count(*) AS keyword_count
+        FROM (
+            SELECT s.word, timestamp_millis(p.ts) AS rt
+            FROM page_log_for_udtf p, LATERAL split_function(p.item) s
+            WHERE p.page_id = 'search' AND p.item_type = 'keyword'
+                  AND p.item IS NOT NULL
+        )
+        GROUP BY window(rt, '10 seconds'), word
+        """
+    )
+
+
+register(
+    "dws_keyword_window_udtf_sql",
+    _keyword_window_udtf_sql,
+    ORACLES["dws_traffic_source_keyword_page_view_window"],
+)
+
 register(
     "dws_traffic_vc_ch_ar_is_new_page_view_window",
     lambda spark, sf: dws.traffic_vc_ch_ar_is_new_page_view_window(
@@ -2577,6 +2610,7 @@ _DRIVER_WINDOW = [
     "events_value_k_corr",               # new r5: exact Pearson moments
     "events_type_counts_top",            # new r5: sort/limit over agg
     "streaming_type_counts_top",         # new r5: COMPLETE-mode sort
+    "dws_keyword_window_udtf_sql",       # new r5: SQL LATERAL UDTF (U1)
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2603,7 +2637,6 @@ _DRIVER_WINDOW = [
     "sink_dws_partitioned_roundtrip",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dwd_trade_order_detail",
     "dwd_traffic_display_log",
     "dws_user_user_register_window",
     "dwd_trade_order_pre_process",
@@ -2611,6 +2644,7 @@ _DRIVER_WINDOW = [
 
 # Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
 _DRIVER_TAIL = [
+    "dwd_trade_order_detail",
     "text_corpus_clean",
     "dedup_exact",
     "text_token_stats",

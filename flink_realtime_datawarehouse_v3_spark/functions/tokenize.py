@@ -7,7 +7,7 @@ bit-for-bit in Python (SURVEY.md §7.3), so the engine ships a deterministic
 whitespace/punctuation tokenizer with the same operator shape
 (string -> array<string> -> explode).
 
-Three implementations:
+Four implementations:
 - :func:`tokenize` — pure Catalyst (``split`` + ``filter``), JVM-side,
   whole-stage-codegen'd; the hot path.
 - :func:`tokenize_pandas_udf` — Arrow-batched Pandas UDF with IDENTICAL
@@ -18,6 +18,9 @@ Three implementations:
   real segmenter (IK/jieba/sentencepiece) that genuinely cannot be
   expressed in SQL. Pure Python + pandas, Arrow-batched; the pipeline
   accepts it through the same ``segmenter`` parameter.
+- :class:`SplitWordsUDTF` — a REAL Python UDTF registered for SQL
+  ``LATERAL`` invocation (the reference's exact TableFunction surface),
+  Arrow-optimized; exercised end-to-end by dws_keyword_window_udtf_sql.
 """
 
 from __future__ import annotations
@@ -144,3 +147,32 @@ def segment_cjk_pandas_udf(s: pd.Series) -> pd.Series:
     dictset = set(CJK_DICT)
     maxlen = max(map(len, CJK_DICT))
     return s.map(lambda t: _fmm(t, dictset, maxlen))
+
+
+class SplitWordsUDTF:
+    """U1 as a REAL Python UDTF — the reference's exact invocation surface
+    (RT/app/func/SplitFunction.java:17-35 is a Flink TableFunction called
+    via ``LATERAL TABLE(SplitFunction(item))``; here the same query reads
+    ``... , LATERAL split_function(item)`` in Spark SQL).
+
+    Arrow-optimized (batched transfer); output identical to
+    :func:`tokenize`. The Catalyst expression remains the hot path — this
+    class exists to prove the engine exposes the UDTF registration +
+    SQL-lateral surface a reference user would reach for.
+    """
+
+    def eval(self, item):  # noqa: ANN001 - UDTF protocol signature
+        if item:
+            for w in item.split():
+                if w:
+                    yield (w,)
+
+
+def register_split_udtf(spark) -> None:
+    """Register ``split_function`` for SQL ``LATERAL`` use (idempotent)."""
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(
+        "split_function",
+        udtf(SplitWordsUDTF, returnType="word string", useArrow=True),
+    )

@@ -14,7 +14,8 @@ DWS = [n for n in api.QUERIES if n.startswith("dws_") and n in api.ORACLES]
 
 
 def test_count():
-    assert len(DWS) == 13  # 12 warehouse windows + the CJK keyword window
+    # 12 warehouse windows + the CJK keyword window + the SQL-UDTF form
+    assert len(DWS) == 14
 
 
 @pytest.mark.parametrize("name", DWS)
@@ -98,6 +99,21 @@ def test_bpe_segmenter_deterministic_subwords(spark):
         page, segmenter=segment_bpe_pandas_udf
     )
     assert out.count() > 0
+
+
+def test_keyword_window_udtf_sql(spark, duck):
+    """The SQL-LATERAL UDTF form must hash-match the keyword-window oracle
+    and actually plan through the Arrow Python UDTF node."""
+    from .conftest import assert_parity
+
+    df = api.QUERIES["dws_keyword_window_udtf_sql"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan, plan
+    assert_parity(
+        df, duck,
+        api.ORACLES["dws_keyword_window_udtf_sql"],
+        "dws_keyword_window_udtf_sql",
+    )
 
 
 def test_cjk_segmenter_fmm(spark, duck):
