@@ -1985,6 +1985,29 @@ register(
        FROM documents GROUP BY source""",
 )
 
+# The inverse reshaping: melt the wide pivot back to long form (stack).
+register(
+    "corpus_lang_unpivot",
+    lambda spark, sf: text_analysis.lang_pivot_unpivot(
+        tables.load(spark, sf, "documents")
+    ),
+    """       SELECT source, 'en' AS lang,
+              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+       FROM documents GROUP BY source
+       UNION ALL
+       SELECT source, 'de' AS lang,
+              CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+       FROM documents GROUP BY source
+       UNION ALL
+       SELECT source, 'fr' AS lang,
+              CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+       FROM documents GROUP BY source
+       UNION ALL
+       SELECT source, 'und' AS lang,
+              CAST(sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+       FROM documents GROUP BY source""",
+)
+
 # Gopher-style repetition quality signals (Rae et al. 2021): top-2-gram
 # occupancy and duplicated-3-gram fraction per doc — the repetition gate a
 # pretraining corpus pipeline runs before mixing.
@@ -2611,6 +2634,7 @@ _DRIVER_WINDOW = [
     "events_type_counts_top",            # new r5: sort/limit over agg
     "streaming_type_counts_top",         # new r5: COMPLETE-mode sort
     "dws_keyword_window_udtf_sql",       # new r5: SQL LATERAL UDTF (U1)
+    "corpus_lang_unpivot",               # new r5: melt/stack reshaping
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2637,13 +2661,13 @@ _DRIVER_WINDOW = [
     "sink_dws_partitioned_roundtrip",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dwd_traffic_display_log",
     "dws_user_user_register_window",
     "dwd_trade_order_pre_process",
 ]
 
 # Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
 _DRIVER_TAIL = [
+    "dwd_traffic_display_log",
     "dwd_trade_order_detail",
     "text_corpus_clean",
     "dedup_exact",

@@ -507,6 +507,20 @@ def lang_source_pivot(documents: DataFrame) -> DataFrame:
     )
 
 
+def lang_pivot_unpivot(documents: DataFrame) -> DataFrame:
+    """Melt (UNPIVOT) the wide per-source language counts back to long
+    form via ``stack`` — the inverse of :func:`lang_source_pivot`,
+    completing the pivot family (§2.8-adjacent reshaping). ``stack`` is a
+    generator expression (no shuffle beyond the pivot's own agg); zero
+    counts are kept so the long form is the full source x lang grid."""
+    wide = lang_source_pivot(documents)
+    pairs = ", ".join(f"'{lg}', n_{lg}" for lg in LANGS)
+    return wide.select(
+        "source",
+        F.expr(f"stack({len(LANGS)}, {pairs}) AS (lang, n_docs)"),
+    )
+
+
 def quality_top_fraction(corpus: DataFrame, keep_frac: float = 0.6) -> DataFrame:
     """Rank-based quality filtering: keep the top ``keep_frac`` of
     documents BY QUALITY RANK within each predicted language (the

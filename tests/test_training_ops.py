@@ -53,6 +53,7 @@ ORACLED = [
     "dedup_embedding_cluster_keep",
     "events_value_k_corr",
     "events_type_counts_top",
+    "corpus_lang_unpivot",
     "events_running_total",
     "session_funnel",
     "text_quality_top_fraction",
