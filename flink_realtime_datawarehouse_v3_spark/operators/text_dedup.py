@@ -81,6 +81,26 @@ def dedup_exact(corpus: DataFrame) -> DataFrame:
 MAX_SHINGLE_DF = 128
 
 
+def _pairs_from_postings(postings: DataFrame) -> DataFrame:
+    """Emit the (a < b) doc pairs from each sorted posting-list column
+    ``docs`` locally — the single-shuffle alternative to a key self-join
+    (which shuffles the index twice and pushes candidates through the
+    exchange)."""
+    docs = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return postings.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+
+
 def ngram_jaccard_pairs(
     corpus: DataFrame,
     n: int = 3,
@@ -110,21 +130,8 @@ def ngram_jaccard_pairs(
     )
     if max_shingle_df is not None:
         postings = postings.filter(F.size("docs") <= max_shingle_df)
-    docs = F.col("docs")
-    pair_arr = F.flatten(
-        F.transform(
-            docs,
-            lambda x, i: F.transform(
-                F.slice(docs, i + 2, F.size(docs)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    common = (
-        postings.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    common = _pairs_from_postings(postings).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_common")
     )
     sizes = (
         sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -180,11 +187,15 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("bv")
     ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
-    a = banded.select(F.col("doc_id").alias("a"), "band", "v")
-    b = banded.select(F.col("doc_id").alias("b"), "band", "v")
-    cands = (
-        a.join(b, ["band", "v"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
-    )
+    # one shuffle of the banded index: postings per (band, v), pairs
+    # emitted locally from the sorted bucket lists (see
+    # _pairs_from_postings; bucket size is bounded by the duplicate-group
+    # fan-in, the quantity LSH banding is designed to keep small)
+    cands = _pairs_from_postings(
+        banded.groupBy("band", "v")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    ).distinct()
     # Verify ONLY the candidate pairs (the point of LSH): broadcast the
     # small candidate set into the shingle index instead of materializing
     # the full all-pairs Jaccard join.
