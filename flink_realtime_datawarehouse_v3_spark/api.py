@@ -1185,10 +1185,11 @@ register(
            sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
                     AS DECIMAL(38,8))) AS s2
     FROM events GROUP BY 1),
-st AS (SELECT event_type, CAST(s1 AS DOUBLE) / n AS mean,
-              sqrt((CAST(s2 AS DOUBLE)
-                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n) AS sd
-       FROM s)
+st AS (SELECT * FROM (
+         SELECT event_type, CAST(s1 AS DOUBLE) / n AS mean,
+                sqrt((CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n) AS sd
+         FROM s) WHERE sd > 0)
 SELECT e.event_id, e.event_type, e.value,
        round((e.value - st.mean) / st.sd, 6) AS zscore
 FROM events e JOIN st USING (event_type)
@@ -1223,7 +1224,11 @@ SELECT event_type, n,
                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
            AS pearson_r
-FROM m""",
+FROM m
+WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+  AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0""",
 )
 
 # Sort/limit over an aggregate (top event types); the streaming twin runs
@@ -1520,6 +1525,15 @@ def _corpus(spark: SparkSession, sf: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf: str) -> DataFrame:
     return tables.load(spark, sf, "embeddings")
+
+
+def _emb_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    # Memoized like _corpus: the expanded (clone-synthesized) embedding
+    # corpus is shared by the cosine-pair entry and the cluster closure;
+    # persisting it once removes a scan + union per use.
+    return _memo_df(
+        spark, "emb_corpus", sf, lambda: corpus_mod.emb_corpus(spark, sf)
+    )
 
 
 _H40 = text_analysis.hash40_sql
@@ -2302,9 +2316,7 @@ _BUCKET_SQL = " + ".join(
 
 register(
     "dedup_embedding_cosine",
-    lambda spark, sf: simsearch.cosine_near_dup_pairs(
-        corpus_mod.emb_corpus(spark, sf)
-    ),
+    lambda spark, sf: simsearch.cosine_near_dup_pairs(_emb_corpus(spark, sf)),
     f"""WITH {_EMB_CORPUS},
 bucketed AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM emb)
 SELECT a, b, cosine_sim
@@ -2321,10 +2333,10 @@ WHERE cosine_sim >= 0.97""",
 register(
     "dedup_embedding_cluster_keep",
     lambda spark, sf: text_dedup.dedup_clusters(
-        corpus_mod.emb_corpus(spark, sf)
+        _emb_corpus(spark, sf)
         .select("vec_id")
         .withColumnRenamed("vec_id", "doc_id"),
-        simsearch.cosine_near_dup_pairs(corpus_mod.emb_corpus(spark, sf)),
+        simsearch.cosine_near_dup_pairs(_emb_corpus(spark, sf)),
     ).toDF("vec_id", "cluster_id", "keep"),
     f"""WITH RECURSIVE {_EMB_CORPUS},
 bucketed AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM emb),

@@ -182,7 +182,10 @@ def value_anomalies(events: DataFrame, z: float = ZSCORE_THRESHOLD) -> DataFrame
     )
     return (
         events.select("event_id", "event_type", "value")
-        .join(F.broadcast(stats), "event_type")
+        # sd = 0 (constant or single-valued type) admits no anomaly, and
+        # the engines disagree on x/0.0 (Spark NULL vs DuckDB inf/NaN) —
+        # drop degenerate groups on BOTH sides (oracle mirrors the guard).
+        .join(F.broadcast(stats.filter(F.col("sd") > 0)), "event_type")
         .withColumn(
             "zscore",
             F.round((F.col("value") - F.col("mean")) / F.col("sd"), 6),
@@ -221,10 +224,16 @@ def value_k_correlation(events: DataFrame) -> DataFrame:
     cov = n * F.col("sxy").cast("double") - sx * sy
     vx = n * F.col("sxx").cast("double") - sx * sx
     vy = n * F.col("syy").cast("double") - sy * sy
-    return m.select(
-        "event_type",
-        "n",
-        F.round(cov / F.sqrt(vx * vy), 6).alias("pearson_r"),
+    # degenerate groups (n=1 or constant x/y) make vx*vy = 0 and the
+    # engines disagree on 0/0 (Spark NULL vs DuckDB NaN) — exclude them
+    # on BOTH sides (correlation is undefined there anyway).
+    return (
+        m.filter((vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            "n",
+            F.round(cov / F.sqrt(vx * vy), 6).alias("pearson_r"),
+        )
     )
 
 

@@ -45,18 +45,28 @@ def _lcg_constants(k: int = MINHASH_K) -> list[tuple[int, int]]:
 MINHASH_AB = _lcg_constants()
 
 
-def shingles_exploded(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct n-gram token shingles per doc."""
-    toks = tokens(F.col("text"))
+def shingle_array(text_col: Column, n: int = 3) -> Column:
+    """All n-gram token shingles of ``text_col`` in order (duplicates
+    kept) — the ONE builder for the index arithmetic mirrored by the
+    oracle's _SHINGLE_LIST (sequence/element_at/concat_ws, including the
+    shared short-doc truncated-shingle behavior)."""
+    toks = tokens(text_col)
     cnt = F.size(toks)
-    arr = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0))),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return (
-        corpus.select("doc_id", F.explode(F.array_distinct(arr)).alias("shingle"))
+
+
+def shingles_exploded(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct n-gram token shingles per doc."""
+    return corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingle_array(F.col("text"), n))).alias(
+            "shingle"
+        ),
     )
 
 
@@ -326,6 +336,7 @@ def dedup_clusters(
         .localCheckpoint()
     )
     prev: tuple | None = None
+    prev_edges: DataFrame | None = None
     rounds = 0
     converged = edges.first() is None
     for _ in range(max_iter):
@@ -359,8 +370,18 @@ def dedup_clusters(
             .localCheckpoint()
         )
         cur = _edge_checksum(edges)
-        converged = cur == prev
+        if cur == prev:
+            # The checksum is a cheap screen; a collision would silently
+            # break the output contract, so confirm the fixpoint EXACTLY
+            # (one symmetric-difference job, only on the final round).
+            converged = (
+                edges.exceptAll(prev_edges).union(
+                    prev_edges.exceptAll(edges)
+                ).first()
+                is None
+            )
         prev = cur
+        prev_edges = edges
     if _stats is not None:
         _stats["rounds"] = rounds
     if not converged:
@@ -531,27 +552,10 @@ def dup_ngram_rate(corpus: DataFrame, n: int = 3) -> DataFrame:
     count-distinct is per-source (bounded groups); at extreme vocabulary
     swap approx_count_distinct — same plan shape.
     """
-    sh = corpus.select("source", "doc_id", F.col("text").alias("text"))
     occ = (
-        sh.select(
+        corpus.select(
             "source",
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.greatest(F.size(tokens(F.col("text"))) - n, F.lit(0)),
-                    ),
-                    lambda i: F.concat_ws(
-                        " ",
-                        *[
-                            F.element_at(
-                                tokens(F.col("text")), (i + j + 1).cast("int")
-                            )
-                            for j in range(n)
-                        ],
-                    ),
-                )
-            ).alias("shingle"),
+            F.explode(shingle_array(F.col("text"), n)).alias("shingle"),
         )
         .groupBy("source", "shingle")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -248,6 +248,25 @@ def test_ngram_hot_shingle_cap(spark):
     assert uncapped == 50 * 49 // 2, uncapped
 
 
+def test_anomaly_and_corr_degenerate_groups_excluded(spark):
+    """Zero-variance / single-row groups are excluded on the Spark side
+    (the oracle applies the same guard) — the engines disagree on x/0.0,
+    so emitting them would break parity; and no anomaly/correlation is
+    defined there anyway."""
+    from flink_realtime_datawarehouse_v3_spark.operators import analytics
+
+    ev = spark.createDataFrame(
+        [
+            (1, "const", 5.0, '{"k": 1}'),
+            (2, "const", 5.0, '{"k": 1}'),
+            (3, "single", 9.0, '{"k": 7}'),
+        ],
+        "event_id long, event_type string, value double, props string",
+    )
+    assert analytics.value_anomalies(ev).count() == 0
+    assert analytics.value_k_correlation(ev).count() == 0
+
+
 def test_pagerank_properties(spark):
     """Integer power iteration: mass stays near n_nodes * MICRO (integer
     division only leaks downward), hub nodes outrank leaves on a star,
