@@ -1960,6 +1960,91 @@ SELECT v AS doc_id, rank AS rank_micro
 FROM pr WHERE iter = {text_dedup.PAGERANK_ITERS}""",
 )
 
+# The pipeline's PRODUCT query: the final kept training set — language +
+# quality clean with exact-dedup keep (corpus_clean), near-dup cluster
+# canonical (large-star/small-star closure over the capped pair set),
+# and benchmark-decontaminated — every stage individually proven, here
+# composed end-to-end the way a corpus build actually ships.
+def _corpus_materialize(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    clean = text_analysis.corpus_clean(_corpus(spark, sf))
+    keepers = (
+        text_dedup.dedup_clusters(_corpus(spark, sf), _ngram_pairs(spark, sf))
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    not_contaminated = (
+        text_dedup.decontaminate(_corpus(spark, sf))
+        .filter(F.col("contaminated") == 0)
+        .select("doc_id")
+    )
+    return clean.join(keepers, "doc_id").join(not_contaminated, "doc_id").select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+
+
+register(
+    "corpus_materialize_final",
+    _corpus_materialize,
+    f"""WITH RECURSIVE {_CORPUS}, {_SHINGLES_CTE}, {_SHINGLES_CAPPED_CTE},
+edges AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM exact_pairs_capped
+    UNION ALL
+    SELECT b AS src, a AS dst FROM exact_pairs_capped
+),
+reach(v, l) AS (
+    SELECT doc_id, doc_id FROM corpus
+    UNION
+    SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v
+),
+keepers AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING v = min(l)),
+shn AS (
+    SELECT doc_id, UNNEST(list_distinct({_SHINGLE_LIST_N})) AS shingle
+    FROM corpus
+),
+bench AS (
+    SELECT DISTINCT shingle FROM shn
+    WHERE doc_id % {_BM} = 0 AND doc_id < 1000000
+),
+not_contaminated AS (
+    SELECT c.doc_id FROM corpus c
+    WHERE NOT (c.doc_id % {_BM} = 0 AND c.doc_id < 1000000)
+      AND NOT EXISTS (SELECT 1 FROM shn s JOIN bench b USING (shingle)
+                      WHERE s.doc_id = c.doc_id)
+),
+clean AS (
+    SELECT doc_id, n_tokens, quality_score
+    FROM (SELECT *,
+                 row_number() OVER (PARTITION BY text_hash
+                                    ORDER BY doc_id) AS rn
+          FROM (SELECT doc_id, n_tokens,
+                       round(0.4 * least(1.0, n_tokens / 400.0)
+                             + 0.3 * (1.0 - n_punct / n_chars)
+                             + 0.3 * least(1.0, se * 5.0), 6)
+                           AS quality_score,
+                       CASE WHEN greatest(se, sd, sf2) <= 0 THEN 'und'
+                            WHEN se = greatest(se, sd, sf2) THEN 'en'
+                            WHEN sd = greatest(se, sd, sf2) THEN 'de'
+                            ELSE 'fr' END AS lang_pred,
+                       md5(text) AS text_hash
+                FROM (SELECT doc_id, text,
+                             len({_TOKS}) AS n_tokens,
+                             length(text) AS n_chars,
+                             len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+                             len(list_filter({_TOKS}, t -> t IN {_STOP_EN})) / len({_TOKS}) AS se,
+                             len(list_filter({_TOKS}, t -> t IN ('der','die','das','und','ist'))) / len({_TOKS}) AS sd,
+                             len(list_filter({_TOKS}, t -> t IN ('le','la','et','les','des'))) / len({_TOKS}) AS sf2
+                      FROM corpus))
+          WHERE lang_pred = 'en' AND quality_score >= 0.45)
+    WHERE rn = 1
+)
+SELECT c.doc_id, c.n_tokens, c.quality_score
+FROM clean c
+JOIN keepers k USING (doc_id)
+JOIN not_contaminated nc USING (doc_id)""",
+)
+
 # Bloom-filter twin of decontaminate_ngram: the membership test when the
 # benchmark shingle set outgrows a broadcast. Deterministic xxhash64
 # bit-probing has no DuckDB equivalent -> rows-only entry; the hard gate
@@ -2647,6 +2732,7 @@ _DRIVER_WINDOW = [
     "streaming_type_counts_top",         # new r5: COMPLETE-mode sort
     "dws_keyword_window_udtf_sql",       # new r5: SQL LATERAL UDTF (U1)
     "corpus_lang_unpivot",               # new r5: melt/stack reshaping
+    "corpus_materialize_final",          # new r5: composed product query
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2673,12 +2759,12 @@ _DRIVER_WINDOW = [
     "sink_dws_partitioned_roundtrip",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dws_user_user_register_window",
     "dwd_trade_order_pre_process",
 ]
 
 # Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
 _DRIVER_TAIL = [
+    "dws_user_user_register_window",
     "dwd_traffic_display_log",
     "dwd_trade_order_detail",
     "text_corpus_clean",

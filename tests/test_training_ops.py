@@ -54,6 +54,7 @@ ORACLED = [
     "events_value_k_corr",
     "events_type_counts_top",
     "corpus_lang_unpivot",
+    "corpus_materialize_final",
     "events_running_total",
     "session_funnel",
     "text_quality_top_fraction",
@@ -246,6 +247,25 @@ def test_ngram_hot_shingle_cap(spark):
     ).count()
     assert capped == 0, capped
     assert uncapped == 50 * 49 // 2, uncapped
+
+
+def test_corpus_materialize_is_conjunction(spark):
+    """The composed product query keeps exactly the docs every stage
+    keeps: clean keepers ∩ cluster canonicals ∩ decontaminated."""
+    import pyspark.sql.functions as F
+
+    final = {r.doc_id for r in
+             api.QUERIES["corpus_materialize_final"](spark, SF_SMOKE).collect()}
+    clean = {r.doc_id for r in
+             api.QUERIES["text_corpus_clean"](spark, SF_SMOKE).collect()}
+    canon = {r.doc_id for r in
+             api.QUERIES["dedup_cluster_keep"](spark, SF_SMOKE)
+             .filter(F.col("keep") == 1).collect()}
+    decon = {r.doc_id for r in
+             api.QUERIES["decontaminate_ngram"](spark, SF_SMOKE)
+             .filter(F.col("contaminated") == 0).collect()}
+    assert final == clean & canon & decon
+    assert final, "the composed pipeline must keep a non-empty corpus"
 
 
 def test_anomaly_and_corr_degenerate_groups_excluded(spark):
