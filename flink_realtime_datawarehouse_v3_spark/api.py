@@ -1244,6 +1244,29 @@ register(
         LIMIT {analytics_op.TYPE_TOP_K}""",
 )
 
+# RFM segmentation: ntile quartiles (the remaining window-function
+# family member) over exact per-user purchase aggregates.
+register(
+    "events_user_rfm",
+    lambda spark, sf: analytics_op.user_rfm(
+        tables_mod.load(spark, sf, "events")
+    ),
+    f"""WITH per_user AS (
+    SELECT user_id,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS last_purchase_us,
+           count(*) AS frequency,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT user_id, last_purchase_us, frequency, monetary,
+       ntile({analytics_op.RFM_BUCKETS}) OVER (
+           ORDER BY last_purchase_us DESC, user_id) AS r_quartile,
+       ntile({analytics_op.RFM_BUCKETS}) OVER (
+           ORDER BY frequency DESC, user_id) AS f_quartile,
+       ntile({analytics_op.RFM_BUCKETS}) OVER (
+           ORDER BY monetary DESC, user_id) AS m_quartile
+FROM per_user""",
+)
+
 # INTERSECT set op: ids in both the view and purchase streams.
 register(
     "events_viewers_and_buyers",
@@ -2733,6 +2756,7 @@ _DRIVER_WINDOW = [
     "dws_keyword_window_udtf_sql",       # new r5: SQL LATERAL UDTF (U1)
     "corpus_lang_unpivot",               # new r5: melt/stack reshaping
     "corpus_materialize_final",          # new r5: composed product query
+    "events_user_rfm",                   # new r5: ntile RFM segmentation
     "dedup_cluster_keep",
     "dedup_ngram_jaccard",
     "events_time_rollup",
@@ -2754,7 +2778,6 @@ _DRIVER_WINDOW = [
     "join_salted_skew",
     "join_bucketed_colocated",
     "join_activity_coupon_full_outer",
-    "dws_trade_province_order_window",
     "interval_join_events",
     "sink_dws_partitioned_roundtrip",
     "dedup_minhash_lsh",
@@ -2764,6 +2787,7 @@ _DRIVER_WINDOW = [
 
 # Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
 _DRIVER_TAIL = [
+    "dws_trade_province_order_window",
     "dws_user_user_register_window",
     "dwd_traffic_display_log",
     "dwd_trade_order_detail",

@@ -254,3 +254,45 @@ def type_counts_top(events: DataFrame, k: int = TYPE_TOP_K) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "event_type")
         .limit(k)
     )
+
+
+RFM_BUCKETS = 4
+
+
+def user_rfm(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
+    """RFM segmentation over purchase events: per user the recency
+    (latest purchase, exact epoch-us), frequency, and monetary (exact
+    decimal sum -> double), each cut into ``buckets`` NTILE quartiles
+    with a user_id tie-break so the assignment is total and
+    engine-independent — the ntile member of the window-function family.
+
+    Scale note: NTILE is a GLOBAL rank (single-partition window over the
+    per-user aggregate, one row per user — orders of magnitude smaller
+    than the event stream but still a global sort). The skew-immune form
+    at extreme scale is the quantile-threshold pattern of
+    text_quality_top_quantile (percentile aggregate + broadcast filter);
+    this entry is the exact baseline.
+    """
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_purchase_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    w_r = Window.orderBy(F.col("last_purchase_us").desc(), "user_id")
+    w_f = Window.orderBy(F.col("frequency").desc(), "user_id")
+    w_m = Window.orderBy(F.col("monetary").desc(), "user_id")
+    return per_user.select(
+        "user_id",
+        "last_purchase_us",
+        "frequency",
+        "monetary",
+        F.ntile(buckets).over(w_r).alias("r_quartile"),
+        F.ntile(buckets).over(w_f).alias("f_quartile"),
+        F.ntile(buckets).over(w_m).alias("m_quartile"),
+    )

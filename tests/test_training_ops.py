@@ -55,6 +55,7 @@ ORACLED = [
     "events_type_counts_top",
     "corpus_lang_unpivot",
     "corpus_materialize_final",
+    "events_user_rfm",
     "events_running_total",
     "session_funnel",
     "text_quality_top_fraction",
