@@ -563,7 +563,9 @@ register(
 # registration + SQL-lateral surface. Shares the keyword-window oracle.
 def _keyword_window_udtf_sql(spark: SparkSession, sf: str) -> DataFrame:
     tokenize_mod.register_split_udtf(spark)
-    _page(spark, sf).createOrReplaceTempView("page_log_for_udtf")
+    # DataFrame passed as a SQL template arg (PySpark >= 3.4): no
+    # createOrReplaceTempView, so the shared session's catalog is never
+    # mutated and no global view name can collide across entries.
     return spark.sql(
         """
         SELECT 'search' AS source,
@@ -573,12 +575,13 @@ def _keyword_window_udtf_sql(spark: SparkSession, sf: str) -> DataFrame:
                count(*) AS keyword_count
         FROM (
             SELECT s.word, timestamp_millis(p.ts) AS rt
-            FROM page_log_for_udtf p, LATERAL split_function(p.item) s
+            FROM {page_log} p, LATERAL split_function(p.item) s
             WHERE p.page_id = 'search' AND p.item_type = 'keyword'
                   AND p.item IS NOT NULL
         )
         GROUP BY window(rt, '10 seconds'), word
-        """
+        """,
+        page_log=_page(spark, sf),
     )
 
 
@@ -2388,6 +2391,13 @@ register("simsearch_ivf_topk", lambda spark, sf: simsearch.ivf_topk(_emb(spark, 
 # Deterministic but two-stage-argmin -> rows-only + recall pytest.
 register("simsearch_pq_topk", lambda spark, sf: simsearch.pq_topk(_emb(spark, sf)))
 
+# IVF x PQ composed index — the terminal 100 TB ANN shape: PQ's ADC scan
+# gated by IVF cell pruning (a bucket equi-join; no cross product in the
+# plan, gated by tests/test_simsearch.py). Rows-only + recall pytest.
+register(
+    "simsearch_ivfpq_topk", lambda spark, sf: simsearch.ivfpq_topk(_emb(spark, sf))
+)
+
 # Scalar int8 quantization of the embedding column (vector-index storage
 # compression); the driver hash covers the full int vector via q_digest.
 register(
@@ -2612,6 +2622,13 @@ def _register_streaming() -> None:
             "stream_type_counts_top",
             "events_type_counts_top",
         ),
+        # Ingestion-time dedup live: incoming docs streamed against the
+        # static base (stream-static hash join + pair lookup per
+        # micro-batch); shares the batch cross-corpus oracle.
+        "streaming_dedup_incremental": (
+            "stream_dedup_incremental",
+            "dedup_incremental",
+        ),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -2729,71 +2746,110 @@ _register_streaming()
 # rounds STRICTLY OLDER than this, so the gate stays green when THIS
 # round's record lands (the r04 lesson: a gate keyed on "all records" fails
 # on schedule the moment the round it shaped gets recorded).
-_WINDOW_ROUND = 5
+_WINDOW_ROUND = 6
+
+# Rows-only entries DELIBERATELY placed inside the checked window this
+# round: they can never be hash-green (no single-SQL oracle by design),
+# but r1-r5 never surfaced them to the driver at all — a rows-match row
+# is a weaker signal than a hash row yet stronger than none.  The gates
+# in tests/test_driver_order.py carve these out of the all-oracled and
+# rows-only-at-tail invariants by exact name.
+_WINDOW_ROWS_ONLY = {
+    "decontaminate_bloom",
+    "events_profile_stats_approx",
+    "simsearch_pq_topk",
+    "simsearch_ivfpq_topk",
+}
 
 _DRIVER_WINDOW = [
     # unproven first (no hash-green row in any round < _WINDOW_ROUND):
-    "events_viewers_and_buyers",
-    "join_activity_coupon_right_outer",  # new r5: J9 right-retention
-    "dws_traffic_keyword_cjk_window",    # new r5: U1 CJK dict segmenter
-    "text_quality_top_quantile",         # new r5: skew-immune quantile cut
-    "events_topn_per_group",             # new r5: WindowGroupLimit top-N
-    "events_retention_cohort",           # new r5: cohort retention matrix
-    "events_type_day_cube",              # new r5: CUBE lattice + GROUPING
-    "events_user_gap_stats",             # new r5: lag frame, exact gaps
-    "events_props_k_stats",              # new r5: JSON property extraction
-    "events_viewers_minus_buyers",       # new r5: EXCEPT set op
-    "corpus_dup_ngram_rate",             # new r5: duplicate-text health
-    "graph_pagerank_neardup",            # new r5: integer power iteration
-    "streaming_keyword_cjk_window",      # new r5: CJK segmenter, live
-    "text_bigram_lm_score",              # new r5: bigram LM micro-nats
-    "dedup_incremental",                 # new r5: ingestion-time dedup
-    "events_value_anomalies",            # new r5: exact-moment z-score
-    "dedup_embedding_cluster_keep",      # new r5: CC over embedding pairs
-    "events_value_k_corr",               # new r5: exact Pearson moments
-    "events_type_counts_top",            # new r5: sort/limit over agg
-    "streaming_type_counts_top",         # new r5: COMPLETE-mode sort
-    "dws_keyword_window_udtf_sql",       # new r5: SQL LATERAL UDTF (U1)
-    "corpus_lang_unpivot",               # new r5: melt/stack reshaping
-    "corpus_materialize_final",          # new r5: composed product query
-    "events_user_rfm",                   # new r5: ntile RFM segmentation
-    "dedup_cluster_keep",
+    # the two never-green CC entries (r5 ANSI overflow, now fixed) and
+    # this round's new streaming twin.
+    "dedup_embedding_cluster_keep",      # r5 ERR: checksum overflow, fixed
+    "corpus_materialize_final",          # r5 ERR: same root cause, fixed
+    "streaming_dedup_incremental",       # new r6: ingestion dedup, live
+    # re-prove: implementation changed this round.
+    "dedup_cluster_keep",                # r5 ERR: checksum overflow, fixed
+    "dws_keyword_window_udtf_sql",       # temp view -> SQL template arg
+    # rows-only entries getting their first driver rows (see above).
+    "decontaminate_bloom",
+    "events_profile_stats_approx",
+    "simsearch_pq_topk",
+    "simsearch_ivfpq_topk",              # new r6: IVF x PQ composed ANN
+    # proven fills, one slot per family (all hash-green r3/r4/r5).
+    "dedup_exact",
     "dedup_ngram_jaccard",
-    "events_time_rollup",
-    "events_hop_window",
-    "dws_trade_cart_add_uu_window",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_incremental",
+    "dedup_embedding_cosine",
+    "simsearch_cosine_topk",
+    "embedding_quantize_int8",
+    "text_corpus_clean",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_sample_stratified",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "dwd_trade_cart_add",
     "dwd_interaction_comment",
     "dwd_trade_order_refund",
     "dwd_traffic_dirty_log",
+    "dwd_trade_refund_pay_suc",
+    "dim_user_info",
+    "dim_coupon_use",
+    "dim_coupon_use_scd2",
     "dws_traffic_page_view_window",
     "dws_user_user_login_window",
     "dws_trade_user_spu_order_window",
-    "dwd_trade_cart_add",
     "dws_trade_payment_suc_window",
     "dws_trade_order_window",
-    "dws_trade_trademark_category_user_refund_window",
-    "dwd_trade_refund_pay_suc",
-    "text_fingerprint",
-    "dim_coupon_use",
+    "dws_trade_cart_add_uu_window",
     "join_salted_skew",
     "join_bucketed_colocated",
     "join_activity_coupon_full_outer",
     "interval_join_events",
+    "asof_join_events",
     "sink_dws_partitioned_roundtrip",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dwd_trade_order_pre_process",
+    "sessionize_events",
+    "session_funnel",
+    "streaming_keyword_window",
+    "streaming_sessionize",
 ]
 
-# Proven green in CORRECTNESS_r03/r04; rotated past the cutoff this round.
+# Proven green in CORRECTNESS_r03/r04/r05; rotated past the cutoff.
 _DRIVER_TAIL = [
+    "events_viewers_and_buyers",
+    "join_activity_coupon_right_outer",
+    "dws_traffic_keyword_cjk_window",
+    "text_quality_top_quantile",
+    "events_topn_per_group",
+    "events_retention_cohort",
+    "events_type_day_cube",
+    "events_user_gap_stats",
+    "events_props_k_stats",
+    "events_viewers_minus_buyers",
+    "corpus_dup_ngram_rate",
+    "graph_pagerank_neardup",
+    "streaming_keyword_cjk_window",
+    "text_bigram_lm_score",
+    "events_value_anomalies",
+    "events_value_k_corr",
+    "events_type_counts_top",
+    "streaming_type_counts_top",
+    "corpus_lang_unpivot",
+    "events_user_rfm",
+    "events_time_rollup",
+    "events_hop_window",
+    "dws_trade_trademark_category_user_refund_window",
+    "dwd_trade_order_pre_process",
     "dws_trade_province_order_window",
     "dws_user_user_register_window",
     "dwd_traffic_display_log",
     "dwd_trade_order_detail",
-    "text_corpus_clean",
-    "dedup_exact",
-    "text_token_stats",
     "dwd_user_register",
     "dwd_tool_coupon_get",
     "dwd_interaction_favor_add",
@@ -2809,12 +2865,10 @@ _DRIVER_TAIL = [
     "dwd_traffic_user_jump_detail",
     "dws_traffic_source_keyword_page_view_window",
     "dws_traffic_vc_ch_ar_is_new_page_view_window",
-    "dim_user_info",
     "streaming_favor_add",
     "streaming_base_log",
     "streaming_unique_visitor",
     "streaming_jump_detail",
-    "streaming_keyword_window",
     "streaming_keyword_window_late",
     "streaming_order_pre_process",
     "streaming_activity_coupon_full_outer",
@@ -2825,28 +2879,18 @@ _DRIVER_TAIL = [
     "sink_checkpoint_recovery",
     "streaming_order_info_upsert",
     "streaming_order_info_debounce",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "text_sample_stratified",
     "dim_user_info_schema_evolve",
-    "asof_join_events",
-    "sessionize_events",
-    "session_funnel",
-    "streaming_sessionize",
+    "streaming_dim_coupon_scd2",
     "dws_trade_province_source_rollup",
     "decontaminate_ngram",
     "text_repetition_stats",
     "text_vocab_topk",
     "text_tfidf_topk",
-    "embedding_quantize_int8",
     "streaming_time_rollup",
     "streaming_hop_window",
     "events_profile_stats",
     "events_view_no_purchase",
     "corpus_mix_report",
-    "dim_coupon_use_scd2",
-    "streaming_dim_coupon_scd2",
     "temporal_join_coupon_asof",
     "corpus_lang_pivot",
     "events_running_total",
@@ -2858,15 +2902,8 @@ _DRIVER_TAIL = [
     "text_bigram_pmi_topk",
     "text_chunk_tokens",
     "text_pii_scrub",
-    "dedup_embedding_cosine",
-    "simsearch_cosine_topk",
-    "text_quality_score",
-    "text_lang_id",
     "dws_trade_province_order_window_approx",
     "simsearch_ivf_topk",
-    "events_profile_stats_approx",
-    "decontaminate_bloom",
-    "simsearch_pq_topk",
 ]
 
 
@@ -2885,10 +2922,8 @@ def _apply_driver_order() -> None:
     extra = set(order) - set(QUERIES)
     assert not missing and not extra, f"order drift: missing={missing} extra={extra}"
     checked = order[:50]
-    assert all(n in ORACLES for n in checked), (
-        "rows-only entry inside the checked window: "
-        f"{[n for n in checked if n not in ORACLES]}"
-    )
+    stray = [n for n in checked if n not in ORACLES and n not in _WINDOW_ROWS_ONLY]
+    assert not stray, f"undeclared rows-only entry inside the checked window: {stray}"
     DEFINITION_ORDER.extend(QUERIES)
     snapshot = dict(QUERIES)
     QUERIES.clear()  # in-place: modules hold references to this dict object

@@ -435,17 +435,15 @@ def pq_topk(
     )
     qt = q.select("q_id", "q_vec", tables.alias("dt"))
     # ADC scan: sum of m table lookups per (query, code) pair.
-    adc = None
-    for s in range(m):
-        term = F.element_at(
-            F.element_at(F.col("dt"), s + 1),
-            F.element_at(F.col("code"), s + 1) + 1,
-        )
-        adc = term if adc is None else adc + term
     scanned = (
         qt.crossJoin(coded)
         .filter(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "q_vec", F.col("vec_id").alias("neighbor_id"), adc.alias("adc"))
+        .select(
+            "q_id",
+            "q_vec",
+            F.col("vec_id").alias("neighbor_id"),
+            _adc(F.col("dt"), F.col("code"), m).alias("adc"),
+        )
     )
     wc = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("neighbor_id"))
     cands = (
@@ -459,6 +457,136 @@ def pq_topk(
         _dvec(F.col("embedding")).alias("v_vec"),
     )
     rescored = cands.join(v, "neighbor_id").select(
+        "q_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), _unit(F.col("v_vec"))), 4).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def _adc(dt_col: Column, code_col: Column, m: int) -> Column:
+    """ADC distance: sum of m (subspace -> code) lookups in the query's
+    distance table. Pure element_at chain — whole-stage codegen."""
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(dt_col, s + 1), F.element_at(code_col, s + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    return adc
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    every: int = 100,
+    n_centroids: int = 54,
+    nprobe: int = 12,
+    candidates: int = 80,
+) -> DataFrame:
+    """IVF x PQ composed top-k — the terminal 100 TB ANN shape: IVF cell
+    pruning bounds WHICH vectors are scanned, PQ codes bound the BYTES per
+    scanned vector.
+
+    Index build (both on bounded samples, nothing driver-side scales with
+    the corpus): a coarse quantizer from :func:`kmeans_centroids` and PQ
+    codebooks from :func:`pq_codebooks`. Codes are over the normalized
+    vector directly (FAISS ``IndexIVFPQ`` with ``by_residual=False``) —
+    residual encoding would need per-cell codebook shifts; the flat
+    variant keeps the distance table per-QUERY only, which is what lets
+    the probe join stay a pure bucket equi-join.
+
+    Scan: each database vector carries (bucket, code) — 1 int + m
+    nibbles. Each query probes its ``nprobe`` nearest cells; the ADC scan
+    is the ``bucket`` EQUI-JOIN of probes x coded vectors (no cross
+    product anywhere — the plan gate in tests/test_simsearch.py asserts
+    no CartesianProduct / BroadcastNestedLoopJoin). Best ``candidates``
+    by ADC re-rank exactly; top-k returned. Same rows-only + recall-gate
+    contract as ivf_topk / pq_topk.
+
+    Defaults probe wider than plain IVF (nprobe 12, candidates 80): the
+    composition stacks two approximations (cell pruning x code
+    distortion), and the FAISS-standard way to buy the recall back is
+    more probes — the scan stays bounded at nprobe/n_cells of the corpus.
+    """
+    spark = embeddings.sparkSession
+    books = pq_codebooks(embeddings)
+    m = len(books)
+    dsub = len(books[0][0])
+    cen = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(kmeans_centroids(embeddings, n_centroids))],
+        "c_id int, c_vec array<double>",
+    )
+    # db side: IVF cell + PQ code per vector (the stored index posture:
+    # the raw vector is NOT carried into the scan).
+    v = pq_encode(embeddings, books)  # vec_id, v (unit), code
+    va = v.crossJoin(F.broadcast(cen)).select(
+        "vec_id",
+        "code",
+        "c_id",
+        F.round(cosine(F.col("v"), F.col("c_vec")), 4).alias("sim"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    coded = (
+        va.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("neighbor_id"), F.col("c_id").alias("bucket"), "code"
+        )
+    )
+    # query side: nprobe nearest cells + per-query ADC distance table.
+    q = _queries(embeddings, every).select("q_id", _unit(F.col("q_vec")).alias("q_vec"))
+    qc = q.crossJoin(F.broadcast(cen)).select(
+        "q_id", "q_vec", "c_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    tables = F.array(
+        *[
+            F.array(
+                *[
+                    F.round(
+                        _l2sq(
+                            _subvec(F.col("q_vec"), s, dsub),
+                            F.array(*[F.lit(c) for c in cen_sub]),
+                        ),
+                        10,
+                    )
+                    for cen_sub in book
+                ]
+            )
+            for s, book in enumerate(books)
+        ]
+    )
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_vec", F.col("c_id").alias("bucket"))
+        .withColumn("dt", tables)
+    )
+    # ADC scan gated by the probed cells: bucket equi-join, not a cross.
+    scanned = (
+        probes.join(coded, "bucket")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "q_vec", "neighbor_id", _adc(F.col("dt"), F.col("code"), m).alias("adc"))
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("adc"), F.col("neighbor_id"))
+    cands = (
+        scanned.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= candidates)
+        .select("q_id", "q_vec", "neighbor_id")
+    )
+    ve = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), _dvec(F.col("embedding")).alias("v_vec")
+    )
+    rescored = cands.join(ve, "neighbor_id").select(
         "q_id",
         "neighbor_id",
         F.round(cosine(F.col("q_vec"), _unit(F.col("v_vec"))), 4).alias("cosine_sim"),

@@ -285,12 +285,19 @@ def simhash_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
 def _edge_checksum(edges: DataFrame) -> tuple:
     """Order-independent fingerprint of an edge set: (count, sum(u),
     sum(v), sum(hash(u,v))). One cheap agg job per round — the fixpoint
-    test for the star iteration without a set-difference join."""
+    test for the star iteration without a set-difference join.
+
+    All three sums are carried as decimal(38,0): xxhash64 values are
+    uniform over the full int64 range, so a BIGINT sum of any >=2 edges
+    can overflow — silently wrapping with ANSI off, throwing
+    ARITHMETIC_OVERFLOW under an ANSI-enabled session. decimal(38,0)
+    headroom is ~1e20 edges x 1e18 magnitude, safe at any edge count."""
+    dec = "decimal(38,0)"
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("u").alias("su"),
-        F.sum("v").alias("sv"),
-        F.sum(F.xxhash64("u", "v")).alias("h"),
+        F.sum(F.col("u").cast(dec)).alias("su"),
+        F.sum(F.col("v").cast(dec)).alias("sv"),
+        F.sum(F.xxhash64("u", "v").cast(dec)).alias("h"),
     ).collect()[0]
     return tuple(row)
 

@@ -27,6 +27,7 @@ Pipelines covered (one per SURVEY.md streaming mechanism):
 - stream-stream FULL OUTER join, banded     -> stream_activity_coupon_full_outer
 - CJK dictionary-FMM segmenter in-window    -> stream_keyword_cjk_window
 - COMPLETE-mode global ORDER BY / LIMIT     -> stream_type_counts_top
+- ingestion-time dedup vs static base       -> stream_dedup_incremental
 """
 
 from __future__ import annotations
@@ -1087,3 +1088,62 @@ def stream_type_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         _write_replay(e, d.sub("in"), order_by=["ts_ms"])
         s = read_stream(spark, d.sub("in"))
         return run_to_memory(type_counts_top(s), output_mode="complete")
+
+
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup LIVE: the incoming half of the corpus replayed
+    as a document stream; each micro-batch flags its docs against the
+    static base corpus — a stream-static left join on the md5 hash (the
+    base ships only (hash, min doc_id), never text) plus a stream-static
+    near-pair lookup — and appends verdicts to the sink. This is the
+    new-crawl-vs-corpus pass exactly as it runs at ingestion: batch-size
+    x lookup cost per trigger, the base never self-joins.
+
+    The base stays frozen across the replay so stream == batch == oracle
+    (the batch contract deliberately ignores intra-batch pairs; an
+    evolving base would reclassify later in-stream clones of earlier
+    'new' docs). The evolving-base keyed-MERGE mechanics are separately
+    proven by stream_order_info_upsert / stream_dim_coupon_scd2.
+    """
+    from ..operators import text_dedup as td
+
+    # Late import: api is fully initialized by the time any entry runs;
+    # reusing its memos shares the corpus + pair materializations with the
+    # batch entry instead of re-paying the shingle self-join here.
+    from .. import api
+
+    corpus = api._corpus(spark, sf_dir)
+    pairs = api._ngram_pairs(spark, sf_dir)
+    is_base = F.col("doc_id") < td.INCREMENTAL_BASE_MAX
+    base_h = (
+        corpus.filter(is_base)
+        .select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    near = (
+        pairs.filter(
+            (F.col("a") < td.INCREMENTAL_BASE_MAX)
+            & (F.col("b") >= td.INCREMENTAL_BASE_MAX)
+        )
+        .groupBy(F.col("b").alias("doc_id"))
+        .agg(F.min("a").alias("near_dup_of"))
+    )
+    with TempStreamDir() as d:
+        inc = corpus.filter(~is_base).select("doc_id", "text")
+        _write_replay(inc, d.sub("in"), order_by=["doc_id"])
+        s = read_stream(spark, d.sub("in"))
+        flagged = (
+            s.select("doc_id", F.md5("text").alias("h"))
+            .join(base_h, "h", "left")
+            .join(near, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("exact_dup_of", "near_dup_of").alias("dup_of"),
+                F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact"))
+                .when(F.col("near_dup_of").isNotNull(), F.lit("near"))
+                .otherwise(F.lit("new"))
+                .alias("match_type"),
+            )
+        )
+        return run_to_memory(flagged, output_mode="append")

@@ -30,12 +30,33 @@ def _proven_before_window_round() -> set[str]:
     return proven
 
 
+def test_harness_runs_ansi_on(spark):
+    """The driver's session runs Spark-default ANSI mode; rounds 4 and 5
+    each shipped a failure visible only to the driver because the local
+    harness pinned ansi=false. The whole local stack (this pytest session
+    and tools/check_all.py, both built via session.get_spark) must run
+    ANSI-on unless SPARK_GRAFT_ANSI explicitly opts out — this test pins
+    the default so the driver-only-failure class stays closed."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_ANSI", "true") == "true":
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
 def test_window_is_50_and_fully_oracle_checked():
     names = list(api.QUERIES)
     window = names[:50]
     assert len(names) == len(set(names))
-    # every checked slot must be hash-checkable (no rows-only inside)
-    assert all(n in api.ORACLES for n in window)
+    # every checked slot must be hash-checkable, EXCEPT the declared
+    # rows-only rotations (api._WINDOW_ROWS_ONLY): entries with no
+    # single-SQL oracle by design, deliberately surfaced for their first
+    # rows-match driver rows this round.
+    stray = [
+        n for n in window if n not in api.ORACLES and n not in api._WINDOW_ROWS_ONLY
+    ]
+    assert not stray, f"undeclared rows-only entries in window: {stray}"
+    # and the carve-out must actually be used for window slots, not rot
+    assert all(n in window for n in api._WINDOW_ROWS_ONLY)
 
 
 def test_never_checked_entries_sit_inside_window():
@@ -63,8 +84,15 @@ def test_never_checked_entries_sit_inside_window():
 
 
 def test_rows_only_entries_are_last():
+    """Rows-only entries must not waste hash-checkable slots: each is
+    either a declared in-window rotation (_WINDOW_ROWS_ONLY) or parked at
+    the very end of the tail."""
     names = list(api.QUERIES)
-    rows_only = [n for n in names if n not in api.ORACLES]
+    rows_only = [
+        n
+        for n in names
+        if n not in api.ORACLES and n not in api._WINDOW_ROWS_ONLY
+    ]
     assert names[-len(rows_only):] == sorted(
         rows_only, key=names.index
     ), f"rows-only entries not at the tail: {rows_only}"

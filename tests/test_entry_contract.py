@@ -26,11 +26,16 @@ def test_contract_surface():
     assert len(qs) >= 100
     # every oracle belongs to a registered query
     assert set(os_) <= set(qs)
-    # the driver's checked window (first 50) must be fully hash-checkable
+    # the driver's checked window (first 50) must be hash-checkable
+    # except the declared rows-only rotations (api._WINDOW_ROWS_ONLY —
+    # entries with no single-SQL oracle by design, surfaced for their
+    # first rows-match driver rows; see tests/test_driver_order.py).
+    from flink_realtime_datawarehouse_v3_spark import api
+
     window = list(qs)[:50]
-    assert all(n in os_ for n in window)
-    # rows-only entries exist and sit strictly at the tail
-    rows_only = [n for n in qs if n not in os_]
+    assert all(n in os_ or n in api._WINDOW_ROWS_ONLY for n in window)
+    # remaining rows-only entries exist and sit strictly at the tail
+    rows_only = [n for n in qs if n not in os_ and n not in api._WINDOW_ROWS_ONLY]
     assert rows_only
     assert list(qs)[-len(rows_only):] == rows_only
     # every oracle is non-trivial SQL mentioning a SELECT

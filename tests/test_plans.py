@@ -36,6 +36,7 @@ SMJ_WHITELIST = {
     "dwd_trade_refund_pay_suc",      # refund_payment x order_info x refund_info
     "join_activity_coupon_full_outer",  # full-outer changelog join (J8)
     "simsearch_ivf_topk",            # candidate x query bucket join
+    "simsearch_ivfpq_topk",          # probed-cell bucket join (IVF x PQ)
     # LSH bucket SELF-join of the full embedding table feeding the CC
     # closure — both sides are the corpus (not broadcastable at 100 TB);
     # the sign-bit bucket key is what bounds the join, not a broadcast.

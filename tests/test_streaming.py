@@ -62,6 +62,15 @@ def test_stream_type_counts_top(spark):
     _same(stream, batch, "type_counts_top")
 
 
+def test_stream_dedup_incremental(spark):
+    """Ingestion-time dedup live: incoming docs streamed against the
+    static base must flag exactly what the batch cross-corpus pass
+    flags (stream == batch == oracle transitively)."""
+    stream = sp.stream_dedup_incremental(spark, SF_SMOKE)
+    batch = api.QUERIES["dedup_incremental"](spark, SF_SMOKE)
+    _same(stream, batch, "dedup_incremental")
+
+
 def test_stream_unique_visitor(spark):
     stream = sp.stream_unique_visitor(spark, SF_SMOKE)
     batch = api.QUERIES["dwd_traffic_unique_visitor_detail"](spark, SF_SMOKE)

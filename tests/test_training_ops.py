@@ -149,6 +149,25 @@ def test_pq_recall_and_compression(spark):
     assert all(0 <= c < simsearch.PQ_K for c in coded)
 
 
+def test_ivfpq_recall_and_plan(spark):
+    """IVF x PQ composed index: must recover most brute-force top-10
+    neighbors AND carry no cartesian in the plan — the ADC scan is gated
+    by the probed-cell bucket equi-join (the 100 TB contract; plain
+    pq_topk's documented flat-ADC crossJoin is exactly what this entry
+    removes). The centroid-assignment BroadcastNestedLoopJoins are
+    bounded (<= n_centroids rows broadcast), same as ivf_topk."""
+    brute = {
+        (r.q_id, r.neighbor_id)
+        for r in api.QUERIES["simsearch_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    df = api.QUERIES["simsearch_ivfpq_topk"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r.q_id, r.neighbor_id) for r in df.collect()}
+    assert brute
+    assert len(brute & got) / len(brute) >= 0.5
+
+
 def test_embedding_near_dup_pairs_shape(spark):
     df = api.QUERIES["dedup_embedding_cosine"](spark, SF_SMOKE)
     rows = df.collect()
