@@ -1933,6 +1933,49 @@ LEFT JOIN base_h bh USING (h)
 LEFT JOIN near nr USING (doc_id)""",
 )
 
+# Asymmetric shingle containment |A n B| / |A| — the quotation /
+# boilerplate-embedding dedup measure Jaccard misses when |B| >> |A|.
+register(
+    "dedup_containment",
+    lambda spark, sf: text_dedup.containment_pairs(_corpus(spark, sf)),
+    f"""WITH {_CORPUS}, {_SHINGLES_CTE}, {_SHINGLES_CAPPED_CTE},
+cont_c AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+           FROM shc x JOIN shc y
+             ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+cont_j AS (SELECT c.a, c.b, c.n_common, sa.n_sh AS na, sb.n_sh AS nb
+           FROM cont_c c
+           JOIN sizes_c sa ON c.a = sa.doc_id
+           JOIN sizes_c sb ON c.b = sb.doc_id),
+cont_d AS (SELECT a AS inner_doc, b AS outer_doc,
+                  round(n_common / na, 6) AS containment FROM cont_j
+           UNION ALL
+           SELECT b, a, round(n_common / nb, 6) FROM cont_j)
+SELECT inner_doc, outer_doc, containment
+FROM cont_d WHERE containment >= 0.8""",
+)
+
+# Token-budget shard packing (training-data sharding): greedy sequential
+# layout in doc_id order via a TWO-LEVEL distributed prefix sum (the
+# Blelloch scan decomposition) — never a global single-partition window.
+register(
+    "corpus_shard_pack",
+    lambda spark, sf: text_analysis.shard_pack(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens AS BIGINT) AS start_offset,
+                   CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) // {text_analysis.SHARD_BUDGET} AS BIGINT)
+                       AS shard_id
+            FROM (SELECT doc_id,
+                         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                  FROM corpus)"""
+    ),
+)
+
 # Corpus-health duplicate-n-gram rate per source slice (Gopher/Dolma
 # duplicate-text diagnostic): occurrences vs distinct shingles.
 register(
@@ -2768,6 +2811,8 @@ _DRIVER_WINDOW = [
     "dedup_embedding_cluster_keep",      # r5 ERR: checksum overflow, fixed
     "corpus_materialize_final",          # r5 ERR: same root cause, fixed
     "streaming_dedup_incremental",       # new r6: ingestion dedup, live
+    "dedup_containment",                 # new r6: asymmetric containment
+    "corpus_shard_pack",                 # new r6: two-level prefix pack
     # re-prove: implementation changed this round.
     "dedup_cluster_keep",                # r5 ERR: checksum overflow, fixed
     "dws_keyword_window_udtf_sql",       # temp view -> SQL template arg
@@ -2816,12 +2861,12 @@ _DRIVER_WINDOW = [
     "sink_dws_partitioned_roundtrip",
     "sessionize_events",
     "session_funnel",
-    "streaming_keyword_window",
-    "streaming_sessionize",
 ]
 
 # Proven green in CORRECTNESS_r03/r04/r05; rotated past the cutoff.
 _DRIVER_TAIL = [
+    "streaming_keyword_window",
+    "streaming_sessionize",
     "events_viewers_and_buyers",
     "join_activity_coupon_right_outer",
     "dws_traffic_keyword_cjk_window",

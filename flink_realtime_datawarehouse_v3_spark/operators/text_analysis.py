@@ -733,3 +733,66 @@ def bigram_pmi_topk(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(k)
+
+
+SHARD_BUDGET = 4096  # tokens per training shard
+PACK_BUCKET = 256    # doc_ids per prefix-sum bucket
+
+
+def shard_pack(
+    corpus: DataFrame, budget: int = SHARD_BUDGET, bucket_width: int = PACK_BUCKET
+) -> DataFrame:
+    """Token-budget shard packing — the training-data sharding step: docs
+    in deterministic doc_id order are laid head-to-tail and each is
+    assigned the shard its first token lands in (shard = start_offset
+    DIV budget, the greedy sequential packing a sequence-packing loader
+    performs).
+
+    Scale shape — a TWO-LEVEL distributed prefix sum, never a global
+    single-partition window: docs bucket by ``doc_id DIV bucket_width``;
+    (1) the intra-bucket running sum is a window PARTITIONED by bucket
+    (parallel across buckets); (2) bucket subtotals aggregate to one row
+    per bucket and prefix-sum over that small relation (the only
+    single-partition exchange touches ~N/bucket_width rows, and
+    bucket_width is chosen so that stays driver-trivial at any N);
+    (3) the per-bucket base offsets broadcast-join back. The pattern is
+    the standard parallel scan decomposition (Blelloch); a naive
+    ``Window.orderBy(doc_id)`` with no partition key would funnel the
+    full corpus through one task.
+
+    Output: (doc_id, n_tokens, start_offset, shard_id), all exact ints.
+    """
+    t = corpus.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id").cast("bigint") - F.col("doc_id").cast("bigint") % bucket_width).alias(
+            "bucket"
+        ),
+    )
+    w_intra = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = t.withColumn("run_in_bucket", F.sum("n_tokens").over(w_intra))
+    totals = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
+    w_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_total").over(w_buckets), F.lit(0)).alias(
+            "bucket_base"
+        ),
+    )
+    return (
+        intra.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("bucket_base") + F.col("run_in_bucket") - F.col("n_tokens")).alias(
+                "start_offset"
+            ),
+        )
+        .withColumn("shard_id", F.expr(f"start_offset DIV {budget}"))
+    )

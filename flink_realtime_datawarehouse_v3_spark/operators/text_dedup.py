@@ -694,3 +694,52 @@ def dedup_incremental(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
             .alias("match_type"),
         )
     )
+
+
+def containment_pairs(
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: |A ∩ B| / |A| >= threshold.
+
+    Jaccard collapses when one doc embeds inside a much larger one
+    (|A∩B|/|A∪B| -> |A|/|B|), so quotation/boilerplate-embedding dedup
+    needs the asymmetric measure (Broder's containment, the other half
+    of the resemblance/containment pair). Same capped inverted-index /
+    single-shuffle postings machinery as :func:`ngram_jaccard_pairs`;
+    each co-occurring unordered pair emits BOTH directions, keeping
+    those whose inner doc is mostly covered by the outer.
+
+    Output: (inner_doc, outer_doc, containment) — inner_doc's capped
+    shingle set is >= threshold contained in outer_doc's.
+    """
+    sh = shingles_exploded(corpus, n)
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    if max_shingle_df is not None:
+        postings = postings.filter(F.size("docs") <= max_shingle_df)
+    common = _pairs_from_postings(postings).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    sizes = (
+        postings.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    both = common.join(sa, "a").join(sb, "b")
+    d1 = both.select(
+        F.col("a").alias("inner_doc"),
+        F.col("b").alias("outer_doc"),
+        F.round(F.col("n_common") / F.col("na"), 6).alias("containment"),
+    )
+    d2 = both.select(
+        F.col("b").alias("inner_doc"),
+        F.col("a").alias("outer_doc"),
+        F.round(F.col("n_common") / F.col("nb"), 6).alias("containment"),
+    )
+    return d1.unionByName(d2).filter(F.col("containment") >= threshold)

@@ -65,6 +65,8 @@ ORACLED = [
     "text_bigram_pmi_topk",
     "dim_coupon_use_scd2",
     "temporal_join_coupon_asof",
+    "dedup_containment",
+    "corpus_shard_pack",
 ]
 
 
@@ -166,6 +168,48 @@ def test_ivfpq_recall_and_plan(spark):
     got = {(r.q_id, r.neighbor_id) for r in df.collect()}
     assert brute
     assert len(brute & got) / len(brute) >= 0.5
+
+
+def test_containment_semantics(spark):
+    """The corpus's verbatim +2-token near-dup copies must contain their
+    originals fully (containment 1.0 inner=original), and containment is
+    asymmetric: the larger copy is NOT necessarily covered back when the
+    appended tokens add unseen shingles."""
+    rows = api.QUERIES["dedup_containment"](spark, SF_SMOKE).collect()
+    assert rows
+    by_pair = {(r.inner_doc, r.outer_doc): r.containment for r in rows}
+    # doc_id % 7 == 0 originals -> +2_000_000 near copies (text + suffix):
+    # every shingle of the original appears in the copy.
+    forward = [
+        (i, o) for (i, o) in by_pair if o == i + 2_000_000 and i < 1_000_000
+    ]
+    assert forward, "original-inside-near-copy pairs must be found"
+    assert all(by_pair[p] == 1.0 for p in forward)
+
+
+def test_shard_pack_invariants(spark):
+    """Packing must be a permutation-free sequential layout: offsets
+    strictly increase in doc_id order, consecutive docs abut exactly
+    (offset[i+1] = offset[i] + n_tokens[i]), and shard_id is the start
+    offset's budget bucket. Also the BIG window must be partitioned (the
+    single-partition exchange may only feed the bucket-subtotal level)."""
+    from flink_realtime_datawarehouse_v3_spark.operators.text_analysis import (
+        SHARD_BUDGET,
+    )
+
+    df = api.QUERIES["corpus_shard_pack"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the doc-level window runs partitioned by bucket
+    assert "partitionBy bucket" in plan.replace("#", " ").lower() or (
+        "windowspecdefinition(bucket" in plan
+    )
+    rows = sorted(df.collect(), key=lambda r: r.doc_id)
+    off = 0
+    for r in rows:
+        assert r.start_offset == off, (r.doc_id, r.start_offset, off)
+        assert r.shard_id == r.start_offset // SHARD_BUDGET
+        off += r.n_tokens
+    assert rows[-1].shard_id > 0, "corpus must span multiple shards"
 
 
 def test_embedding_near_dup_pairs_shape(spark):
