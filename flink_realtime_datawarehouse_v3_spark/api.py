@@ -1955,6 +1955,92 @@ SELECT inner_doc, outer_doc, containment
 FROM cont_d WHERE containment >= 0.8""",
 )
 
+# Character-level fuzzy dedup: Levenshtein verify over the capped-index
+# candidate pairs (>= 8 shared shingles) — the staged filter->verify
+# shape; catches intra-token edits Jaccard/MinHash miss.
+register(
+    "dedup_edit_distance",
+    lambda spark, sf: text_dedup.edit_distance_pairs(_corpus(spark, sf)),
+    f"""WITH {_CORPUS}, {_SHINGLES_CTE}, {_SHINGLES_CAPPED_CTE},
+ed_c AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+         FROM shc x JOIN shc y
+           ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         GROUP BY 1, 2
+         HAVING count(*) >= {text_dedup.EDIT_MIN_COMMON})
+SELECT c.a, c.b, levenshtein(ca.text, cb.text) AS edit_distance
+FROM ed_c c
+JOIN corpus ca ON c.a = ca.doc_id
+JOIN corpus cb ON c.b = cb.doc_id
+WHERE levenshtein(ca.text, cb.text) <= 32""",
+)
+
+_SPANS_CTE = f"""
+spans AS (
+    SELECT doc_id, substr(text, CAST(pos AS INTEGER), {text_dedup.SPAN_LEN}) AS span
+    FROM (SELECT doc_id, text,
+            unnest(generate_series(1,
+                greatest(1, length(text) - {text_dedup.SPAN_LEN - 1}),
+                {text_dedup.SPAN_STRIDE})) AS pos
+          FROM corpus)
+)"""
+
+# Exact-substring dedup signal (Lee et al. 2022 ExactSubstr, distributed
+# as window->group-by-span): per doc, how many of its fixed-length char
+# windows occur verbatim in another doc.
+register(
+    "dedup_substring_spans",
+    lambda spark, sf: text_dedup.substring_span_stats(_corpus(spark, sf)),
+    f"""WITH {_CORPUS}, {_SPANS_CTE},
+sd AS (SELECT span, doc_id, count(*) AS n_occ FROM spans GROUP BY 1, 2),
+sd2 AS (SELECT *, count(*) OVER (PARTITION BY span) AS n_docs FROM sd)
+SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS BIGINT)
+         AS n_dup_spans
+FROM sd2 GROUP BY doc_id""",
+)
+
+# Memorization audit twin: the 20 most widely-duplicated verbatim spans.
+register(
+    "corpus_span_hotlist",
+    lambda spark, sf: text_dedup.span_hotlist(_corpus(spark, sf)),
+    f"""WITH {_CORPUS}, {_SPANS_CTE}
+SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM spans GROUP BY span
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, span
+LIMIT 20""",
+)
+
+# Gopher-style rule filter (Rae et al. 2021 §A1.1): per-doc boolean
+# quality rules as pure integer comparisons (no float division anywhere,
+# so both engines agree bit-for-bit).
+register(
+    "text_gopher_filter",
+    lambda spark, sf: text_analysis.gopher_quality_filter(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       (n_words >= {text_analysis.GOPHER_MIN_WORDS}
+        AND n_words <= {text_analysis.GOPHER_MAX_WORDS}) AS pass_word_count,
+       (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words)
+         AS pass_mean_word_len,
+       (5 * n_alpha >= 4 * n_words) AS pass_alpha_ratio,
+       (n_stop >= 2) AS pass_stopwords,
+       ((n_words >= {text_analysis.GOPHER_MIN_WORDS}
+         AND n_words <= {text_analysis.GOPHER_MAX_WORDS})
+        AND (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words)
+        AND (5 * n_alpha >= 4 * n_words) AND (n_stop >= 2)) AS pass_all
+FROM (SELECT doc_id, len(toks) AS n_words,
+             coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+               AS n_word_chars,
+             len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+               AS n_alpha,
+             len(list_filter(toks,
+                 x -> list_contains(['the','a','of','and','to'], x)))
+               AS n_stop
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM corpus))"""
+    ),
+)
+
 # Token-budget shard packing (training-data sharding): greedy sequential
 # layout in doc_id order via a TWO-LEVEL distributed prefix sum (the
 # Blelloch scan decomposition) — never a global single-partition window.
@@ -2813,6 +2899,10 @@ _DRIVER_WINDOW = [
     "streaming_dedup_incremental",       # new r6: ingestion dedup, live
     "dedup_containment",                 # new r6: asymmetric containment
     "corpus_shard_pack",                 # new r6: two-level prefix pack
+    "dedup_edit_distance",               # new r6: staged fuzzy verify
+    "dedup_substring_spans",             # new r6: ExactSubstr signal
+    "corpus_span_hotlist",               # new r6: memorization audit
+    "text_gopher_filter",                # new r6: Gopher rule filter
     # re-prove: implementation changed this round.
     "dedup_cluster_keep",                # r5 ERR: checksum overflow, fixed
     "dws_keyword_window_udtf_sql",       # temp view -> SQL template arg
@@ -2838,7 +2928,6 @@ _DRIVER_WINDOW = [
     "text_sample_stratified",
     "multimodal_decode",
     "multimodal_resize",
-    "multimodal_frame_sample",
     "dwd_trade_cart_add",
     "dwd_interaction_comment",
     "dwd_trade_order_refund",
@@ -2852,19 +2941,20 @@ _DRIVER_WINDOW = [
     "dws_trade_user_spu_order_window",
     "dws_trade_payment_suc_window",
     "dws_trade_order_window",
-    "dws_trade_cart_add_uu_window",
     "join_salted_skew",
     "join_bucketed_colocated",
     "join_activity_coupon_full_outer",
     "interval_join_events",
-    "asof_join_events",
     "sink_dws_partitioned_roundtrip",
     "sessionize_events",
-    "session_funnel",
 ]
 
 # Proven green in CORRECTNESS_r03/r04/r05; rotated past the cutoff.
 _DRIVER_TAIL = [
+    "multimodal_frame_sample",
+    "dws_trade_cart_add_uu_window",
+    "asof_join_events",
+    "session_funnel",
     "streaming_keyword_window",
     "streaming_sessionize",
     "events_viewers_and_buyers",

@@ -796,3 +796,42 @@ def shard_pack(
         )
         .withColumn("shard_id", F.expr(f"start_offset DIV {budget}"))
     )
+
+
+GOPHER_MIN_WORDS = 10  # paper uses 50; the synthetic docs are short
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_quality_filter(corpus: DataFrame) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1, as reused by
+    MassiveText/Dolma/FineWeb): per-doc boolean rules, all expressed as
+    INTEGER comparisons so both engines agree bit-for-bit (e.g. the
+    mean-word-length band 3..10 is ``3*n_words <= n_word_chars <=
+    10*n_words``, never a float division). Single projection over the
+    corpus — embarrassingly parallel, no shuffle at any scale.
+
+    Rules kept (the ones meaningful on the synthetic corpus): word count
+    in [10, 100k]; mean word length in [3, 10]; >= 80% of words purely
+    alphabetic; >= 2 stopwords. Output: per-rule booleans + overall pass.
+    """
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_words = F.size(toks)
+    n_word_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mean = (n_word_chars >= 3 * n_words) & (n_word_chars <= 10 * n_words)
+    r_alpha = 5 * n_alpha >= 4 * n_words
+    r_stop = n_stop >= 2
+    return corpus.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        r_words.alias("pass_word_count"),
+        r_mean.alias("pass_mean_word_len"),
+        r_alpha.alias("pass_alpha_ratio"),
+        r_stop.alias("pass_stopwords"),
+        (r_words & r_mean & r_alpha & r_stop).alias("pass_all"),
+    )

@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text_analysis import hash40, tokens
@@ -743,3 +743,130 @@ def containment_pairs(
         F.round(F.col("n_common") / F.col("nb"), 6).alias("containment"),
     )
     return d1.unionByName(d2).filter(F.col("containment") >= threshold)
+
+
+EDIT_MIN_COMMON = 8  # shared-shingle floor before paying the O(len^2) verify
+
+
+def edit_distance_pairs(
+    corpus: DataFrame,
+    n: int = 3,
+    max_dist: int = 32,
+    min_common: int = EDIT_MIN_COMMON,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Character-level fuzzy dedup: Levenshtein distance over candidate
+    pairs from the capped shingle index — the staged
+    cheap-filter -> expensive-verify shape every fuzzy dedup runs at
+    scale. Token-level Jaccard/MinHash miss small character edits inside
+    tokens (typo clones, OCR noise); the edit-distance verify catches
+    them, but is O(len^2) per pair, so it only runs on pairs already
+    sharing >= ``min_common`` capped shingles (the verify set is the
+    near-dup candidate set, not the quadratic corpus).
+
+    Output: (a, b, edit_distance) with a < b and distance <= max_dist.
+    """
+    sh = shingles_exploded(corpus, n)
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    if max_shingle_df is not None:
+        postings = postings.filter(F.size("docs") <= max_shingle_df)
+    cand = (
+        _pairs_from_postings(postings)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    ta = corpus.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
+    tb = corpus.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(ta, "a")
+        .join(tb, "b")
+        .select(
+            "a",
+            "b",
+            F.levenshtein("text_a", "text_b").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+    )
+
+
+SPAN_LEN = 40  # char window for exact-substring dedup
+SPAN_STRIDE = 10  # window stride; 1 = every position (paper), >1 = sampled
+
+
+def _spans_exploded(
+    corpus: DataFrame, span_len: int = SPAN_LEN, stride: int = SPAN_STRIDE
+) -> DataFrame:
+    """Deterministic character windows (pos, substring) per doc — pure
+    Catalyst expressions (sequence + explode + substring), no Python."""
+    return corpus.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(1, length(text) - {span_len - 1}),"
+                f" {stride})"
+            )
+        ).alias("pos"),
+        "text",
+    ).select("doc_id", F.expr(f"substring(text, pos, {span_len})").alias("span"))
+
+
+def substring_span_stats(
+    corpus: DataFrame, span_len: int = SPAN_LEN, stride: int = SPAN_STRIDE
+) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): slide fixed-length
+    character windows over every doc and count, per doc, how many of its
+    windows also occur verbatim in ANOTHER doc. Suffix-array ExactSubstr
+    is a single-machine construction; the distributed shape is this
+    window->group-by-span->count-docs plan: one explode, one hash agg on
+    (span, doc), a window count per span, one hash agg on doc. Shuffles
+    key on span/doc hashes — no skew beyond hot spans, which the
+    (span, doc_id) pre-agg already collapses to one row per doc.
+
+    Output: (doc_id, n_spans, n_dup_spans) — n_dup_spans/n_spans is the
+    doc's duplicated-text fraction (the paper's removal criterion).
+    """
+    sd = (
+        _spans_exploded(corpus, span_len, stride)
+        .groupBy("span", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("span"))
+    return (
+        sd.withColumn("n_docs", n_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.col("n_occ")).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
+        )
+    )
+
+
+def span_hotlist(
+    corpus: DataFrame,
+    span_len: int = SPAN_LEN,
+    stride: int = SPAN_STRIDE,
+    k: int = 20,
+) -> DataFrame:
+    """Memorization audit: the k most widely-duplicated verbatim spans
+    (boilerplate, license headers, templated text). Global top-k over the
+    span index — TakeOrderedAndProject after a hash agg, never a full
+    sort. Total order is unique (span is the group key), so the top-k is
+    engine-deterministic.
+    """
+    return (
+        _spans_exploded(corpus, span_len, stride)
+        .groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("span"))
+        .limit(k)
+    )

@@ -67,6 +67,10 @@ ORACLED = [
     "temporal_join_coupon_asof",
     "dedup_containment",
     "corpus_shard_pack",
+    "dedup_edit_distance",
+    "dedup_substring_spans",
+    "corpus_span_hotlist",
+    "text_gopher_filter",
 ]
 
 
@@ -210,6 +214,58 @@ def test_shard_pack_invariants(spark):
         assert r.shard_id == r.start_offset // SHARD_BUDGET
         off += r.n_tokens
     assert rows[-1].shard_id > 0, "corpus must span multiple shards"
+
+
+def test_edit_distance_semantics(spark):
+    """Exact clones must verify at distance 0, the +suffix near clones at
+    exactly len(suffix), and every reported pair stays under the cap."""
+    from flink_realtime_datawarehouse_v3_spark.sources.corpus import NEAR_SUFFIX
+
+    rows = api.QUERIES["dedup_edit_distance"](spark, SF_SMOKE).collect()
+    assert rows
+    d = {(r.a, r.b): r.edit_distance for r in rows}
+    exacts = [(a, b) for (a, b) in d if a < 1_000_000 and b == a + 1_000_000]
+    nears = [(a, b) for (a, b) in d if a < 1_000_000 and b == a + 2_000_000]
+    assert exacts and all(d[p] == 0 for p in exacts)
+    assert nears and all(d[p] == len(NEAR_SUFFIX) for p in nears)
+    assert all(v <= 32 for v in d.values())
+
+
+def test_substring_span_semantics(spark):
+    """A doc with an exact clone must have every span duplicated
+    (n_dup_spans == n_spans for both halves of the clone pair)."""
+    rows = api.QUERIES["dedup_substring_spans"](spark, SF_SMOKE).collect()
+    by_id = {r.doc_id: r for r in rows}
+    cloned = [i for i in by_id if i < 1_000_000 and i % 10 == 0]
+    assert cloned
+    for i in cloned:
+        for j in (i, i + 1_000_000):
+            r = by_id[j]
+            assert r.n_dup_spans == r.n_spans, (j, r)
+    # and some doc must have unique spans, else the signal is vacuous
+    assert any(r.n_dup_spans < r.n_spans for r in rows)
+
+
+def test_span_hotlist_shape(spark):
+    rows = api.QUERIES["corpus_span_hotlist"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r.n_docs >= 2 and r.n_occ >= r.n_docs for r in rows)
+    keys = [(-r.n_docs, -r.n_occ, r.span) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_gopher_filter_consistency(spark):
+    rows = api.QUERIES["text_gopher_filter"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.pass_all == (
+            r.pass_word_count
+            and r.pass_mean_word_len
+            and r.pass_alpha_ratio
+            and r.pass_stopwords
+        )
+    # the synthetic corpus is clean lowercase prose: most docs must pass
+    assert sum(r.pass_all for r in rows) / len(rows) > 0.5
 
 
 def test_embedding_near_dup_pairs_shape(spark):

@@ -10,6 +10,13 @@ here bounds how much of the board the driver can cover.
 
 Usage: python tools/check_all.py [sf_dir[,sf_dir2,...]] [name_filter ...]
 
+``--window`` as the (only) filter restricts the sweep to the first 50
+registered entries — the driver's checked window — so the per-entry
+times bound the driver's budget for THIS round's window; the JSON
+written to /tmp/check_all.json then doubles as the committed window
+telemetry (WINDOW_REPLICA_r{N}.json) future window rebuilds pack
+against.
+
 With multiple comma-separated SF dirs, the sweep runs once per dir under
 the SAME Spark session, calling ``api.reset_session_caches()`` between
 dirs — this doubles as the regression gate for unbounded memo growth.
@@ -104,8 +111,15 @@ def run_sweep(spark, sf_dir: str, name_filter: list[str]) -> tuple[dict, int]:
 
     results: dict[str, dict] = {}
     t_all = time.time()
-    for name, fn in api.QUERIES.items():
-        if name_filter and not any(f in name for f in name_filter):
+    window_only = name_filter == ["--window"]
+    names = list(api.QUERIES)[:50] if window_only else list(api.QUERIES)
+    for name in names:
+        fn = api.QUERIES[name]
+        if (
+            name_filter
+            and not window_only
+            and not any(f in name for f in name_filter)
+        ):
             continue
         t0 = time.time()
         rec: dict = {}
