@@ -642,3 +642,48 @@ def test_profile_approx_within_tolerance(spark):
             lo = xs[max(0, int(target) - 5)]
             hi = xs[min(n - 1, int(target) + 6)]
             assert lo <= got <= hi, (et, pct, got, lo, hi)
+
+
+def test_bpe_train_merges_hand_computed():
+    """Classic Sennrich example, merges hand-computed: ties break on the
+    lexicographically smallest pair."""
+    from flink_realtime_datawarehouse_v3_spark.operators import bpe
+
+    freq = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe.train_merges(freq, n_merges=4)
+    assert merges == [("e", "s", 9), ("es", "t", 9), ("l", "o", 7), ("lo", "w", 7)]
+    # greedy application of the learned merges segments an unseen word
+    sym = ("l", "o", "w", "e", "s", "t")
+    for a, b, _ in merges:
+        sym = bpe._merge_word(sym, (a, b))
+    assert sym == ("low", "est")
+
+
+def test_bpe_entries(spark):
+    """Merge table is deterministic/ranked; encode satisfies the token
+    count sandwich n_words <= n_bpe_tokens <= n_chars(words)."""
+    m = api.QUERIES["tokenizer_bpe_merges"](spark, SF_SMOKE).collect()
+    assert len(m) > 0
+    assert [r.rank for r in sorted(m, key=lambda r: r.rank)] == list(
+        range(1, len(m) + 1)
+    )
+    assert all(r.merged == r.left + r.right for r in m)
+    counts = [r.pair_count for r in sorted(m, key=lambda r: r.rank)]
+    assert counts == sorted(counts, reverse=True)  # greedy argmax order
+
+    enc = api.QUERIES["text_bpe_tokenize"](spark, SF_SMOKE).collect()
+    assert enc
+    assert all(r.n_words <= r.n_bpe_tokens for r in enc)
+    # merges learned on the corpus itself must actually compress: far
+    # fewer tokens corpus-wide than character-level segmentation
+    from pyspark.sql import functions as F
+    from flink_realtime_datawarehouse_v3_spark.operators.bpe import word_counts
+    from flink_realtime_datawarehouse_v3_spark.sources import corpus as cm
+
+    n_word_chars = (
+        word_counts(cm.corpus(spark, SF_SMOKE))
+        .select(F.sum(F.length("word") * F.col("wc")).alias("s"))
+        .first()
+        .s
+    )
+    assert sum(r.n_bpe_tokens for r in enc) < n_word_chars
