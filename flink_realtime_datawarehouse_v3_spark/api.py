@@ -2079,6 +2079,14 @@ register(
 # global argmax state, not single-SQL-expressible; determinism +
 # hand-computed merge sequence pinned in tests/test_training_ops.py) and
 # the distributed encode pass applying the learned merges corpus-wide.
+# SemDeDup (Abbas 2023): within-k-means-cluster greedy cosine dedup over
+# the clone-expanded embedding corpus — rows-only (greedy sequential keep
+# inside applyInPandas; clone-recall + determinism gates in pytest).
+register(
+    "dedup_embedding_semdedup",
+    lambda spark, sf: simsearch.semdedup(_emb_corpus(spark, sf)),
+)
+
 register(
     "tokenizer_bpe_merges",
     lambda spark, sf: bpe.bpe_merges(_corpus(spark, sf)),
@@ -3087,6 +3095,7 @@ _DRIVER_TAIL = [
     "text_pii_scrub",
     "dws_trade_province_order_window_approx",
     "simsearch_ivf_topk",
+    "dedup_embedding_semdedup",
     "tokenizer_bpe_merges",
     "text_bpe_tokenize",
 ]

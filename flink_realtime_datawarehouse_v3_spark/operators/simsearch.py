@@ -599,3 +599,78 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+SEMDEDUP_THRESHOLD = 0.95
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 54,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means the embedding
+    space with the SAME bounded-sample coarse quantizer as IVF, then
+    inside each cluster greedily drop vectors whose cosine to an
+    already-kept vector exceeds ``threshold``.
+
+    Scale shape: the quadratic pass is confined to one cluster at a time
+    (``applyInPandas`` per bucket; the sqrt(N) quantizer sizing keeps
+    clusters ~sqrt(N)), and the greedy order is vec_id-ascending, so the
+    result is deterministic and independent of partitioning. The paper's
+    own formulation is exactly this within-cluster pairwise pass — the
+    clustering IS the guard against corpus-quadratic work.
+
+    Output: (vec_id, bucket, keep, dup_of) — dup_of is the kept vector
+    that shadowed a dropped one, NULL for kept rows.
+    """
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    cen = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(kmeans_centroids(embeddings, n_centroids))],
+        "c_id int, c_vec array<double>",
+    )
+    v = embeddings.select("vec_id", _dvec(F.col("embedding")).alias("v_vec"))
+    va = v.crossJoin(F.broadcast(cen)).select(
+        "vec_id",
+        "v_vec",
+        "c_id",
+        F.round(cosine(F.col("v_vec"), F.col("c_vec")), 4).alias("sim"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    assigned = (
+        va.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v_vec", F.col("c_id").alias("bucket"))
+    )
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        x = np.array(list(pdf["v_vec"]), dtype=np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        kept_idx: list[int] = []
+        keep = np.ones(len(pdf), dtype=bool)
+        dup_of = np.full(len(pdf), -1, dtype=np.int64)
+        for i in range(len(pdf)):
+            if kept_idx:
+                sims = x[kept_idx] @ x[i]
+                j = int(sims.argmax())
+                if sims[j] > threshold:
+                    keep[i] = False
+                    dup_of[i] = pdf["vec_id"].iloc[kept_idx[j]]
+                    continue
+            kept_idx.append(i)
+        out = pdf[["vec_id", "bucket"]].copy()
+        out["keep"] = keep
+        out["dup_of"] = pd.array(
+            [None if d < 0 else int(d) for d in dup_of], dtype="Int64"
+        )
+        return out
+
+    return assigned.groupBy("bucket").applyInPandas(
+        dedup_cluster, "vec_id bigint, bucket int, keep boolean, dup_of bigint"
+    )

@@ -687,3 +687,21 @@ def test_bpe_entries(spark):
         .s
     )
     assert sum(r.n_bpe_tokens for r in enc) < n_word_chars
+
+
+def test_semdedup_clone_recall(spark):
+    """The +1M near-identical clones (dim0 shifted 0.05) must be dropped
+    as semantic dups of their originals; originals stay kept."""
+    rows = api.QUERIES["dedup_embedding_semdedup"](spark, SF_SMOKE).collect()
+    by_id = {r.vec_id: r for r in rows}
+    clones = [r for r in rows if r.vec_id >= 1_000_000]
+    assert clones
+    dropped = [r for r in clones if not r.keep]
+    assert len(dropped) / len(clones) >= 0.7  # same-cluster recall
+    for r in dropped:
+        assert r.dup_of is not None
+        # greedy keep in vec_id order -> the original shadowed the clone
+        if r.dup_of == r.vec_id - 1_000_000:
+            assert by_id[r.dup_of].keep
+    # kept rows never carry a dup_of
+    assert all(r.dup_of is None for r in rows if r.keep)
