@@ -73,6 +73,9 @@ def reset_session_caches() -> None:
         df.unpersist()
     _cdc._ODS_CACHE.clear()
     _bucketed._READY.clear()
+    from .operators import simsearch as _ss
+
+    _ss._ARTIFACTS.clear()
     # The iterative operators (cluster closure, PageRank) localCheckpoint
     # per round; those checkpointed RDDs stay persisted until Python drops
     # the references and the ContextCleaner runs. Force the collection so
@@ -2079,6 +2082,34 @@ register(
 # global argmax state, not single-SQL-expressible; determinism +
 # hand-computed merge sequence pinned in tests/test_training_ops.py) and
 # the distributed encode pass applying the learned merges corpus-wide.
+# Mixture sampling (data mixing): per-language char budgets -> binding-
+# language total budget -> deterministic hash40 keep thresholds, all
+# BIGINT floor arithmetic.
+_MIX_W_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lg}' THEN {wt}" for lg, wt in text_analysis.MIX_WEIGHTS.items())
+    + " ELSE 1 END"
+)
+register(
+    "corpus_sample_mixture",
+    lambda spark, sf: text_analysis.sample_mixture(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH per AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars_s, {_MIX_W_CASE} AS w
+  FROM documents GROUP BY lang
+),
+b AS (SELECT min(chars_s * 10 // w) AS budget FROM per),
+rates AS (
+  SELECT lang, (w * budget // 10) * 1000000 // chars_s AS sample_ppm
+  FROM per, b
+)
+SELECT d.doc_id, d.lang, d.n_chars, r.sample_ppm
+FROM documents d JOIN rates r USING (lang)
+WHERE {text_analysis.hash40_sql("CAST(d.doc_id AS VARCHAR)")} % 1000000
+      < r.sample_ppm""",
+)
+
 # SemDeDup (Abbas 2023): within-k-means-cluster greedy cosine dedup over
 # the clone-expanded embedding corpus — rows-only (greedy sequential keep
 # inside applyInPandas; clone-recall + determinism gates in pytest).
@@ -2959,6 +2990,7 @@ _DRIVER_WINDOW = [
     "corpus_span_hotlist",               # new r6: memorization audit
     "text_gopher_filter",                # new r6: Gopher rule filter
     "sink_corpus_jsonl_roundtrip",       # new r6: JSONL corpus sink
+    "corpus_sample_mixture",             # new r6: data-mixing sampler
     # re-prove: implementation changed this round.
     "dedup_cluster_keep",                # r5 ERR: checksum overflow, fixed
     "dws_keyword_window_udtf_sql",       # temp view -> SQL template arg
@@ -2989,7 +3021,6 @@ _DRIVER_WINDOW = [
     "dwd_trade_order_refund",
     "dwd_traffic_dirty_log",
     "dwd_trade_refund_pay_suc",
-    "dim_user_info",
     "dim_coupon_use_scd2",
     "dws_traffic_page_view_window",
     "dws_user_user_login_window",
@@ -3006,6 +3037,7 @@ _DRIVER_WINDOW = [
 
 # Proven green in CORRECTNESS_r03/r04/r05; rotated past the cutoff.
 _DRIVER_TAIL = [
+    "dim_user_info",
     "dim_coupon_use",
     "multimodal_frame_sample",
     "dws_trade_cart_add_uu_window",

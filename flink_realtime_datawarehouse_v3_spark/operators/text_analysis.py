@@ -835,3 +835,53 @@ def gopher_quality_filter(corpus: DataFrame) -> DataFrame:
         r_stop.alias("pass_stopwords"),
         (r_words & r_mean & r_alpha & r_stop).alias("pass_all"),
     )
+
+
+# Target mixture weights (tenths) for the mixture sampler — the
+# data-mixing stage: downsample over-represented languages so the kept
+# corpus approaches these char-budget proportions (upsampling is out of
+# scope: rates cap at 1).
+MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
+
+
+def sample_mixture(documents: DataFrame) -> DataFrame:
+    """Deterministic mixture sampling (the Pile/ROOTS-style data-mixing
+    stage): compute per-language char budgets, find the largest total
+    budget B the binding language allows (B = min_s chars_s*10 DIV w_s),
+    then keep each doc iff hash40(doc_id) mod 1e6 < the language's ppm
+    rate. Everything is BIGINT floor arithmetic — both engines agree
+    bit-for-bit — and the sampling key is the md5-backed hash40, so the
+    kept set is a pure function of doc_id, independent of partitioning,
+    ordering, or engine.
+
+    Plan shape: one tiny per-lang agg, a 1-row budget agg broadcast back,
+    a broadcast join onto the corpus, one filter — the corpus itself is
+    touched by exactly one scan + one filter at any scale.
+    """
+    w = F.coalesce(
+        *[
+            F.when(F.col("lang") == lg, F.lit(wt))
+            for lg, wt in MIX_WEIGHTS.items()
+        ],
+        F.lit(1),
+    )
+    per = (
+        documents.groupBy("lang")
+        .agg(F.sum("n_chars").alias("chars_s"))
+        .withColumn("w", w)
+    )
+    budget = per.select(
+        F.min(F.expr("chars_s * 10 DIV w")).alias("budget")
+    )
+    rates = per.crossJoin(F.broadcast(budget)).select(
+        "lang",
+        F.expr("(w * budget DIV 10) * 1000000 DIV chars_s").alias("sample_ppm"),
+    )
+    return (
+        documents.join(F.broadcast(rates), "lang")
+        .filter(
+            hash40(F.col("doc_id").cast("string")) % 1_000_000
+            < F.col("sample_ppm")
+        )
+        .select("doc_id", "lang", "n_chars", "sample_ppm")
+    )

@@ -732,17 +732,33 @@ def containment_pairs(
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
     both = common.join(sa, "a").join(sb, "b")
-    d1 = both.select(
-        F.col("a").alias("inner_doc"),
-        F.col("b").alias("outer_doc"),
-        F.round(F.col("n_common") / F.col("na"), 6).alias("containment"),
+    # Both directions from ONE pass over the pair set: a union of two
+    # selects would recompute the whole postings/pair pipeline per
+    # branch (measured 2x at sf0.1); the explode touches it once.
+    return (
+        both.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("inner_doc"),
+                        F.col("b").alias("outer_doc"),
+                        F.round(F.col("n_common") / F.col("na"), 6).alias(
+                            "containment"
+                        ),
+                    ),
+                    F.struct(
+                        F.col("b").alias("inner_doc"),
+                        F.col("a").alias("outer_doc"),
+                        F.round(F.col("n_common") / F.col("nb"), 6).alias(
+                            "containment"
+                        ),
+                    ),
+                )
+            ).alias("d")
+        )
+        .select("d.inner_doc", "d.outer_doc", "d.containment")
+        .filter(F.col("containment") >= threshold)
     )
-    d2 = both.select(
-        F.col("b").alias("inner_doc"),
-        F.col("a").alias("outer_doc"),
-        F.round(F.col("n_common") / F.col("nb"), 6).alias("containment"),
-    )
-    return d1.unionByName(d2).filter(F.col("containment") >= threshold)
 
 
 EDIT_MIN_COMMON = 8  # shared-shingle floor before paying the O(len^2) verify

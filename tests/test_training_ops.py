@@ -705,3 +705,30 @@ def test_semdedup_clone_recall(spark):
             assert by_id[r.dup_of].keep
     # kept rows never carry a dup_of
     assert all(r.dup_of is None for r in rows if r.keep)
+
+
+def test_sample_mixture_proportions(spark):
+    """Kept char mass per language must approach the MIX_WEIGHTS targets
+    (binding language kept ~whole, others downsampled), and the kept set
+    is a pure function of doc_id (determinism across runs)."""
+    from flink_realtime_datawarehouse_v3_spark.operators.text_analysis import (
+        MIX_WEIGHTS,
+    )
+
+    rows = api.QUERIES["corpus_sample_mixture"](spark, SF_SMOKE).collect()
+    assert rows
+    kept: dict = {}
+    for r in rows:
+        kept[r.lang] = kept.get(r.lang, 0) + r.n_chars
+    total = sum(kept.values())
+    wsum = sum(MIX_WEIGHTS.values())
+    for lg, wt in MIX_WEIGHTS.items():
+        share = kept.get(lg, 0) / total
+        target = wt / wsum
+        # hash sampling at a few hundred docs: generous band
+        assert abs(share - target) < 0.12, (lg, share, target)
+    again = {
+        r.doc_id
+        for r in api.QUERIES["corpus_sample_mixture"](spark, SF_SMOKE).collect()
+    }
+    assert again == {r.doc_id for r in rows}
