@@ -2110,6 +2110,31 @@ WHERE {text_analysis.hash40_sql("CAST(d.doc_id AS VARCHAR)")} % 1000000
       < r.sample_ppm""",
 )
 
+# Contrastive training-pair mining: (anchor, positive, hard-negative)
+# triplets — positive = exact NN, negatives = the close-but-not-nearest
+# rank band (ANCE/DPR-style).
+register(
+    "simsearch_hard_negatives",
+    lambda spark, sf: simsearch.hard_negative_triplets(_emb(spark, sf)),
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM (SELECT q_id, vec_id AS neighbor_id,
+               round(list_cosine_similarity(qv, embedding::DOUBLE[]), 4)
+                 AS cosine_sim
+        FROM q CROSS JOIN embeddings WHERE q_id <> vec_id)
+),
+pos AS (SELECT q_id, neighbor_id AS pos_id, cosine_sim AS pos_sim
+        FROM ranked WHERE rank = 1)
+SELECT r.q_id, p.pos_id, p.pos_sim, r.neighbor_id AS neg_id,
+       r.cosine_sim AS neg_sim, r.rank AS neg_rank
+FROM ranked r JOIN pos p USING (q_id)
+WHERE r.rank BETWEEN 11 AND 20""",
+)
+
 # SemDeDup (Abbas 2023): within-k-means-cluster greedy cosine dedup over
 # the clone-expanded embedding corpus — rows-only (greedy sequential keep
 # inside applyInPandas; clone-recall + determinism gates in pytest).
@@ -2991,6 +3016,7 @@ _DRIVER_WINDOW = [
     "text_gopher_filter",                # new r6: Gopher rule filter
     "sink_corpus_jsonl_roundtrip",       # new r6: JSONL corpus sink
     "corpus_sample_mixture",             # new r6: data-mixing sampler
+    "simsearch_hard_negatives",          # new r6: triplet mining
     # re-prove: implementation changed this round.
     "dedup_cluster_keep",                # r5 ERR: checksum overflow, fixed
     "dws_keyword_window_udtf_sql",       # temp view -> SQL template arg
@@ -3012,7 +3038,6 @@ _DRIVER_WINDOW = [
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
-    "text_fingerprint",
     "text_sample_stratified",
     "multimodal_decode",
     "multimodal_resize",
@@ -3037,6 +3062,7 @@ _DRIVER_WINDOW = [
 
 # Proven green in CORRECTNESS_r03/r04/r05; rotated past the cutoff.
 _DRIVER_TAIL = [
+    "text_fingerprint",
     "dim_user_info",
     "dim_coupon_use",
     "multimodal_frame_sample",

@@ -737,3 +737,66 @@ def semdedup(
     return assigned.groupBy("bucket").applyInPandas(
         dedup_cluster, "vec_id bigint, bucket int, keep boolean, dup_of bigint"
     )
+
+
+def hard_negative_triplets(
+    embeddings: DataFrame,
+    every: int = 100,
+    neg_lo: int = 11,
+    neg_hi: int = 20,
+) -> DataFrame:
+    """Contrastive training-pair mining: for each anchor query, the
+    (anchor, positive, hard-negative) triplets an embedding-model
+    trainer consumes — positive = exact nearest neighbor, hard negatives
+    = the close-but-not-nearest band (ranks ``neg_lo``..``neg_hi``),
+    which is where the training signal lives (easy negatives are
+    uninformative; the band is the standard ANCE/DPR-style choice).
+
+    One scored pass + ONE rank window; the positive is pulled alongside
+    the band rows by a same-partition window max (no second shuffle, no
+    self-join). Exact ranking here is the documented baseline shape (like
+    :func:`cosine_topk`); at 100 TB the ranked pass rides the IVF index
+    instead — the banding/join logic is unchanged.
+
+    Output: (q_id, pos_id, pos_sim, neg_id, neg_sim, neg_rank).
+    """
+    q = _queries(embeddings, every)
+    v = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), _dvec(F.col("embedding")).alias("v_vec")
+    )
+    scored = (
+        q.crossJoin(v)
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("v_vec")), 4).alias("cosine_sim"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(wr)).filter(
+        (F.col("rank") == 1)
+        | ((F.col("rank") >= neg_lo) & (F.col("rank") <= neg_hi))
+    )
+    wq = Window.partitionBy("q_id")
+    return (
+        ranked.withColumn(
+            "pos_id",
+            F.max(F.when(F.col("rank") == 1, F.col("neighbor_id"))).over(wq),
+        )
+        .withColumn(
+            "pos_sim",
+            F.max(F.when(F.col("rank") == 1, F.col("cosine_sim"))).over(wq),
+        )
+        .filter(F.col("rank") >= neg_lo)
+        .select(
+            "q_id",
+            "pos_id",
+            "pos_sim",
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("cosine_sim").alias("neg_sim"),
+            F.col("rank").alias("neg_rank"),
+        )
+    )

@@ -732,3 +732,16 @@ def test_sample_mixture_proportions(spark):
         for r in api.QUERIES["corpus_sample_mixture"](spark, SF_SMOKE).collect()
     }
     assert again == {r.doc_id for r in rows}
+
+
+def test_hard_negative_triplets_shape(spark):
+    rows = api.QUERIES["simsearch_hard_negatives"](spark, SF_SMOKE).collect()
+    assert rows
+    per_q: dict = {}
+    for r in rows:
+        assert r.pos_sim >= r.neg_sim
+        assert 11 <= r.neg_rank <= 20
+        assert r.pos_id != r.neg_id
+        per_q.setdefault(r.q_id, set()).add(r.neg_rank)
+    # every anchor carries the full negative band
+    assert all(ranks == set(range(11, 21)) for ranks in per_q.values())
