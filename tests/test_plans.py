@@ -66,6 +66,10 @@ PANDAS_WHITELIST = {
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_resize",
+    # deliberate Arrow stages, r6: corpus-wide BPE encode (per-word dict
+    # work) and SemDeDup's within-cluster greedy pass (sequential keep).
+    "text_bpe_tokenize",
+    "dedup_embedding_semdedup",
 }
 
 # Star-join pipelines and their minimum broadcast-join counts (dim hops +
