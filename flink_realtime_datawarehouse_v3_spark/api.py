@@ -1769,6 +1769,17 @@ exact_pairs_capped AS (
 )
 """
 
+def _capped_postings(spark: SparkSession, sf: str) -> DataFrame:
+    # The capped shingle inverted index — ONE shuffle shared by Jaccard,
+    # containment and edit-distance (each would otherwise rebuild it).
+    return _memo_df(
+        spark,
+        "capped_postings",
+        sf,
+        lambda: text_dedup.capped_postings(_corpus(spark, sf)),
+    )
+
+
 def _ngram_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # Shared by the pair-emitting entry AND the cluster closure; the
     # shingle self-join is the expensive part, so compute it once per
@@ -1778,7 +1789,9 @@ def _ngram_pairs(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         "ngram_pairs",
         sf,
-        lambda: text_dedup.ngram_jaccard_pairs(_corpus(spark, sf)),
+        lambda: text_dedup.ngram_jaccard_pairs(
+            _corpus(spark, sf), postings=_capped_postings(spark, sf)
+        ),
     )
 
 
@@ -1940,7 +1953,9 @@ LEFT JOIN near nr USING (doc_id)""",
 # boilerplate-embedding dedup measure Jaccard misses when |B| >> |A|.
 register(
     "dedup_containment",
-    lambda spark, sf: text_dedup.containment_pairs(_corpus(spark, sf)),
+    lambda spark, sf: text_dedup.containment_pairs(
+        _corpus(spark, sf), postings=_capped_postings(spark, sf)
+    ),
     f"""WITH {_CORPUS}, {_SHINGLES_CTE}, {_SHINGLES_CAPPED_CTE},
 cont_c AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
            FROM shc x JOIN shc y
@@ -1963,7 +1978,9 @@ FROM cont_d WHERE containment >= 0.8""",
 # shape; catches intra-token edits Jaccard/MinHash miss.
 register(
     "dedup_edit_distance",
-    lambda spark, sf: text_dedup.edit_distance_pairs(_corpus(spark, sf)),
+    lambda spark, sf: text_dedup.edit_distance_pairs(
+        _corpus(spark, sf), postings=_capped_postings(spark, sf)
+    ),
     f"""WITH {_CORPUS}, {_SHINGLES_CTE}, {_SHINGLES_CAPPED_CTE},
 ed_c AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
          FROM shc x JOIN shc y

@@ -111,11 +111,29 @@ def _pairs_from_postings(postings: DataFrame) -> DataFrame:
     )
 
 
+def capped_postings(
+    corpus: DataFrame, n: int = 3, max_shingle_df: int | None = MAX_SHINGLE_DF
+) -> DataFrame:
+    """The capped shingle inverted index shared by every staged-verify
+    dedup (Jaccard, containment, edit-distance): postings per shingle,
+    hot shingles dropped by the DF cap. Built in ONE shuffle of the
+    exploded index; callers that run several dedups in one session pass
+    a memoized instance (api._capped_postings) so the index shuffle is
+    paid once."""
+    postings = shingles_exploded(corpus, n).groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    if max_shingle_df is not None:
+        postings = postings.filter(F.size("docs") <= max_shingle_df)
+    return postings
+
+
 def ngram_jaccard_pairs(
     corpus: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = MAX_SHINGLE_DF,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard >= threshold, via the
     inverted shingle index (explode -> self-join -> count/union).
@@ -135,11 +153,8 @@ def ngram_jaccard_pairs(
     # list locally — no shingle self-join (which would shuffle the index
     # twice and materialize candidates through the exchange). The cap
     # doubles as the memory bound on the per-shingle list.
-    postings = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("docs")
-    )
-    if max_shingle_df is not None:
-        postings = postings.filter(F.size("docs") <= max_shingle_df)
+    if postings is None:
+        postings = capped_postings(corpus, n, max_shingle_df)
     common = _pairs_from_postings(postings).groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("n_common")
     )
@@ -701,6 +716,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = MAX_SHINGLE_DF,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT pairs: |A ∩ B| / |A| >= threshold.
 
@@ -715,12 +731,8 @@ def containment_pairs(
     Output: (inner_doc, outer_doc, containment) — inner_doc's capped
     shingle set is >= threshold contained in outer_doc's.
     """
-    sh = shingles_exploded(corpus, n)
-    postings = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("docs")
-    )
-    if max_shingle_df is not None:
-        postings = postings.filter(F.size("docs") <= max_shingle_df)
+    if postings is None:
+        postings = capped_postings(corpus, n, max_shingle_df)
     common = _pairs_from_postings(postings).groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("n_common")
     )
@@ -770,6 +782,7 @@ def edit_distance_pairs(
     max_dist: int = 32,
     min_common: int = EDIT_MIN_COMMON,
     max_shingle_df: int | None = MAX_SHINGLE_DF,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Character-level fuzzy dedup: Levenshtein distance over candidate
     pairs from the capped shingle index — the staged
@@ -782,12 +795,8 @@ def edit_distance_pairs(
 
     Output: (a, b, edit_distance) with a < b and distance <= max_dist.
     """
-    sh = shingles_exploded(corpus, n)
-    postings = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("docs")
-    )
-    if max_shingle_df is not None:
-        postings = postings.filter(F.size("docs") <= max_shingle_df)
+    if postings is None:
+        postings = capped_postings(corpus, n, max_shingle_df)
     cand = (
         _pairs_from_postings(postings)
         .groupBy("a", "b")

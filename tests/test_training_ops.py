@@ -745,3 +745,44 @@ def test_hard_negative_triplets_shape(spark):
         per_q.setdefault(r.q_id, set()).add(r.neg_rank)
     # every anchor carries the full negative band
     assert all(ranks == set(range(11, 21)) for ranks in per_q.values())
+
+
+def test_bpe_incremental_equals_full_recount():
+    """The incremental pair-count maintenance must be observationally
+    identical to the naive full-recount-per-round formulation (seeded
+    random vocabs, including overlapping-repeat words like 'cdcd')."""
+    import random
+
+    from flink_realtime_datawarehouse_v3_spark.operators.bpe import (
+        _merge_word,
+        train_merges,
+    )
+
+    def naive(word_freq, n_merges):
+        vocab: dict = {}
+        for w, c in word_freq:
+            vocab[tuple(w)] = vocab.get(tuple(w), 0) + c
+        merges = []
+        for _ in range(n_merges):
+            pairs: dict = {}
+            for sym, c in vocab.items():
+                for i in range(len(sym) - 1):
+                    p = (sym[i], sym[i + 1])
+                    pairs[p] = pairs.get(p, 0) + c
+            if not pairs:
+                break
+            best = min(pairs, key=lambda p: (-pairs[p], p))
+            merges.append((best[0], best[1], pairs[best]))
+            vocab = {_merge_word(s, best): c for s, c in vocab.items()}
+        return merges
+
+    rng = random.Random(7)
+    for _ in range(40):
+        vocab = [
+            (
+                "".join(rng.choice("abcd") for _ in range(rng.randint(1, 10))),
+                rng.randint(1, 9),
+            )
+            for _ in range(rng.randint(1, 60))
+        ]
+        assert naive(vocab, 15) == train_merges(vocab, 15)

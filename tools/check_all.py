@@ -165,8 +165,12 @@ def run_sweep(spark, sf_dir: str, name_filter: list[str]) -> tuple[dict, int]:
 
 
 def main() -> int:
-    sf_dirs = (sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01").split(",")
-    name_filter = sys.argv[2:]
+    args = sys.argv[1:]
+    # `check_all.py --window` (no sf_dir) sweeps the default dir.
+    if args and args[0].startswith("--"):
+        args = ["/root/testdata/sf0.01", *args]
+    sf_dirs = (args[0] if args else "/root/testdata/sf0.01").split(",")
+    name_filter = args[1:]
     spark = get_spark()
     all_results: dict[str, dict] = {}
     bad = 0
