@@ -2886,6 +2886,12 @@ def _register_streaming() -> None:
             "stream_dedup_incremental",
             "dedup_incremental",
         ),
+        # Mixture policy enforced at ingestion: static (lang, ppm) rate
+        # table over the replayed doc stream, stateless append.
+        "streaming_sample_mixture": (
+            "stream_sample_mixture",
+            "corpus_sample_mixture",
+        ),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -3033,6 +3039,7 @@ _DRIVER_WINDOW = [
     "text_gopher_filter",                # new r6: Gopher rule filter
     "sink_corpus_jsonl_roundtrip",       # new r6: JSONL corpus sink
     "corpus_sample_mixture",             # new r6: data-mixing sampler
+    "streaming_sample_mixture",          # new r6: policy at ingestion
     "simsearch_hard_negatives",          # new r6: triplet mining
     # re-prove: implementation changed this round.
     "dedup_cluster_keep",                # r5 ERR: checksum overflow, fixed
@@ -3057,7 +3064,6 @@ _DRIVER_WINDOW = [
     "text_lang_id",
     "text_sample_stratified",
     "multimodal_decode",
-    "multimodal_resize",
     "dwd_trade_cart_add",
     "dwd_interaction_comment",
     "dwd_trade_order_refund",
@@ -3079,6 +3085,7 @@ _DRIVER_WINDOW = [
 
 # Proven green in CORRECTNESS_r03/r04/r05; rotated past the cutoff.
 _DRIVER_TAIL = [
+    "multimodal_resize",
     "text_fingerprint",
     "dim_user_info",
     "dim_coupon_use",

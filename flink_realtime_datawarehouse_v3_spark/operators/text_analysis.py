@@ -858,6 +858,13 @@ def sample_mixture(documents: DataFrame) -> DataFrame:
     a broadcast join onto the corpus, one filter — the corpus itself is
     touched by exactly one scan + one filter at any scale.
     """
+    return apply_mixture(documents, mixture_rates(documents))
+
+
+def mixture_rates(documents: DataFrame) -> DataFrame:
+    """The sampling POLICY artifact: (lang, sample_ppm). A tiny per-lang
+    agg + 1-row budget agg — in the live pipeline this is the static side
+    of a stream-static join."""
     w = F.coalesce(
         *[
             F.when(F.col("lang") == lg, F.lit(wt))
@@ -873,12 +880,17 @@ def sample_mixture(documents: DataFrame) -> DataFrame:
     budget = per.select(
         F.min(F.expr("chars_s * 10 DIV w")).alias("budget")
     )
-    rates = per.crossJoin(F.broadcast(budget)).select(
+    return per.crossJoin(F.broadcast(budget)).select(
         "lang",
         F.expr("(w * budget DIV 10) * 1000000 DIV chars_s").alias("sample_ppm"),
     )
+
+
+def apply_mixture(docs: DataFrame, rates: DataFrame) -> DataFrame:
+    """Stateless policy application (shared by the batch entry and the
+    streaming ingestion twin): broadcast rate join + hash-threshold keep."""
     return (
-        documents.join(F.broadcast(rates), "lang")
+        docs.join(F.broadcast(rates), "lang")
         .filter(
             hash40(F.col("doc_id").cast("string")) % 1_000_000
             < F.col("sample_ppm")

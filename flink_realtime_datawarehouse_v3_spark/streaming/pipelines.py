@@ -1147,3 +1147,25 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return run_to_memory(flagged, output_mode="append")
+
+
+def stream_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-policy enforcement at INGESTION: the (lang, sample_ppm)
+    policy table — a static artifact computed once from the corpus the
+    weights were fit against — rides a stream-static broadcast join over
+    the replayed document stream; each micro-batch keeps its share via
+    the same hash threshold as the batch entry. Stateless append: no
+    watermark, no state store — exactly how a sampling policy runs live.
+    stream == batch == oracle (same policy, same hash keep-set)."""
+    from ..operators import text_analysis as ta
+    from ..sources import tables
+
+    docs = tables.load(spark, sf_dir, "documents")
+    rates = ta.mixture_rates(docs)
+    with TempStreamDir() as d:
+        _write_replay(
+            docs.select("doc_id", "lang", "n_chars"), d.sub("in"),
+            order_by=["doc_id"],
+        )
+        s = read_stream(spark, d.sub("in"))
+        return run_to_memory(ta.apply_mixture(s, rates))

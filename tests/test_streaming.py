@@ -71,6 +71,14 @@ def test_stream_dedup_incremental(spark):
     _same(stream, batch, "dedup_incremental")
 
 
+def test_stream_sample_mixture(spark):
+    """Mixture policy at ingestion: the static rate table applied per
+    micro-batch keeps exactly the batch entry's hash keep-set."""
+    stream = sp.stream_sample_mixture(spark, SF_SMOKE)
+    batch = api.QUERIES["corpus_sample_mixture"](spark, SF_SMOKE)
+    _same(stream, batch, "sample_mixture")
+
+
 def test_stream_unique_visitor(spark):
     stream = sp.stream_unique_visitor(spark, SF_SMOKE)
     batch = api.QUERIES["dwd_traffic_unique_visitor_detail"](spark, SF_SMOKE)
