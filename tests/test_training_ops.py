@@ -786,3 +786,75 @@ def test_bpe_incremental_equals_full_recount():
             for _ in range(rng.randint(1, 60))
         ]
         assert naive(vocab, 15) == train_merges(vocab, 15)
+
+
+def test_compaction_file_count(spark, tmp_path):
+    """Compaction must hit ceil(bytes/target) output files and round-trip
+    content exactly."""
+    import glob
+    import math
+    import os
+
+    from flink_realtime_datawarehouse_v3_spark.operators import sinks
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    docs.repartition(16).write.parquet(src)
+    target = 64 << 10
+    out = sinks.compact_parquet(spark, src, dst, target_bytes=target)
+    n_src = len(glob.glob(os.path.join(src, "part-*.parquet")))
+    n_dst = len(glob.glob(os.path.join(dst, "part-*.parquet")))
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(src, "part-*.parquet"))
+    )
+    assert n_src == 16
+    assert n_dst == max(1, math.ceil(total / target)) < n_src
+    assert out.count() == docs.count()
+
+
+def test_partition_upsert_touches_only_affected_dirs(spark, tmp_path):
+    """Dynamic-overwrite MERGE must leave untouched partition directories'
+    files byte-identical (same inventory, same mtimes)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.operators import sinks
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    base = str(tmp_path / "base")
+    (
+        docs.repartition(F.col("source"))
+        .write.partitionBy("source")
+        .parquet(base)
+    )
+
+    def inventory(part):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(base, f"source={part}", "*.parquet"))
+        }
+
+    before_untouched = inventory("src0")
+    before_touched = inventory("src3")
+    updates = docs.filter(F.col("doc_id") % 40 == 3).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    sinks.upsert_partitioned(spark, base, updates, "source")
+    assert inventory("src0") == before_untouched
+    assert inventory("src3") != before_touched
+    # and the merge applied: updated rows carry the marker
+    got = (
+        spark.read.parquet(base)
+        .filter(F.col("doc_id") % 40 == 3)
+        .select("n_chars")
+        .collect()
+    )
+    orig = {
+        r.doc_id: r.n_chars
+        for r in docs.filter(F.col("doc_id") % 40 == 3).collect()
+    }
+    assert got and sorted(r.n_chars for r in got) == sorted(
+        v + 1000 for v in orig.values()
+    )
