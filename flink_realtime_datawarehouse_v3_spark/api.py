@@ -2164,6 +2164,40 @@ register(
 FROM documents""",
 )
 
+# Z-order (Morton) clustered layout: footer min/max stats stay tight on
+# BOTH cluster columns, so a point filter on either skips most files —
+# the multi-dimensional data-skipping layout; skipping ratio pinned by
+# tests/test_training_ops.py::test_zorder_data_skipping.
+def _sink_events_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators import sinks
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"events_zorder_{tag}")
+    e = tables.load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "value",
+    )
+    sinks.zorder_write(e, base, "user_id", "ts_ms")
+    target = e.agg(F.min("user_id")).first()[0]
+    return spark.read.parquet(base).filter(F.col("user_id") == F.lit(target))
+
+
+register(
+    "sink_events_zorder_read",
+    _sink_events_zorder,
+    """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+FROM events WHERE user_id = (SELECT min(user_id) FROM events)""",
+)
+
 # BPE tokenizer induction (Sennrich 2016): merge learning on the bounded
 # word-frequency table (rows-only — the merge loop is iterative with
 # global argmax state, not single-SQL-expressible; determinism +
@@ -3110,6 +3144,7 @@ _DRIVER_WINDOW = [
     "sink_corpus_jsonl_roundtrip",       # new r6: JSONL corpus sink
     "sink_corpus_compacted_roundtrip",   # new r6: compaction job
     "sink_corpus_partition_upsert",      # new r6: dynamic-overwrite MERGE
+    "sink_events_zorder_read",           # new r6: Z-order skipping
     "corpus_sample_mixture",             # new r6: data-mixing sampler
     "streaming_sample_mixture",          # new r6: policy at ingestion
     "simsearch_hard_negatives",          # new r6: triplet mining
@@ -3138,7 +3173,6 @@ _DRIVER_WINDOW = [
     "multimodal_decode",
     "dwd_trade_cart_add",
     "dwd_interaction_comment",
-    "dwd_trade_order_refund",
     "dwd_traffic_dirty_log",
     "dim_coupon_use_scd2",
     "dws_traffic_page_view_window",
@@ -3155,6 +3189,7 @@ _DRIVER_WINDOW = [
 
 # Proven green in CORRECTNESS_r03/r04/r05; rotated past the cutoff.
 _DRIVER_TAIL = [
+    "dwd_trade_order_refund",
     "dwd_trade_refund_pay_suc",
     "dws_user_user_login_window",
     "multimodal_resize",

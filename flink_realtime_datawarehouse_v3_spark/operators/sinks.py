@@ -111,3 +111,85 @@ def upsert_partitioned(
         .partitionBy(part_col)
         .parquet(base_path)
     )
+
+
+def _morton_interleave(a, b, bits: int = 21):
+    """Morton (Z-order) code: interleave the low ``bits`` of two BIGINT
+    columns — pure Catalyst shift/mask expressions, no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+) -> None:
+    """Z-order data layout: range-partition + sort by the Morton code of
+    (col_a, col_b), so parquet footer min/max stats stay TIGHT on BOTH
+    columns at once — a point/range filter on either column then skips
+    most files/row-groups at planning time. This is the multi-dimensional
+    clustering a 100 TB fact table needs: a plain sort on col_a gives
+    perfect skipping on col_a and none on col_b; Z-order splits the
+    difference. Pure Catalyst morton expression, one range exchange.
+
+    Both columns are min-max normalized to the 21-bit grid first (raw
+    values interleave their LOW bits, which for e.g. epoch-millis are
+    noise); the min/max pair is a 1-row bounded agg, collected like any
+    index artifact."""
+    lo_a, hi_a, lo_b, hi_b = (
+        df.agg(
+            F.min(F.col(col_a).cast("bigint")),
+            F.max(F.col(col_a).cast("bigint")),
+            F.min(F.col(col_b).cast("bigint")),
+            F.max(F.col(col_b).cast("bigint")),
+        ).first()
+    )
+    grid = (1 << 21) - 1
+
+    def norm(c, lo, hi):
+        span = max(1, hi - lo)
+        return F.expr(
+            f"(CAST({c} AS BIGINT) - {lo}) * {grid} DIV {span}"
+        )
+
+    z = _morton_interleave(norm(col_a, lo_a, hi_a), norm(col_b, lo_b, hi_b))
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_containing(path: str, col: str, value) -> tuple[int, int]:
+    """(candidate_files, total_files): how many part files' footer
+    min/max for ``col`` admit ``value`` — the driver-side metadata probe
+    behind data skipping (what the scan planner consults)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = cand = 0
+    for f in glob.glob(os.path.join(path, "part-*.parquet")):
+        total += 1
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        hit = False
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max or (st.min <= value <= st.max):
+                hit = True
+                break
+        cand += hit
+    return cand, total
