@@ -2061,21 +2061,25 @@ FROM (SELECT doc_id, len(toks) AS n_words,
     ),
 )
 
+def _tmp_sink_path(prefix: str, sf: str) -> str:
+    """Deterministic per-SF scratch path for the sink roundtrip entries
+    (one tag scheme, five users)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+
+
 # JSONL corpus roundtrip: training corpora ship as lang-partitioned
 # JSONL; write-side repartition(lang) is the same small-file guard as the
 # DWS sink, read-side passes the schema explicitly (at 100 TB schema
 # inference is a full extra pass over the data).
 def _sink_corpus_jsonl(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "corpus_jsonl_rt_" + hashlib.md5(sf.encode()).hexdigest()[:8],
-    )
+    base = _tmp_sink_path("corpus_jsonl_rt", sf)
     docs = tables.load(spark, sf, "documents")
     (
         docs.repartition(F.col("lang"))
@@ -2098,17 +2102,10 @@ register(
 # ingest (64 files) compacted to ceil(bytes/target) files; content must
 # round-trip exactly.
 def _sink_corpus_compact(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
-    from pyspark.sql import functions as F
-
     from .operators import sinks
 
-    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
-    src = os.path.join(tempfile.gettempdir(), f"corpus_frag_{tag}")
-    dst = os.path.join(tempfile.gettempdir(), f"corpus_compact_{tag}")
+    src = _tmp_sink_path("corpus_frag", sf)
+    dst = _tmp_sink_path("corpus_compact", sf)
     docs = tables.load(spark, sf, "documents")
     docs.repartition(64).write.mode("overwrite").parquet(src)
     return sinks.compact_parquet(spark, src, dst, target_bytes=256 << 10).select(
@@ -2127,16 +2124,11 @@ register(
 # rows' partition directories are rewritten (dynamic overwrite); the
 # final table must equal base-with-updates-applied.
 def _sink_corpus_upsert(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from .operators import sinks
 
-    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"corpus_upsert_{tag}")
+    base = _tmp_sink_path("corpus_upsert", sf)
     docs = tables.load(spark, sf, "documents")
     (
         docs.repartition(F.col("source"))
@@ -2169,16 +2161,11 @@ FROM documents""",
 # the multi-dimensional data-skipping layout; skipping ratio pinned by
 # tests/test_training_ops.py::test_zorder_data_skipping.
 def _sink_events_zorder(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from .operators import sinks
 
-    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"events_zorder_{tag}")
+    base = _tmp_sink_path("events_zorder", sf)
     e = tables.load(spark, sf, "events").select(
         "event_id",
         "user_id",

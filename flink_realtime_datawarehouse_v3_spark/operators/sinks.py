@@ -81,6 +81,7 @@ def upsert_partitioned(
     base_path: str,
     updates: DataFrame,
     part_col: str,
+    key_col: str = "doc_id",
 ) -> None:
     """Partition-scoped upsert WITHOUT a table format: merge ``updates``
     into the ``part_col``-partitioned parquet table at ``base_path``,
@@ -95,12 +96,12 @@ def upsert_partitioned(
     """
     parts = [r[0] for r in updates.select(part_col).distinct().collect()]
     base = spark.read.parquet(base_path).filter(F.col(part_col).isin(parts))
-    keys = updates.select("doc_id").distinct()
+    keys = updates.select(key_col).distinct()
     # localCheckpoint materializes the merged partitions BEFORE the
     # overwrite touches base_path (Spark refuses a lazy plan that reads
     # the path it is overwriting).
     merged = (
-        base.join(keys, "doc_id", "left_anti")
+        base.join(keys, key_col, "left_anti")
         .unionByName(updates)
         .localCheckpoint()
     )
@@ -152,6 +153,8 @@ def zorder_write(
             F.max(F.col(col_b).cast("bigint")),
         ).first()
     )
+    if lo_a is None or lo_b is None:
+        raise ValueError("zorder_write: empty input (no min/max to normalize)")
     grid = (1 << 21) - 1
 
     def norm(c, lo, hi):

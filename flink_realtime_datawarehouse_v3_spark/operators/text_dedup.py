@@ -146,20 +146,30 @@ def ngram_jaccard_pairs(
     banding (below) remains the 100 TB prefilter.
     pytest gate: tests/test_training_ops.py::test_ngram_hot_shingle_cap.
     """
-    sh = shingles_exploded(corpus, n)
     # Inverted-index pair generation in ONE shuffle of the index: group
     # the postings per shingle, drop hot shingles by the DF cap (list
     # length), then emit the (a < b) doc pairs from each bounded posting
     # list locally — no shingle self-join (which would shuffle the index
     # twice and materialize candidates through the exchange). The cap
     # doubles as the memory bound on the per-shingle list.
+    # A caller-supplied ``postings`` must have been built with the SAME
+    # (n, max_shingle_df) — doc sizes derive from it, so a mismatched
+    # index would yield silently wrong Jaccard values; the uncapped
+    # sizes branch is only coherent with a locally-built index.
     if postings is None:
         postings = capped_postings(corpus, n, max_shingle_df)
+    elif max_shingle_df is None:
+        raise ValueError(
+            "ngram_jaccard_pairs: a shared postings index implies a DF "
+            "cap; pass max_shingle_df matching how it was built"
+        )
     common = _pairs_from_postings(postings).groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("n_common")
     )
     sizes = (
-        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        shingles_exploded(corpus, n)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
         if max_shingle_df is None
         else postings.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")

@@ -1161,7 +1161,12 @@ def stream_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import tables
 
     docs = tables.load(spark, sf_dir, "documents")
-    rates = ta.mixture_rates(docs)
+    # Pin the policy table as a LITERAL: a lazy rates plan would re-run
+    # the full per-lang corpus agg on every micro-batch of the
+    # stream-static join; the collected artifact is |langs| rows.
+    rates = spark.createDataFrame(
+        ta.mixture_rates(docs).collect(), "lang string, sample_ppm bigint"
+    )
     with TempStreamDir() as d:
         _write_replay(
             docs.select("doc_id", "lang", "n_chars"), d.sub("in"),

@@ -10,9 +10,10 @@ here bounds how much of the board the driver can cover.
 
 Usage: python tools/check_all.py [sf_dir[,sf_dir2,...]] [name_filter ...]
 
-``--window`` as the (only) filter restricts the sweep to the first 50
-registered entries — the driver's checked window — so the per-entry
-times bound the driver's budget for THIS round's window; the JSON
+``--window`` (a flag, combinable with an sf_dir and name filters)
+restricts the sweep to the first 50 registered entries — the driver's
+checked window — so the per-entry times bound the driver's budget for
+THIS round's window; the JSON
 written to /tmp/check_all.json then doubles as the committed window
 telemetry (WINDOW_REPLICA_r{N}.json) future window rebuilds pack
 against.
@@ -102,7 +103,9 @@ def _dtype_mismatches(spdf, odf) -> list[str]:
     return out
 
 
-def run_sweep(spark, sf_dir: str, name_filter: list[str]) -> tuple[dict, int]:
+def run_sweep(
+    spark, sf_dir: str, name_filter: list[str], window_only: bool = False
+) -> tuple[dict, int]:
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
@@ -111,15 +114,10 @@ def run_sweep(spark, sf_dir: str, name_filter: list[str]) -> tuple[dict, int]:
 
     results: dict[str, dict] = {}
     t_all = time.time()
-    window_only = name_filter == ["--window"]
     names = list(api.QUERIES)[:50] if window_only else list(api.QUERIES)
     for name in names:
         fn = api.QUERIES[name]
-        if (
-            name_filter
-            and not window_only
-            and not any(f in name for f in name_filter)
-        ):
+        if name_filter and not any(f in name for f in name_filter):
             continue
         t0 = time.time()
         rec: dict = {}
@@ -165,12 +163,19 @@ def run_sweep(spark, sf_dir: str, name_filter: list[str]) -> tuple[dict, int]:
 
 
 def main() -> int:
+    # Flags may appear anywhere; positionals are [sf_dir[,sf_dir2,...]]
+    # then name filters. A flag never silently becomes an sf_dir or a
+    # name filter (a `--window <sf_dir>` invocation used to sweep the
+    # DEFAULT dir with a never-matching filter and exit 0).
     args = sys.argv[1:]
-    # `check_all.py --window` (no sf_dir) sweeps the default dir.
-    if args and args[0].startswith("--"):
-        args = ["/root/testdata/sf0.01", *args]
-    sf_dirs = (args[0] if args else "/root/testdata/sf0.01").split(",")
-    name_filter = args[1:]
+    flags = [a for a in args if a.startswith("--")]
+    unknown = [f for f in flags if f != "--window"]
+    if unknown:
+        raise SystemExit(f"unknown flag(s): {unknown}")
+    pos = [a for a in args if not a.startswith("--")]
+    window_only = "--window" in flags
+    sf_dirs = (pos[0] if pos else "/root/testdata/sf0.01").split(",")
+    name_filter = pos[1:]
     spark = get_spark()
     all_results: dict[str, dict] = {}
     bad = 0
@@ -180,7 +185,7 @@ def main() -> int:
             n_persisted = len(spark.sparkContext._jsc.getPersistentRDDs())
             print(f"\n-- reset_session_caches(): {n_persisted} RDDs still persisted --")
             print(f"-- sweep {sf_dir} --")
-        results, n_bad = run_sweep(spark, sf_dir, name_filter)
+        results, n_bad = run_sweep(spark, sf_dir, name_filter, window_only)
         bad += n_bad
         all_results[sf_dir] = results
     with open("/tmp/check_all.json", "w") as f:
