@@ -896,3 +896,13 @@ def test_zorder_data_skipping(spark, tmp_path):
     )
     cs, ts_ = sinks.files_containing(spath, "ts_ms", mid_t)
     assert cs / ts_ >= 0.9, (cs, ts_)
+
+
+def test_zorder_read_pushes_filter_to_scan(spark):
+    """The point-read off the clustered table must reach the parquet scan
+    as a pushed filter — data skipping happens at the source, not in a
+    post-scan Filter."""
+    df = api.QUERIES["sink_events_zorder_read"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(user_id" in plan
