@@ -22,16 +22,22 @@ def test_reset_session_caches_unpersists_everything(spark):
     # absolute zero.
     baseline = persisted_ids()
 
-    # Warm at least one memo of each kind.
+    from flink_realtime_datawarehouse_v3_spark.operators import simsearch
+
+    # Warm at least one memo of each kind (incl. the artifact memo the
+    # ANN/BPE fits share).
     api.QUERIES["dwd_trade_order_detail"](spark, SF_SMOKE).count()
     api.QUERIES["text_token_stats"](spark, SF_SMOKE).count()
     api.QUERIES["join_bucketed_colocated"](spark, SF_SMOKE).count()
+    api.QUERIES["simsearch_ivf_topk"](spark, SF_SMOKE).count()
     assert api._MATERIALIZED and cdc._ODS_CACHE and bucketed._READY
+    assert simsearch._ARTIFACTS
 
     api.reset_session_caches()
     assert not api._MATERIALIZED
     assert not cdc._ODS_CACHE
     assert not bucketed._READY
+    assert not simsearch._ARTIFACTS
     assert persisted_ids() <= baseline, "reset left memo RDDs persisted"
 
     # And the surface still works after a reset (re-warms cleanly).
