@@ -3113,6 +3113,11 @@ _WINDOW_ROWS_ONLY = {
     "events_profile_stats_approx",
     "simsearch_pq_topk",
     "simsearch_ivfpq_topk",
+    # new r6 rows-only ops: first driver rows (rows-match is weaker than
+    # hash but stronger than no driver row at all).
+    "dedup_embedding_semdedup",
+    "tokenizer_bpe_merges",
+    "text_bpe_tokenize",
 }
 
 _DRIVER_WINDOW = [
@@ -3143,6 +3148,9 @@ _DRIVER_WINDOW = [
     "events_profile_stats_approx",
     "simsearch_pq_topk",
     "simsearch_ivfpq_topk",              # new r6: IVF x PQ composed ANN
+    "dedup_embedding_semdedup",          # new r6 rows-only, first row
+    "tokenizer_bpe_merges",              # new r6 rows-only, first row
+    "text_bpe_tokenize",                 # new r6 rows-only, first row
     # proven fills, one slot per family (all hash-green r3/r4/r5).
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -3153,13 +3161,11 @@ _DRIVER_WINDOW = [
     "simsearch_cosine_topk",
     "embedding_quantize_int8",
     "text_corpus_clean",
-    "text_token_stats",
     "text_quality_score",
     "text_lang_id",
     "text_sample_stratified",
     "multimodal_decode",
     "dwd_trade_cart_add",
-    "dwd_interaction_comment",
     "dwd_traffic_dirty_log",
     "dim_coupon_use_scd2",
     "dws_traffic_page_view_window",
@@ -3167,7 +3173,6 @@ _DRIVER_WINDOW = [
     "dws_trade_payment_suc_window",
     "dws_trade_order_window",
     "join_salted_skew",
-    "join_bucketed_colocated",
     "join_activity_coupon_full_outer",
     "interval_join_events",
     "sink_dws_partitioned_roundtrip",
@@ -3176,6 +3181,9 @@ _DRIVER_WINDOW = [
 
 # Proven green in CORRECTNESS_r03/r04/r05; rotated past the cutoff.
 _DRIVER_TAIL = [
+    "join_bucketed_colocated",
+    "dwd_interaction_comment",
+    "text_token_stats",
     "dwd_trade_order_refund",
     "dwd_trade_refund_pay_suc",
     "dws_user_user_login_window",
@@ -3271,9 +3279,6 @@ _DRIVER_TAIL = [
     "text_pii_scrub",
     "dws_trade_province_order_window_approx",
     "simsearch_ivf_topk",
-    "dedup_embedding_semdedup",
-    "tokenizer_bpe_merges",
-    "text_bpe_tokenize",
 ]
 
 
