@@ -91,6 +91,22 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
+    # The driver preserves only the truncated TAIL of the printed line
+    # (BENCH_r*.json, "parsed": null every round), which loses the head of
+    # the per-query map — so cross-round per-query regression checks used
+    # to depend on BASELINE.md prose. Persist the COMPLETE record to the
+    # repo as well: BENCH_LOCAL_r{N}.json, N = the round this window was
+    # built for (api._WINDOW_ROUND).
+    try:
+        local = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_LOCAL_r{api._WINDOW_ROUND}.json",
+        )
+        with open(local, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the printed line still carries the data
     print(json.dumps(out))
 
 

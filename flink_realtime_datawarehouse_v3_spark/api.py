@@ -2063,13 +2063,17 @@ FROM (SELECT doc_id, len(toks) AS n_words,
 
 def _tmp_sink_path(prefix: str, sf: str) -> str:
     """Deterministic per-SF scratch path for the sink roundtrip entries
-    (one tag scheme, five users)."""
+    (one tag scheme, five users). The uid component keeps two users on a
+    shared host (or two concurrent sweeps under different accounts) from
+    racing on the same world-shared /tmp directories — overwrite-while-
+    read, or permission failures on another user's leftover dirs."""
     import hashlib
     import os
     import tempfile
 
+    uid = getattr(os, "getuid", lambda: 0)()
     tag = hashlib.md5(sf.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_u{uid}_{tag}")
 
 
 # JSONL corpus roundtrip: training corpora ship as lang-partitioned
@@ -2243,6 +2247,17 @@ FROM ranked r JOIN pos p USING (q_id)
 WHERE r.rank BETWEEN 11 AND 20""",
 )
 
+# The same miner riding the IVF index: candidate generation via the
+# probed-cell bucket equi-join, band selection unchanged — the per-
+# training-run shape (the exact entry above is the one-time oracle
+# baseline; it and simsearch_cosine_topk are the only registered plans
+# allowed a CartesianProduct). Approximate -> rows-only; overlap vs the
+# exact triplets at equal budget + no-cartesian plan gate in pytest.
+register(
+    "simsearch_hard_negatives_ivf",
+    lambda spark, sf: simsearch.hard_negative_triplets_ivf(_emb(spark, sf)),
+)
+
 # SemDeDup (Abbas 2023): within-k-means-cluster greedy cosine dedup over
 # the clone-expanded embedding corpus — rows-only (greedy sequential keep
 # inside applyInPandas; clone-recall + determinism gates in pytest).
@@ -2263,11 +2278,7 @@ register(
 # Token-budget shard packing (training-data sharding): greedy sequential
 # layout in doc_id order via a TWO-LEVEL distributed prefix sum (the
 # Blelloch scan decomposition) — never a global single-partition window.
-register(
-    "corpus_shard_pack",
-    lambda spark, sf: text_analysis.shard_pack(_corpus(spark, sf)),
-    _csql(
-        f"""SELECT doc_id, n_tokens,
+_SHARD_PACK_SQL = f"""SELECT doc_id, n_tokens,
                    CAST(sum(n_tokens) OVER (ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         - n_tokens AS BIGINT) AS start_offset,
@@ -2278,6 +2289,36 @@ register(
             FROM (SELECT doc_id,
                          CAST(len({_TOKS}) AS BIGINT) AS n_tokens
                   FROM corpus)"""
+
+register(
+    "corpus_shard_pack",
+    lambda spark, sf: text_analysis.shard_pack(_corpus(spark, sf)),
+    _csql(_SHARD_PACK_SQL),
+)
+
+
+# The product step after the packing arithmetic: write one JSONL file per
+# shard directory (sinks.write_shards) and read the shards back — the
+# on-disk layout a training loader mounts. The doc_id join of text x pack
+# is fact-fact (both sides are the corpus; SMJ is the plan we want).
+def _sink_corpus_shards(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import sinks
+
+    base = _tmp_sink_path("corpus_shards", sf)
+    pack = text_analysis.shard_pack(_corpus(spark, sf))
+    sinks.write_shards(_corpus(spark, sf).join(pack, "doc_id"), base)
+    return spark.read.schema(
+        "doc_id bigint, text string, n_tokens bigint, "
+        "start_offset bigint, shard_id bigint"
+    ).json(base).select("doc_id", "text", "n_tokens", "start_offset", "shard_id")
+
+
+register(
+    "sink_corpus_shards_roundtrip",
+    _sink_corpus_shards,
+    _csql(
+        f"""SELECT c.doc_id, c.text, p.n_tokens, p.start_offset, p.shard_id
+            FROM corpus c JOIN ({_SHARD_PACK_SQL}) p ON c.doc_id = p.doc_id"""
     ),
 )
 
@@ -2734,14 +2775,18 @@ WHERE rank <= 10""",
 # against the exact baseline.
 register("simsearch_ivf_topk", lambda spark, sf: simsearch.ivf_topk(_emb(spark, sf)))
 
-# PQ asymmetric-distance top-k: database vectors live as 8 nibble codes,
-# queries precompute distance tables, ADC candidates re-ranked exactly.
-# Deterministic but two-stage-argmin -> rows-only + recall pytest.
-register("simsearch_pq_topk", lambda spark, sf: simsearch.pq_topk(_emb(spark, sf)))
+# NOTE: flat-ADC pq_topk (simsearch.pq_topk) is deliberately NOT
+# registered: its ADC scan is an unbounded |Q| x |V| crossJoin — a
+# recall-reference baseline (FAISS IndexPQ posture), kept as a tested
+# library function (tests/test_training_ops.py::test_pq_recall_and_
+# compression) but off the registered surface so the class-level
+# invariant holds: no registered entry's plan contains an unbounded
+# CartesianProduct (tests/test_plans.py::test_registry_no_cartesian).
+# The shipped PQ shape is simsearch_ivfpq_topk below.
 
 # IVF x PQ composed index — the terminal 100 TB ANN shape: PQ's ADC scan
 # gated by IVF cell pruning (a bucket equi-join; no cross product in the
-# plan, gated by tests/test_simsearch.py). Rows-only + recall pytest.
+# plan, gated by tests/test_training_ops.py). Rows-only + recall pytest.
 register(
     "simsearch_ivfpq_topk", lambda spark, sf: simsearch.ivfpq_topk(_emb(spark, sf))
 )
@@ -3111,7 +3156,7 @@ _WINDOW_ROUND = 6
 _WINDOW_ROWS_ONLY = {
     "decontaminate_bloom",
     "events_profile_stats_approx",
-    "simsearch_pq_topk",
+    "simsearch_hard_negatives_ivf",
     "simsearch_ivfpq_topk",
     # new r6 rows-only ops: first driver rows (rows-match is weaker than
     # hash but stronger than no driver row at all).
@@ -3146,7 +3191,7 @@ _DRIVER_WINDOW = [
     # rows-only entries getting their first driver rows (see above).
     "decontaminate_bloom",
     "events_profile_stats_approx",
-    "simsearch_pq_topk",
+    "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplet miner
     "simsearch_ivfpq_topk",              # new r6: IVF x PQ composed ANN
     "dedup_embedding_semdedup",          # new r6 rows-only, first row
     "tokenizer_bpe_merges",              # new r6 rows-only, first row
@@ -3176,11 +3221,12 @@ _DRIVER_WINDOW = [
     "join_activity_coupon_full_outer",
     "interval_join_events",
     "sink_dws_partitioned_roundtrip",
-    "sessionize_events",
+    "sink_corpus_shards_roundtrip",      # new r7: shard materialization
 ]
 
 # Proven green in CORRECTNESS_r03/r04/r05; rotated past the cutoff.
 _DRIVER_TAIL = [
+    "sessionize_events",
     "join_bucketed_colocated",
     "dwd_interaction_comment",
     "text_token_stats",

@@ -188,9 +188,19 @@ def encode(
     ]
 
     def batches(it: Iterator) -> Iterator:
+        import re
+
+        # Same tokenization as the training pass: text_analysis.tokens()
+        # splits on the JAVA regex \s+ (ASCII whitespace only, empties
+        # dropped). pandas str.split() splits on UNICODE whitespace, so
+        # text containing e.g.   would yield words the merge table
+        # was never trained on — re.ASCII pins \s to the Java set.
+        ws = re.compile(r"\s+", re.ASCII)
         cache: dict[str, tuple[str, ...]] = {}
         for pdf in it:
-            toks = pdf["text"].str.split()
+            toks = [
+                [w for w in ws.split(t) if w] for t in pdf["text"]
+            ]
             pdf_out = pdf[["doc_id"]].copy()
             pdf_out["n_words"] = [len(ws) for ws in toks]
             pdf_out["n_bpe_tokens"] = [

@@ -29,7 +29,11 @@ _ARTIFACTS: dict = {}
 
 
 def _artifact(spark, df: DataFrame, tag: str, params: tuple, build):
-    key = (id(spark.sparkContext), df.semanticHash(), tag, params)
+    # applicationId is unique per context (a CPython id() can be reused
+    # after a context is garbage-collected). Inputs are assumed immutable
+    # per session — semanticHash covers the PLAN, not file contents —
+    # which api.reset_session_caches() re-establishes between sweeps.
+    key = (spark.sparkContext.applicationId, df.semanticHash(), tag, params)
     val = _ARTIFACTS.get(key)
     if val is None:
         val = build()
@@ -158,17 +162,16 @@ def kmeans_centroids(
     )
 
 
-def ivf_topk(
-    embeddings: DataFrame, k: int = 10, every: int = 100, n_centroids: int = 54,
-    nprobe: int = 8,
+def _ivf_scored(
+    embeddings: DataFrame, every: int, n_centroids: int, nprobe: int
 ) -> DataFrame:
-    """IVF-bucketed approximate top-k.
-
-    Centroids come from :func:`kmeans_centroids` (seeded sampled spherical
-    k-means). Each vector is assigned to its nearest centroid (broadcast
-    assignment join); each query probes its nprobe nearest centroid buckets,
-    so the bucket equi-join replaces the |Q| x |V| cross product.
-    """
+    """(q_id, neighbor_id, cosine_sim) for every query x candidate pair
+    the IVF index admits: vectors assigned to their nearest centroid
+    (broadcast assignment join), queries probing their nprobe nearest
+    cells, exact cosine only inside the probed buckets. The bucket
+    EQUI-join replaces the |Q| x |V| cross product — the shared candidate
+    generator behind :func:`ivf_topk` and
+    :func:`hard_negative_triplets_ivf`."""
     spark = embeddings.sparkSession
     cen = spark.createDataFrame(
         [(j, c) for j, c in enumerate(kmeans_centroids(embeddings, n_centroids))],
@@ -200,7 +203,7 @@ def ivf_topk(
         qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= nprobe)
         .select("q_id", "q_vec", F.col("c_id").alias("bucket"))
     )
-    scored = (
+    return (
         probes.join(assigned, "bucket")
         .filter(F.col("q_id") != F.col("neighbor_id"))
         .select(
@@ -210,6 +213,20 @@ def ivf_topk(
         )
         .distinct()
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame, k: int = 10, every: int = 100, n_centroids: int = 54,
+    nprobe: int = 8,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k.
+
+    Centroids come from :func:`kmeans_centroids` (seeded sampled spherical
+    k-means). Each vector is assigned to its nearest centroid (broadcast
+    assignment join); each query probes its nprobe nearest centroid buckets,
+    so the bucket equi-join replaces the |Q| x |V| cross product.
+    """
+    scored = _ivf_scored(embeddings, every, n_centroids, nprobe)
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
@@ -585,8 +602,8 @@ def ivfpq_topk(
     Scan: each database vector carries (bucket, code) — 1 int + m
     nibbles. Each query probes its ``nprobe`` nearest cells; the ADC scan
     is the ``bucket`` EQUI-JOIN of probes x coded vectors (no cross
-    product anywhere — the plan gate in tests/test_simsearch.py asserts
-    no CartesianProduct / BroadcastNestedLoopJoin). Best ``candidates``
+    product anywhere — the plan gate in tests/test_training_ops.py
+    asserts no CartesianProduct / BroadcastNestedLoopJoin). Best ``candidates``
     by ADC re-rank exactly; top-k returned. Same rows-only + recall-gate
     contract as ivf_topk / pq_topk.
 
@@ -669,7 +686,7 @@ SEMDEDUP_THRESHOLD = 0.95
 
 def semdedup(
     embeddings: DataFrame,
-    n_centroids: int = 54,
+    n_centroids: int | None = None,
     threshold: float = SEMDEDUP_THRESHOLD,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -679,11 +696,18 @@ def semdedup(
     already-kept vector exceeds ``threshold``.
 
     Scale shape: the quadratic pass is confined to one cluster at a time
-    (``applyInPandas`` per bucket; the sqrt(N) quantizer sizing keeps
-    clusters ~sqrt(N)), and the greedy order is vec_id-ascending, so the
-    result is deterministic and independent of partitioning. The paper's
-    own formulation is exactly this within-cluster pairwise pass — the
-    clustering IS the guard against corpus-quadratic work.
+    (``applyInPandas`` per bucket), and ``n_centroids`` defaults to
+    sqrt(N) DERIVED from an actual corpus count — not a constant — so the
+    expected cluster size stays ~sqrt(N) and the per-cluster O(c^2) pass
+    grows as O(N) total, not O(N^2) (a constant centroid count would let
+    cluster sizes grow linearly with the corpus; the sqrt-bound is pinned
+    by tests/test_training_ops.py::test_semdedup_bucket_sqrt_bound at two
+    SFs). The count is one columnless scan — index-build cost, same
+    posture as the quantizer's own training sample. Greedy order is
+    vec_id-ascending, so the result is deterministic and independent of
+    partitioning. The paper's own formulation is exactly this
+    within-cluster pairwise pass — the clustering IS the guard against
+    corpus-quadratic work.
 
     Output: (vec_id, bucket, keep, dup_of) — dup_of is the kept vector
     that shadowed a dropped one, NULL for kept rows.
@@ -691,6 +715,11 @@ def semdedup(
     import pandas as pd
 
     spark = embeddings.sparkSession
+    if n_centroids is None:
+        n = _artifact(
+            spark, embeddings, "count", (), lambda: embeddings.count()
+        )
+        n_centroids = max(4, int(round(n ** 0.5)))
     cen = spark.createDataFrame(
         [(j, c) for j, c in enumerate(kmeans_centroids(embeddings, n_centroids))],
         "c_id int, c_vec array<double>",
@@ -773,6 +802,16 @@ def hard_negative_triplets(
             F.round(cosine(F.col("q_vec"), F.col("v_vec")), 4).alias("cosine_sim"),
         )
     )
+    return _triplets_from_scored(scored, neg_lo, neg_hi)
+
+
+def _triplets_from_scored(
+    scored: DataFrame, neg_lo: int, neg_hi: int
+) -> DataFrame:
+    """Band selection shared by the exact and IVF-gated miners: one rank
+    window over the scored candidates, positive pulled alongside the band
+    rows by a same-partition window max (no second shuffle, no
+    self-join)."""
     wr = Window.partitionBy("q_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
@@ -799,4 +838,98 @@ def hard_negative_triplets(
             F.col("cosine_sim").alias("neg_sim"),
             F.col("rank").alias("neg_rank"),
         )
+    )
+
+
+def hard_negative_triplets_ivf(
+    embeddings: DataFrame,
+    every: int = 100,
+    neg_lo: int = 11,
+    neg_hi: int = 20,
+    n_centroids: int = 54,
+    nprobe: int = 12,
+) -> DataFrame:
+    """Hard-negative mining riding the IVF index — the 100 TB shape of
+    :func:`hard_negative_triplets`: candidate generation is the IVF
+    bucket EQUI-join (:func:`_ivf_scored` — exact cosine only inside the
+    ``nprobe`` probed cells), then the identical band selection. No
+    |Q| x |V| cross product anywhere (plan-gated: no CartesianProduct /
+    BroadcastNestedLoopJoin beyond the broadcast centroid assignment).
+
+    Triplet mining runs per training iteration, so unlike the one-time
+    exact baseline this is the variant a trainer actually schedules.
+    Probes are wider than plain top-k IVF (nprobe 12): the negative band
+    sits at ranks ``neg_lo``..``neg_hi``, deeper into the neighbor list
+    than rank 1, and recall at depth is bought with probes — the scan
+    stays bounded at nprobe/n_cells of the corpus. Overlap vs the exact
+    miner at equal budget is pinned by
+    tests/test_training_ops.py::test_hard_negatives_ivf_overlap.
+    """
+    scored = _ivf_scored(embeddings, every, n_centroids, nprobe)
+    return _triplets_from_scored(scored, neg_lo, neg_hi)
+
+
+# --- round 7: deterministic random projection --------------------------------
+
+PROJ_DIMS = 16
+
+
+def proj_weights(out_dims: int = PROJ_DIMS, dims: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random projection matrix in [-1, 1), same
+    md5-prefix scheme as :func:`plane_weights` (key ``rp_j_d``) so the
+    identical double literals appear in the Spark plan AND the DuckDB
+    oracle SQL."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"rp_{j}_{d}".encode()).hexdigest()[:10], 16)
+            / float(1 << 40)
+            * 2
+            - 1
+            for d in range(dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def random_projection(embeddings: DataFrame, out_dims: int = PROJ_DIMS) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> ``out_dims`` dims —
+    the dimensionality-reduction step before sketching/ANN when the
+    embedding width itself is the bandwidth cost (a 4x narrower vector is
+    a 4x cheaper shuffle in every downstream join).
+
+    The projection matrix is a deterministic bounded artifact riding as
+    ONE array<array<double>> literal (the same single-expr pattern as the
+    PQ codebooks — per-element lit() would be one py4j call each); the
+    projected vector is a nested ``transform``/``aggregate`` — pure
+    Catalyst, whole-stage codegen, zero shuffle. Spot components are
+    rounded to 6 decimals; the md5 digest covers every component as
+    integer MICRO-units (round(x * 1e6) as bigint — double-to-string
+    formatting is NOT engine-portable, int-to-string is), so the driver
+    hash sees the full projected vector.
+
+    Output: (vec_id, p0, p{mid}, p{last}, p_digest).
+    """
+    ws = proj_weights(out_dims)
+    lit = "array(" + ",".join(
+        "array(" + ",".join(repr(float(v)) for v in row) + ")" for row in ws
+    ) + ")"
+    v = embeddings.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    dots = F.transform(F.expr(lit), lambda row: _dot(F.col("v"), row))
+    mid, last = out_dims // 2, out_dims - 1
+    return v.withColumn("d", dots).select(
+        "vec_id",
+        F.round(F.element_at("d", 1), 6).alias("p0"),
+        F.round(F.element_at("d", mid + 1), 6).alias(f"p{mid}"),
+        F.round(F.element_at("d", last + 1), 6).alias(f"p{last}"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "d",
+                    lambda x: F.round(x * 1e6).cast("bigint").cast("string"),
+                ),
+            )
+        ).alias("p_digest"),
     )

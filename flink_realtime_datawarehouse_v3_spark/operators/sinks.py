@@ -47,6 +47,23 @@ def read_dws_day(spark: SparkSession, path: str, day: str) -> DataFrame:
     return spark.read.parquet(path).filter(F.col("dt") == day)
 
 
+def list_part_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every ``part-*.parquet`` under ``path``, via the
+    Hadoop FileSystem API — NOT local glob/os.path.getsize, so the same
+    inventory works against s3a://, abfs://, hdfs:// and ``file:`` URIs
+    (object stores have no local paths; at 100 TB the table lives there).
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isFile() and name.startswith("part-") and name.endswith(".parquet"):
+            out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,
@@ -63,14 +80,11 @@ def compact_parquet(
 
     Returns the compacted table re-read from ``dst``.
     """
-    import glob
     import math
-    import os
 
-    files = glob.glob(os.path.join(src, "part-*.parquet"))
-    if not files:
+    total = sum(size for _, size in list_part_files(spark, src))
+    if total == 0:
         raise ValueError(f"compact_parquet: no part files under {src}")
-    total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_bytes))
     spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
     return spark.read.parquet(dst)
@@ -111,6 +125,26 @@ def upsert_partitioned(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(part_col)
         .parquet(base_path)
+    )
+
+
+def write_shards(df: DataFrame, path: str) -> None:
+    """Materialize packed training shards on disk: one JSONL file per
+    ``shard_id`` directory — the product step after :func:`text_analysis.
+    shard_pack` assigns shard ids, closing the loop from packing
+    arithmetic to the on-disk shards a training loader mounts.
+
+    The ``repartition(shard_id)`` before the dynamic-partition write is
+    the same small-file guard as :func:`write_dws`: each shard directory
+    is written by exactly ONE task (without it, N upstream tasks x
+    |shards| directories of tiny files), and a loader then reads shard k
+    as one directory containing one file — pinned by
+    tests/test_training_ops.py::test_shard_sink_one_file_per_shard."""
+    (
+        df.repartition(F.col("shard_id"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .json(path)
     )
 
 
@@ -158,9 +192,14 @@ def zorder_write(
     grid = (1 << 21) - 1
 
     def norm(c, lo, hi):
+        # The scaled coordinate is computed in decimal(38,0): a BIGINT
+        # (value - lo) * grid overflows int64 once the column span
+        # exceeds ~2^63/2^21 ≈ 4.4e12 (e.g. epoch-micros), and the
+        # ANSI-on session turns that overflow into a hard error.
         span = max(1, hi - lo)
         return F.expr(
-            f"(CAST({c} AS BIGINT) - {lo}) * {grid} DIV {span}"
+            f"CAST((CAST({c} AS DECIMAL(38,0)) - {lo}) * {grid} DIV {span}"
+            f" AS BIGINT)"
         )
 
     z = _morton_interleave(norm(col_a, lo_a, hi_a), norm(col_b, lo_b, hi_b))

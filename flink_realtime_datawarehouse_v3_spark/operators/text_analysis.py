@@ -897,3 +897,134 @@ def apply_mixture(docs: DataFrame, rates: DataFrame) -> DataFrame:
         )
         .select("doc_id", "lang", "n_chars", "sample_ppm")
     )
+
+
+# --- round 7: retrieval + corpus-planning operators --------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ["data", "model", "quality"]  # fixed benchmark query terms
+
+
+def bm25_topk(docs: DataFrame, query: list[str] | None = None, k: int = 20) -> DataFrame:
+    """BM25 retrieval over the documents table (Robertson/Sparck Jones;
+    the Lucene ``(1 + ln((N - df + 0.5)/(df + 0.5)))``-free variant using
+    the classic ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf) — the scoring
+    pass of a corpus search / contamination-lookup service.
+
+    Scale shape: ONE explode + hash agg produces per-(doc, term) tf for
+    the query terms only (the filter on the exploded token stream pushes
+    the tiny term list into the scan side, so the shuffle carries
+    |docs| x |query| rows at most); doc lengths ride the same exploded
+    pass; N / avgdl / df are a 1-row + |query|-row bounded artifact
+    broadcast back. Per-term scores are quantized to integer MICRO-units
+    before the per-doc sum (float-order-proof, same convention as the LM
+    scores), then one global top-k (TakeOrderedAndProject shape).
+
+    Output: (doc_id, n_terms_hit, score, rank) — ties broken by doc_id.
+    """
+    q = [t.lower() for t in (query or BM25_QUERY)]
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = tok.filter(F.col("token").isin(q))
+    tf = hits.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("s_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.round(F.sum("s_micro") / F.lit(1e6), 6).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "n_terms_hit", "score", "rank")
+    )
+
+
+def perplexity_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    LANGUAGE, split documents into head/middle/tail terciles by their
+    unigram-LM mean log-probability — the standard corpus-quality
+    partition a pretraining mix samples from (head oversampled, tail
+    dropped or down-weighted).
+
+    The LM score is :func:`unigram_lm_score` (integer micro-nat sums,
+    float-order-proof); the tercile is an ``ntile(3)`` window PARTITIONED
+    by lang (parallel across languages; each language's ordering is one
+    in-partition sort, not a global one), ties broken by doc_id. The
+    doc_id join of score x lang is fact-fact (both sides the corpus).
+    """
+    scored = unigram_lm_score(docs.select("doc_id", "text"))
+    j = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("mean_logp").desc(), F.col("doc_id"))
+    t = j.withColumn("tercile", F.ntile(3).over(w))
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "mean_logp",
+        "tercile",
+        F.when(F.col("tercile") == 1, F.lit("head"))
+        .when(F.col("tercile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+def token_length_histogram(docs: DataFrame) -> DataFrame:
+    """Sequence-length planning histogram: per language, the distribution
+    of document token counts in power-of-two buckets — what a packing /
+    curriculum scheduler consults before choosing context length and
+    shard budget. Bucket = floor(log2(n_tokens)) computed EXACTLY via the
+    binary-representation length (``length(bin(n)) - 1``), never float
+    log (no boundary misassignment at 2^k), empty docs in bucket -1.
+    One projection + one hash agg; scales as a single pass."""
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    bucket = F.when(F.col("n_tokens") <= 0, F.lit(-1)).otherwise(
+        (F.length(F.bin(F.col("n_tokens"))) - 1).cast("bigint")
+    )
+    return (
+        t.withColumn("len_bucket", bucket)
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )

@@ -37,6 +37,7 @@ SMJ_WHITELIST = {
     "join_activity_coupon_full_outer",  # full-outer changelog join (J8)
     "simsearch_ivf_topk",            # candidate x query bucket join
     "simsearch_ivfpq_topk",          # probed-cell bucket join (IVF x PQ)
+    "simsearch_hard_negatives_ivf",  # same probed-cell bucket join
     # LSH bucket SELF-join of the full embedding table feeding the CC
     # closure — both sides are the corpus (not broadcastable at 100 TB);
     # the sign-bit bucket key is what bounds the join, not a broadcast.
@@ -59,6 +60,8 @@ SMJ_WHITELIST = {
     # sides derive from the full corpus (a 100 TB corpus's vocabulary is
     # not broadcastable), so the shuffle join on token is the plan we want.
     "text_tfidf_topk",
+    # shard sink: text x pack assignment on doc_id — both sides the corpus.
+    "sink_corpus_shards_roundtrip",
 }
 
 # Arrow-batched Python is allowed only where Python is the point.
@@ -104,6 +107,33 @@ def plans(spark):
 def test_no_row_at_a_time_python_udf(plans):
     offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
     assert not offenders, f"row-at-a-time Python UDF in hot path: {offenders}"
+
+
+# The only registered plans allowed an unbounded cartesian: the two
+# documented EXACT baselines (brute-force cosine top-k is the recall
+# oracle the approximate ANN entries are gated against; the exact
+# hard-negative miner is the hash-green oracle twin of the IVF-gated
+# one). Everything else must be bucketed/banded/broadcast — flat-ADC
+# pq_topk was unregistered in r7 for exactly this invariant.
+CARTESIAN_WHITELIST = {
+    "simsearch_cosine_topk",
+    "simsearch_hard_negatives",
+}
+
+
+def test_registry_no_cartesian(plans):
+    """Class-level scale invariant: no registered entry's plan contains a
+    non-broadcast cartesian product (CartesianProduct = both sides
+    shuffled through an all-pairs join — the one shape that can never
+    survive a 100x scale-up). BroadcastNestedLoopJoin is tolerated: it
+    only appears where a bounded artifact (1-row stats, <=n_centroids
+    lists) is deliberately broadcast."""
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "CartesianProduct" in p and n not in CARTESIAN_WHITELIST
+    ]
+    assert not offenders, f"unbounded cartesian outside exact baselines: {offenders}"
 
 
 def test_pandas_only_in_multimodal(plans):

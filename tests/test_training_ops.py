@@ -142,13 +142,16 @@ def test_pq_recall_and_compression(spark):
         (r.q_id, r.neighbor_id)
         for r in api.QUERIES["simsearch_cosine_topk"](spark, SF_SMOKE).collect()
     }
+    # pq_topk is recall-reference-only since r7 (its flat ADC scan is an
+    # unbounded crossJoin): tested as a library function, NOT registered —
+    # the registered PQ shape is simsearch_ivfpq_topk.
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     pq = {
         (r.q_id, r.neighbor_id)
-        for r in api.QUERIES["simsearch_pq_topk"](spark, SF_SMOKE).collect()
+        for r in simsearch.pq_topk(emb).collect()
     }
     assert brute
     assert len(brute & pq) / len(brute) >= 0.5
-    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     books = simsearch.pq_codebooks(emb)
     coded = simsearch.pq_encode(emb, books).select("code").first().code
     assert len(coded) == simsearch.PQ_M
@@ -747,6 +750,53 @@ def test_hard_negative_triplets_shape(spark):
     assert all(ranks == set(range(11, 21)) for ranks in per_q.values())
 
 
+def test_hard_negatives_ivf_overlap(spark):
+    """The IVF-gated miner must (a) carry no cartesian in its plan — the
+    scored pass is the probed-cell bucket equi-join, unlike the exact
+    baseline's |Q| x |V| crossJoin — and (b) at equal budget recover most
+    of the exact miner's (anchor, negative) picks: the band is ranks
+    11..20, deeper than top-1, so this is the recall-at-depth gate."""
+    exact = {
+        (r.q_id, r.neg_id)
+        for r in api.QUERIES["simsearch_hard_negatives"](spark, SF_SMOKE).collect()
+    }
+    df = api.QUERIES["simsearch_hard_negatives_ivf"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    got = {(r.q_id, r.neg_id) for r in rows}
+    assert exact
+    assert len(exact & got) / len(exact) >= 0.5
+    # triplet invariants hold for the approximate miner too
+    for r in rows:
+        assert r.pos_sim >= r.neg_sim
+        assert 11 <= r.neg_rank <= 20
+        assert r.pos_id != r.neg_id
+
+
+def test_semdedup_bucket_sqrt_bound(spark):
+    """SemDeDup's per-cluster O(c^2) pass is only sub-quadratic overall if
+    cluster sizes track sqrt(N) — which requires n_centroids to be DERIVED
+    from the corpus count, not a constant (a constant lets cluster sizes
+    grow linearly with the corpus). Gate at two SFs: the max bucket size
+    must stay within a constant factor of sqrt(N)."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.operators import simsearch
+
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
+        emb = api._emb_corpus(spark, sf)
+        n = emb.count()
+        buckets = (
+            simsearch.semdedup(emb)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c"))
+            .first()[0]
+        )
+        assert buckets <= 8 * n ** 0.5, (sf, n, buckets)
+
+
 def test_bpe_incremental_equals_full_recount():
     """The incremental pair-count maintenance must be observationally
     identical to the naive full-recount-per-round formulation (seeded
@@ -788,6 +838,30 @@ def test_bpe_incremental_equals_full_recount():
         assert naive(vocab, 15) == train_merges(vocab, 15)
 
 
+def test_shard_sink_one_file_per_shard(spark, tmp_path):
+    """The shard sink's on-disk contract: one directory per shard_id,
+    exactly ONE data file inside each (the repartition-by-shard_id
+    small-file guard), and the shard set on disk equals the packer's
+    shard assignment."""
+    import glob
+    import os
+
+    from flink_realtime_datawarehouse_v3_spark.operators import sinks, text_analysis
+    from flink_realtime_datawarehouse_v3_spark.sources import corpus as cm
+
+    c = cm.corpus(spark, SF_SMOKE)
+    pack = text_analysis.shard_pack(c)
+    base = str(tmp_path / "shards")
+    sinks.write_shards(c.join(pack, "doc_id"), base)
+    want_shards = {r[0] for r in pack.select("shard_id").distinct().collect()}
+    dirs = glob.glob(os.path.join(base, "shard_id=*"))
+    got_shards = {int(d.rsplit("=", 1)[1]) for d in dirs}
+    assert got_shards == want_shards and len(want_shards) > 1
+    for d in dirs:
+        files = [f for f in glob.glob(os.path.join(d, "part-*")) if not f.endswith(".crc")]
+        assert len(files) == 1, (d, files)
+
+
 def test_compaction_file_count(spark, tmp_path):
     """Compaction must hit ceil(bytes/target) output files and round-trip
     content exactly."""
@@ -801,7 +875,10 @@ def test_compaction_file_count(spark, tmp_path):
     src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
     docs.repartition(16).write.parquet(src)
     target = 64 << 10
-    out = sinks.compact_parquet(spark, src, dst, target_bytes=target)
+    # compact through NON-local-style path strings (file: URIs): the
+    # inventory must go through the Hadoop FileSystem API, not local
+    # glob/os.path — the 100 TB table lives on an object store.
+    out = sinks.compact_parquet(spark, f"file:{src}", f"file:{dst}", target_bytes=target)
     n_src = len(glob.glob(os.path.join(src, "part-*.parquet")))
     n_dst = len(glob.glob(os.path.join(dst, "part-*.parquet")))
     total = sum(
