@@ -2322,6 +2322,111 @@ register(
     ),
 )
 
+# BM25 retrieval over the documents table (corpus search / contamination
+# lookup): one explode + hash agg for tf over the query terms only,
+# bounded df/N/avgdl artifacts broadcast back, per-term scores in integer
+# micro-units (float-order-proof), one global top-k.
+_BM25_TERMS = "(" + ", ".join(f"'{t}'" for t in text_analysis.BM25_QUERY) + ")"
+register(
+    "text_bm25_topk",
+    lambda spark, sf: text_analysis.bm25_topk(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH tok AS (SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+       WHERE token IN {_BM25_TERMS} GROUP BY 1, 2),
+dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+s AS (SELECT tf.doc_id,
+             CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                  * (tf * {text_analysis.BM25_K1 + 1.0!r})
+                  / (tf + {text_analysis.BM25_K1!r}
+                     * ({1.0 - text_analysis.BM25_B!r}
+                        + {text_analysis.BM25_B!r} * dl / avgdl))
+                  * 1e6) AS BIGINT) AS s_micro
+      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id), stats)
+SELECT doc_id, n_terms_hit, score,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM (SELECT doc_id, count(*) AS n_terms_hit,
+             round(CAST(sum(s_micro) AS BIGINT) / 1e6, 6) AS score
+      FROM s GROUP BY doc_id)
+QUALIFY rank <= 20""",
+)
+
+# CCNet perplexity bucketing: per-language head/middle/tail terciles of
+# the unigram-LM score — the corpus-quality partition a pretraining mix
+# samples from.
+register(
+    "corpus_perplexity_buckets",
+    lambda spark, sf: text_analysis.perplexity_buckets(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH tok AS (SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents),
+tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT count(*) AS n_total FROM tok),
+lp AS (SELECT token, CAST(round(ln(count(*) / (SELECT n_total FROM tot)) * 1e6)
+                          AS BIGINT) AS logp_micro
+       FROM tok GROUP BY token),
+sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              round(CAST(sum(c * logp_micro) AS DOUBLE) / sum(c) / 1e6, 6)
+                  AS mean_logp
+       FROM tc JOIN lp USING (token) GROUP BY doc_id)
+SELECT doc_id, lang, n_tokens, mean_logp, tercile,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS ppl_bucket
+FROM (SELECT d.doc_id, d.lang, sc.n_tokens, sc.mean_logp,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY sc.mean_logp DESC, d.doc_id) AS tercile
+      FROM sc JOIN documents d USING (doc_id))""",
+)
+
+# Sequence-length planning histogram: per-language power-of-two buckets
+# of document token counts; bucket via binary-representation length
+# (exact), never float log2.
+register(
+    "corpus_token_length_histogram",
+    lambda spark, sf: text_analysis.token_length_histogram(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH t AS (SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+             FROM documents)
+SELECT lang,
+       CASE WHEN n_tokens <= 0 THEN CAST(-1 AS BIGINT)
+            ELSE length(bin(n_tokens)) - 1 END AS len_bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens
+FROM t GROUP BY 1, 2""",
+)
+
+# Johnson-Lindenstrauss random projection 64 -> 16 dims (shuffle-width
+# reduction before sketching/ANN): deterministic md5-derived matrix as
+# one literal on BOTH engines; digest covers all components as integer
+# micro-units.
+_PROJ_LIT = "[" + ", ".join(
+    "[" + ", ".join(repr(float(v)) for v in row) + "]"
+    for row in simsearch.proj_weights()
+) + "]"
+register(
+    "embedding_random_projection",
+    lambda spark, sf: simsearch.random_projection(_emb(spark, sf)),
+    f"""WITH p AS (
+    SELECT vec_id,
+           list_transform({_PROJ_LIT},
+                          w -> list_dot_product(embedding::DOUBLE[], w)) AS d
+    FROM embeddings)
+SELECT vec_id,
+       round(d[1], 6) AS p0,
+       round(d[9], 6) AS p8,
+       round(d[16], 6) AS p15,
+       md5(array_to_string(
+           list_transform(d, x -> CAST(CAST(round(x * 1e6) AS BIGINT)
+                                       AS VARCHAR)), ',')) AS p_digest
+FROM p""",
+)
+
 # Corpus-health duplicate-n-gram rate per source slice (Gopher/Dolma
 # duplicate-text diagnostic): occurrences vs distinct shingles.
 register(
@@ -3145,62 +3250,99 @@ _register_streaming()
 # rounds STRICTLY OLDER than this, so the gate stays green when THIS
 # round's record lands (the r04 lesson: a gate keyed on "all records" fails
 # on schedule the moment the round it shaped gets recorded).
-_WINDOW_ROUND = 6
+_WINDOW_ROUND = 7
 
 # Rows-only entries DELIBERATELY placed inside the checked window this
-# round: they can never be hash-green (no single-SQL oracle by design),
-# but r1-r5 never surfaced them to the driver at all — a rows-match row
-# is a weaker signal than a hash row yet stronger than none.  The gates
-# in tests/test_driver_order.py carve these out of the all-oracled and
-# rows-only-at-tail invariants by exact name.
+# round (no single-SQL oracle by design, so rows-match is the strongest
+# driver signal available): the new IVF-gated triplet miner, plus the two
+# rows-only entries whose implementation changed in r7 (SemDeDup's
+# derived sqrt(N) centroid count; the BPE encode tokenization fix). The
+# gates in tests/test_driver_order.py carve these out of the all-oracled
+# and rows-only-at-tail invariants by exact name.
 _WINDOW_ROWS_ONLY = {
-    "decontaminate_bloom",
-    "events_profile_stats_approx",
     "simsearch_hard_negatives_ivf",
-    "simsearch_ivfpq_topk",
-    # new r6 rows-only ops: first driver rows (rows-match is weaker than
-    # hash but stronger than no driver row at all).
     "dedup_embedding_semdedup",
-    "tokenizer_bpe_merges",
     "text_bpe_tokenize",
 }
 
 _DRIVER_WINDOW = [
     # unproven first (no hash-green row in any round < _WINDOW_ROUND):
-    # the two never-green CC entries (r5 ANSI overflow, now fixed) and
-    # this round's new streaming twin.
-    "dedup_embedding_cluster_keep",      # r5 ERR: checksum overflow, fixed
-    "corpus_materialize_final",          # r5 ERR: same root cause, fixed
-    "streaming_dedup_incremental",       # new r6: ingestion dedup, live
-    "dedup_containment",                 # new r6: asymmetric containment
-    "corpus_shard_pack",                 # new r6: two-level prefix pack
-    "dedup_edit_distance",               # new r6: staged fuzzy verify
-    "dedup_substring_spans",             # new r6: ExactSubstr signal
-    "corpus_span_hotlist",               # new r6: memorization audit
-    "text_gopher_filter",                # new r6: Gopher rule filter
-    "sink_corpus_jsonl_roundtrip",       # new r6: JSONL corpus sink
-    "sink_corpus_compacted_roundtrip",   # new r6: compaction job
-    "sink_corpus_partition_upsert",      # new r6: dynamic-overwrite MERGE
-    "sink_events_zorder_read",           # new r6: Z-order skipping
-    "corpus_sample_mixture",             # new r6: data-mixing sampler
-    "streaming_sample_mixture",          # new r6: policy at ingestion
-    "simsearch_hard_negatives",          # new r6: triplet mining
-    # re-prove: implementation changed this round.
-    "dedup_cluster_keep",                # r5 ERR: checksum overflow, fixed
-    "dws_keyword_window_udtf_sql",       # temp view -> SQL template arg
-    # rows-only entries getting their first driver rows (see above).
-    "decontaminate_bloom",
-    "events_profile_stats_approx",
-    "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplet miner
-    "simsearch_ivfpq_topk",              # new r6: IVF x PQ composed ANN
-    "dedup_embedding_semdedup",          # new r6 rows-only, first row
-    "tokenizer_bpe_merges",              # new r6 rows-only, first row
-    "text_bpe_tokenize",                 # new r6 rows-only, first row
-    # proven fills, one slot per family (all hash-green r3/r4/r5).
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    # the five new r7 oracled entries.
+    "sink_corpus_shards_roundtrip",      # new r7: shard materialization
+    "text_bm25_topk",                    # new r7: BM25 retrieval
+    "corpus_perplexity_buckets",         # new r7: CCNet terciles
+    "corpus_token_length_histogram",     # new r7: length planning
+    "embedding_random_projection",       # new r7: JL projection
+    # rows-only rotations (_WINDOW_ROWS_ONLY above).
+    "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
+    "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
+    "text_bpe_tokenize",                 # r7: ASCII-\s encode split fix
+    # re-prove: implementation changed this round (uid tmp-path scheme in
+    # every sink roundtrip, decimal(38,0) zorder grid, Hadoop-FS
+    # compaction inventory, the shared triplet-band refactor).
+    "sink_corpus_jsonl_roundtrip",
+    "sink_corpus_compacted_roundtrip",
+    "sink_corpus_partition_upsert",
+    "sink_events_zorder_read",
+    "corpus_shard_pack",
+    "simsearch_hard_negatives",
+    # stalest proven fills, oldest green round first: all 21 entries whose
+    # last hash-green driver record is r3 ...
+    "dim_user_info",
+    "dwd_interaction_favor_add",
+    "dwd_tool_coupon_get",
+    "dwd_tool_coupon_order",
+    "dwd_tool_coupon_pay",
+    "dwd_trade_cancel_detail",
+    "dwd_trade_order_detail",
+    "dwd_trade_pay_detail_suc",
+    "dwd_traffic_action_log",
+    "dwd_traffic_display_log",
+    "dwd_traffic_error_log",
+    "dwd_traffic_page_log",
+    "dwd_traffic_start_log",
+    "dwd_traffic_unique_visitor_detail",
+    "dwd_traffic_user_jump_detail",
+    "dwd_user_register",
+    "dws_trade_province_order_window",
+    "dws_traffic_source_keyword_page_view_window",
+    "dws_traffic_vc_ch_ar_is_new_page_view_window",
+    "dws_user_user_register_window",
+    "text_token_stats",
+    # ... then the oldest non-streaming r4-green entries (the remaining
+    # r4 text_* family rotates in next round).
+    "asof_join_events",
+    "corpus_lang_pivot",
+    "corpus_mix_report",
+    "decontaminate_ngram",
+    "dim_user_info_schema_evolve",
+    "dws_trade_province_source_rollup",
+    "events_profile_stats",
+    "events_running_total",
+    "events_value_histogram",
+    "events_view_no_purchase",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "session_funnel",
+    "skew_heavy_hitters",
+    "temporal_join_coupon_asof",
+]
+
+# Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
+# rows-only-by-design entries (no oracle possible) sit strictly last.
+_DRIVER_TAIL = [
+    "dedup_embedding_cluster_keep",
+    "corpus_materialize_final",
+    "streaming_dedup_incremental",
+    "dedup_containment",
+    "dedup_edit_distance",
+    "dedup_substring_spans",
+    "corpus_span_hotlist",
+    "text_gopher_filter",
+    "corpus_sample_mixture",
+    "streaming_sample_mixture",
+    "dedup_cluster_keep",
+    "dws_keyword_window_udtf_sql",
     "dedup_incremental",
     "dedup_embedding_cosine",
     "simsearch_cosine_topk",
@@ -3221,26 +3363,19 @@ _DRIVER_WINDOW = [
     "join_activity_coupon_full_outer",
     "interval_join_events",
     "sink_dws_partitioned_roundtrip",
-    "sink_corpus_shards_roundtrip",      # new r7: shard materialization
-]
-
-# Proven green in CORRECTNESS_r03/r04/r05; rotated past the cutoff.
-_DRIVER_TAIL = [
     "sessionize_events",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "join_bucketed_colocated",
     "dwd_interaction_comment",
-    "text_token_stats",
     "dwd_trade_order_refund",
     "dwd_trade_refund_pay_suc",
     "dws_user_user_login_window",
-    "multimodal_resize",
     "text_fingerprint",
-    "dim_user_info",
     "dim_coupon_use",
-    "multimodal_frame_sample",
     "dws_trade_cart_add_uu_window",
-    "asof_join_events",
-    "session_funnel",
     "streaming_keyword_window",
     "streaming_sessionize",
     "events_viewers_and_buyers",
@@ -3267,25 +3402,6 @@ _DRIVER_TAIL = [
     "events_hop_window",
     "dws_trade_trademark_category_user_refund_window",
     "dwd_trade_order_pre_process",
-    "dws_trade_province_order_window",
-    "dws_user_user_register_window",
-    "dwd_traffic_display_log",
-    "dwd_trade_order_detail",
-    "dwd_user_register",
-    "dwd_tool_coupon_get",
-    "dwd_interaction_favor_add",
-    "dwd_tool_coupon_order",
-    "dwd_tool_coupon_pay",
-    "dwd_trade_cancel_detail",
-    "dwd_trade_pay_detail_suc",
-    "dwd_traffic_page_log",
-    "dwd_traffic_start_log",
-    "dwd_traffic_error_log",
-    "dwd_traffic_action_log",
-    "dwd_traffic_unique_visitor_detail",
-    "dwd_traffic_user_jump_detail",
-    "dws_traffic_source_keyword_page_view_window",
-    "dws_traffic_vc_ch_ar_is_new_page_view_window",
     "streaming_favor_add",
     "streaming_base_log",
     "streaming_unique_visitor",
@@ -3300,33 +3416,25 @@ _DRIVER_TAIL = [
     "sink_checkpoint_recovery",
     "streaming_order_info_upsert",
     "streaming_order_info_debounce",
-    "dim_user_info_schema_evolve",
     "streaming_dim_coupon_scd2",
-    "dws_trade_province_source_rollup",
-    "decontaminate_ngram",
     "text_repetition_stats",
     "text_vocab_topk",
     "text_tfidf_topk",
     "streaming_time_rollup",
     "streaming_hop_window",
-    "events_profile_stats",
-    "events_view_no_purchase",
-    "corpus_mix_report",
-    "temporal_join_coupon_asof",
-    "corpus_lang_pivot",
-    "events_running_total",
     "text_quality_top_fraction",
-    "skew_heavy_hitters",
     "text_unigram_lm_score",
-    "events_value_histogram",
     "streaming_value_histogram",
     "text_bigram_pmi_topk",
     "text_chunk_tokens",
     "text_pii_scrub",
+    "decontaminate_bloom",
     "dws_trade_province_order_window_approx",
+    "events_profile_stats_approx",
     "simsearch_ivf_topk",
+    "simsearch_ivfpq_topk",
+    "tokenizer_bpe_merges",
 ]
-
 
 # Dataflow definition order (DWD -> DWS -> ops), captured before the driver
 # reorder. bench.py iterates THIS order so per-query timings stay comparable

