@@ -2447,6 +2447,22 @@ SELECT source,
 FROM per GROUP BY source""",
 )
 
+# Per-doc n-gram novelty rate ("new text" diagnostic): fraction of a
+# doc's distinct shingles whose corpus-wide first appearance is this doc
+# — flags stitched-from-seen-text docs no pairwise dup catches.
+register(
+    "corpus_ngram_novelty",
+    lambda spark, sf: text_dedup.ngram_novelty(_corpus(spark, sf)),
+    f"""WITH {_CORPUS}, {_SHINGLES_CTE},
+fst AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) / count(*), 6) AS novelty_rate
+FROM sh JOIN fst USING (shingle) GROUP BY doc_id""",
+)
+
 # PageRank over the near-dup pair graph: 10 fixed power-method steps in
 # exact integer micro-units (rank DIV degree contributions), so Spark's
 # iterative joins and the oracle's recursive CTE agree bit-for-bit —
@@ -3273,6 +3289,7 @@ _DRIVER_WINDOW = [
     "corpus_perplexity_buckets",         # new r7: CCNet terciles
     "corpus_token_length_histogram",     # new r7: length planning
     "embedding_random_projection",       # new r7: JL projection
+    "corpus_ngram_novelty",              # new r7: new-text diagnostic
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
     "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
@@ -3325,12 +3342,12 @@ _DRIVER_WINDOW = [
     "multimodal_resize",
     "session_funnel",
     "skew_heavy_hitters",
-    "temporal_join_coupon_asof",
 ]
 
 # Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "temporal_join_coupon_asof",
     "dedup_embedding_cluster_keep",
     "corpus_materialize_final",
     "streaming_dedup_incremental",

@@ -905,3 +905,42 @@ def span_hotlist(
         .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("span"))
         .limit(k)
     )
+
+
+def ngram_novelty(corpus: DataFrame) -> DataFrame:
+    """Per-document n-gram novelty rate — the "new text" diagnostic a
+    corpus-curation pass runs alongside the duplicate-rate metric: the
+    fraction of a document's DISTINCT shingles whose corpus-wide first
+    appearance (min doc_id) is this document. Low novelty flags documents
+    that are stitched from already-seen text (templates, scrapes of
+    scrapes) even when no single pairwise dup fires.
+
+    Scale shape: one explode over the shared shingle builder
+    (:func:`shingles_exploded`), a min-agg keyed on shingle (map-side
+    combine collapses hot boilerplate shingles to one row per partition
+    before the exchange), and the shingle-keyed join back — the same
+    vocabulary-keyed shuffle posture as :func:`dup_ngram_rate`; nothing
+    is quadratic and no side is collected.
+
+    Output: (doc_id, n_shingles, n_novel, novelty_rate).
+    """
+    sh = shingles_exploded(corpus)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+    )

@@ -62,6 +62,10 @@ SMJ_WHITELIST = {
     "text_tfidf_topk",
     # shard sink: text x pack assignment on doc_id — both sides the corpus.
     "sink_corpus_shards_roundtrip",
+    # novelty joins the exploded shingle stream with per-shingle first-doc
+    # minima on shingle: both sides are vocabulary-scale (same posture as
+    # text_tfidf_topk's token join).
+    "corpus_ngram_novelty",
 }
 
 # Arrow-batched Python is allowed only where Python is the point.

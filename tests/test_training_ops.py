@@ -71,6 +71,11 @@ ORACLED = [
     "dedup_substring_spans",
     "corpus_span_hotlist",
     "text_gopher_filter",
+    "text_bm25_topk",
+    "corpus_perplexity_buckets",
+    "corpus_token_length_histogram",
+    "embedding_random_projection",
+    "corpus_ngram_novelty",
 ]
 
 
@@ -1077,3 +1082,17 @@ def test_random_projection_distance_preservation(spark):
     assert clone_pairs
     close = sum(1 for a, b in clone_pairs if d(a, b) < med)
     assert close / len(clone_pairs) >= 0.9
+
+
+def test_ngram_novelty_clones_have_zero_novelty(spark):
+    """The +1M verbatim clones contribute no first-seen shingles (their
+    originals have smaller doc_ids), so their novelty must be exactly 0;
+    rates live in [0, 1] and n_novel <= n_shingles everywhere."""
+    rows = api.QUERIES["corpus_ngram_novelty"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert 0.0 <= r.novelty_rate <= 1.0
+    clones = [r for r in rows if 1_000_000 <= r.doc_id < 2_000_000]
+    assert clones
+    assert all(r.n_novel == 0 for r in clones)
