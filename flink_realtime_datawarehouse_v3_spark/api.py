@@ -2447,6 +2447,49 @@ SELECT source,
 FROM per GROUP BY source""",
 )
 
+# Composed keep/drop curation gate: Gopher structural rules then the
+# quality-score threshold in ONE projection, reject_reason = first
+# failing rule (the audit column a curation pipeline materializes).
+register(
+    "corpus_quality_gate",
+    lambda spark, sf: text_analysis.quality_gate(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+       quality_score,
+       (reject_reason IS NULL) AS keep,
+       reject_reason
+FROM (SELECT doc_id, lang, n_words, quality_score,
+             CASE
+               WHEN NOT (n_words >= {text_analysis.GOPHER_MIN_WORDS}
+                         AND n_words <= {text_analysis.GOPHER_MAX_WORDS})
+                 THEN 'word_count'
+               WHEN NOT (n_word_chars >= 3 * n_words
+                         AND n_word_chars <= 10 * n_words)
+                 THEN 'mean_word_len'
+               WHEN NOT (5 * n_alpha >= 4 * n_words) THEN 'alpha_ratio'
+               WHEN NOT (n_stop >= 2) THEN 'stopwords'
+               WHEN quality_score < {text_analysis.QUALITY_GATE_MIN_SCORE!r}
+                 THEN 'low_quality'
+             END AS reject_reason
+      FROM (SELECT doc_id, lang, n_words, n_word_chars, n_alpha, n_stop,
+                   round(0.4 * least(1.0, n_words / 400.0)
+                         + 0.3 * (1.0 - n_punct / n_chars)
+                         + 0.3 * least(1.0, (n_stop / n_words) * 5.0), 6)
+                       AS quality_score
+            FROM (SELECT doc_id, lang,
+                         len({_TOKS}) AS n_words,
+                         length(text) AS n_chars,
+                         coalesce(list_sum(list_transform({_TOKS},
+                             x -> length(x))), 0) AS n_word_chars,
+                         len(list_filter({_TOKS},
+                             x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha,
+                         len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+                         len(list_filter({_TOKS}, t -> t IN {_STOP_EN}))
+                             AS n_stop
+                  FROM documents)))""",
+)
+
 # Per-doc n-gram novelty rate ("new text" diagnostic): fraction of a
 # doc's distinct shingles whose corpus-wide first appearance is this doc
 # — flags stitched-from-seen-text docs no pairwise dup catches.
@@ -3290,6 +3333,7 @@ _DRIVER_WINDOW = [
     "corpus_token_length_histogram",     # new r7: length planning
     "embedding_random_projection",       # new r7: JL projection
     "corpus_ngram_novelty",              # new r7: new-text diagnostic
+    "corpus_quality_gate",               # new r7: composed keep/drop
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
     "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
@@ -3341,12 +3385,12 @@ _DRIVER_WINDOW = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "session_funnel",
-    "skew_heavy_hitters",
 ]
 
 # Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "skew_heavy_hitters",
     "temporal_join_coupon_asof",
     "dedup_embedding_cluster_keep",
     "corpus_materialize_final",

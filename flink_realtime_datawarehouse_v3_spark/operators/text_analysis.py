@@ -1028,3 +1028,53 @@ def token_length_histogram(docs: DataFrame) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+QUALITY_GATE_MIN_SCORE = 0.5
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Composed keep/drop gate — the single decision column a curation
+    pipeline materializes before sampling: Gopher structural rules first
+    (Rae et al. 2021 §A1.1, integer comparisons only), then the
+    continuous quality-score threshold, with ``reject_reason`` = the
+    FIRST failing rule (audit trail: reason histograms show which rule
+    does the cutting on each slice).
+
+    One projection over (doc_id, text, lang) — all rules and the score
+    are computed in the same pass (no joins between rule families), so
+    the gate costs exactly one corpus scan at any scale, same as
+    :func:`gopher_quality_filter`.
+    """
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_chars = F.length("text")
+    n_word_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), 0))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mean = (n_word_chars >= 3 * n_words) & (n_word_chars <= 10 * n_words)
+    r_alpha = 5 * n_alpha >= 4 * n_words
+    r_stop = n_stop >= 2
+    score = F.round(
+        F.lit(0.4) * F.least(F.lit(1.0), n_words / F.lit(400.0))
+        + F.lit(0.3) * (F.lit(1.0) - n_punct / n_chars)
+        + F.lit(0.3) * F.least(F.lit(1.0), (n_stop / n_words) * F.lit(5.0)),
+        6,
+    )
+    reason = (
+        F.when(~r_words, F.lit("word_count"))
+        .when(~r_mean, F.lit("mean_word_len"))
+        .when(~r_alpha, F.lit("alpha_ratio"))
+        .when(~r_stop, F.lit("stopwords"))
+        .when(score < F.lit(QUALITY_GATE_MIN_SCORE), F.lit("low_quality"))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_words.cast("bigint").alias("n_words"),
+        score.alias("quality_score"),
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    )

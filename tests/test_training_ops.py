@@ -76,6 +76,7 @@ ORACLED = [
     "corpus_token_length_histogram",
     "embedding_random_projection",
     "corpus_ngram_novelty",
+    "corpus_quality_gate",
 ]
 
 
@@ -1096,3 +1097,26 @@ def test_ngram_novelty_clones_have_zero_novelty(spark):
     clones = [r for r in rows if 1_000_000 <= r.doc_id < 2_000_000]
     assert clones
     assert all(r.n_novel == 0 for r in clones)
+
+
+def test_quality_gate_reasons(spark):
+    """The composed gate must agree with its constituent operators: every
+    doc failing the Gopher pass_all carries a gopher reason, reasons
+    follow the declared precedence, and keep <=> reject_reason IS NULL."""
+    rows = {r.doc_id: r for r in api.QUERIES["corpus_quality_gate"](spark, SF_SMOKE).collect()}
+    assert rows
+    gopher = {
+        r.doc_id: r
+        for r in api.QUERIES["text_gopher_filter"](spark, SF_SMOKE).collect()
+        if r.doc_id in rows  # gopher runs on the clone-expanded corpus
+    }
+    gopher_reasons = {"word_count", "mean_word_len", "alpha_ratio", "stopwords"}
+    for doc_id, g in gopher.items():
+        r = rows[doc_id]
+        assert r.keep == (r.reject_reason is None)
+        if not g.pass_all:
+            assert r.reject_reason in gopher_reasons, (doc_id, r.reject_reason)
+        elif r.reject_reason is not None:
+            assert r.reject_reason == "low_quality"
+    assert any(r.keep for r in rows.values())
+    assert any(not r.keep for r in rows.values())
