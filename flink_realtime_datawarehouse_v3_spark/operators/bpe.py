@@ -195,17 +195,27 @@ def encode(
         # dropped). pandas str.split() splits on UNICODE whitespace, so
         # text containing e.g.   would yield words the merge table
         # was never trained on — re.ASCII pins \s to the Java set.
-        ws = re.compile(r"\s+", re.ASCII)
+        ascii_ws = re.compile(r"\s+", re.ASCII)
+
+        def jsplit(t: str) -> list[str]:
+            # Fast path: for ASCII text (the common case) str.split() is
+            # the Java \s+ split at C speed (same set { \t\n\v\f\r};
+            # known divergence: Python also splits the \x1c-\x1f
+            # separator controls, which never occur in real text) — only
+            # non-ASCII rows pay the regex (regex on every row measured
+            # ~4x the whole encode stage at sf0.1).
+            if t.isascii():
+                return t.split()
+            return [w for w in ascii_ws.split(t) if w]
+
         cache: dict[str, tuple[str, ...]] = {}
         for pdf in it:
-            toks = [
-                [w for w in ws.split(t) if w] for t in pdf["text"]
-            ]
+            toks = [jsplit(t) for t in pdf["text"]]
             pdf_out = pdf[["doc_id"]].copy()
-            pdf_out["n_words"] = [len(ws) for ws in toks]
+            pdf_out["n_words"] = [len(words) for words in toks]
             pdf_out["n_bpe_tokens"] = [
-                sum(len(_apply_merges(w, merges, cache)) for w in ws)
-                for ws in toks
+                sum(len(_apply_merges(w, merges, cache)) for w in words)
+                for words in toks
             ]
             yield pdf_out
 
