@@ -96,17 +96,20 @@ def main() -> None:
     # the per-query map — so cross-round per-query regression checks used
     # to depend on BASELINE.md prose. Persist the COMPLETE record to the
     # repo as well: BENCH_LOCAL_r{N}.json, N = the round this window was
-    # built for (api._WINDOW_ROUND).
-    try:
-        local = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            f"BENCH_LOCAL_r{api._WINDOW_ROUND}.json",
-        )
-        with open(local, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError:
-        pass  # read-only checkout: the printed line still carries the data
+    # built for (api._WINDOW_ROUND). Guarded so a quick sf0.001 spot run
+    # or a run with failures can never clobber the committed sf0.1
+    # regression baseline.
+    if sf == 0.1 and not failures:
+        try:
+            local = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                f"BENCH_LOCAL_r{api._WINDOW_ROUND}.json",
+            )
+            with open(local, "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError:
+            pass  # read-only checkout: the printed line still carries the data
     print(json.dumps(out))
 
 

@@ -1593,11 +1593,15 @@ register(
     lambda spark, sf: text_analysis.quality_score(_corpus(spark, sf)),
     _csql(
         f"""SELECT doc_id, n_tokens,
-                   round(n_punct / n_chars, 6) AS punct_ratio,
-                   round(n_stop / n_tokens, 6) AS stopword_ratio,
+                   CASE WHEN n_chars > 0
+                        THEN round(n_punct / n_chars, 6) END AS punct_ratio,
+                   CASE WHEN n_tokens > 0
+                        THEN round(n_stop / n_tokens, 6) END AS stopword_ratio,
+                   CASE WHEN n_tokens > 0 AND n_chars > 0 THEN
                    round(0.4 * least(1.0, n_tokens / 400.0)
                          + 0.3 * (1.0 - n_punct / n_chars)
-                         + 0.3 * least(1.0, (n_stop / n_tokens) * 5.0), 6) AS quality_score
+                         + 0.3 * least(1.0, (n_stop / n_tokens) * 5.0), 6)
+                   END AS quality_score
             FROM (SELECT doc_id,
                          len({_TOKS}) AS n_tokens,
                          length(text) AS n_chars,
@@ -2473,10 +2477,11 @@ FROM (SELECT doc_id, lang, n_words, quality_score,
                  THEN 'low_quality'
              END AS reject_reason
       FROM (SELECT doc_id, lang, n_words, n_word_chars, n_alpha, n_stop,
+                   CASE WHEN n_words > 0 AND n_chars > 0 THEN
                    round(0.4 * least(1.0, n_words / 400.0)
                          + 0.3 * (1.0 - n_punct / n_chars)
                          + 0.3 * least(1.0, (n_stop / n_words) * 5.0), 6)
-                       AS quality_score
+                   END AS quality_score
             FROM (SELECT doc_id, lang,
                          len({_TOKS}) AS n_words,
                          length(text) AS n_chars,
@@ -3312,12 +3317,18 @@ _register_streaming()
 _WINDOW_ROUND = 7
 
 # Rows-only entries DELIBERATELY placed inside the checked window this
-# round (no single-SQL oracle by design, so rows-match is the strongest
-# driver signal available): the new IVF-gated triplet miner, plus the two
-# rows-only entries whose implementation changed in r7 (SemDeDup's
-# derived sqrt(N) centroid count; the BPE encode tokenization fix). The
-# gates in tests/test_driver_order.py carve these out of the all-oracled
-# and rows-only-at-tail invariants by exact name.
+# round: the new IVF-gated triplet miner, plus the two rows-only entries
+# whose implementation changed in r7 (SemDeDup's derived sqrt(N)
+# centroid count; the BPE encode tokenization fix). Honest accounting of
+# what a slot buys (per the r6 records: oracle-less entries come back
+# {rows_match: null, err: 'no_oracle'} + a spark_rows count): NOT a
+# match signal — only proof the entry executes without error under the
+# driver's real session plus row-count telemetry. That error-surface is
+# exactly how the r5 ANSI bugs were caught, and these three are the
+# entries whose implementations changed, so the smoke slot is spent
+# where an error is most likely. The gates in tests/test_driver_order.py
+# carve these out of the all-oracled and rows-only-at-tail invariants by
+# exact name.
 _WINDOW_ROWS_ONLY = {
     "simsearch_hard_negatives_ivf",
     "dedup_embedding_semdedup",
@@ -3326,7 +3337,7 @@ _WINDOW_ROWS_ONLY = {
 
 _DRIVER_WINDOW = [
     # unproven first (no hash-green row in any round < _WINDOW_ROUND):
-    # the five new r7 oracled entries.
+    # the seven new r7 oracled entries.
     "sink_corpus_shards_roundtrip",      # new r7: shard materialization
     "text_bm25_topk",                    # new r7: BM25 retrieval
     "corpus_perplexity_buckets",         # new r7: CCNet terciles

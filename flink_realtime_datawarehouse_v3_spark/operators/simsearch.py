@@ -142,15 +142,32 @@ def _fit_kmeans_centroids(
     return [[float(v) for v in c] for c in cen]
 
 
+def derived_centroids(embeddings: DataFrame, n_centroids: int | None) -> int:
+    """sqrt(N) coarse-quantizer sizing from an ACTUAL corpus count (the
+    memoized count is one columnless scan — index-build cost). A constant
+    centroid count would make every 'bounded at nprobe/n_cells' claim
+    false at scale: cells grow linearly with the corpus and the probed
+    scan degrades back toward |Q| x |V|. Callers may still pass an
+    explicit n_centroids (tests, tuning); None means derive."""
+    if n_centroids is not None:
+        return n_centroids
+    n = _artifact(
+        embeddings.sparkSession, embeddings, "count", (), embeddings.count
+    )
+    return max(4, int(round(n ** 0.5)))
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
-    n_centroids: int = 54,
+    n_centroids: int | None = None,
     sample_every: int = 3,
     iters: int = 10,
     sample_cap: int = SAMPLE_CAP,
 ) -> list[list[float]]:
     """Memoized front of :func:`_fit_kmeans_centroids` (same session +
-    same input plan + same params -> the fit runs once)."""
+    same input plan + same params -> the fit runs once). ``n_centroids``
+    defaults to the sqrt(N) derivation of :func:`derived_centroids`."""
+    n_centroids = derived_centroids(embeddings, n_centroids)
     return _artifact(
         embeddings.sparkSession,
         embeddings,
@@ -163,7 +180,7 @@ def kmeans_centroids(
 
 
 def _ivf_scored(
-    embeddings: DataFrame, every: int, n_centroids: int, nprobe: int
+    embeddings: DataFrame, every: int, n_centroids: int | None, nprobe: int
 ) -> DataFrame:
     """(q_id, neighbor_id, cosine_sim) for every query x candidate pair
     the IVF index admits: vectors assigned to their nearest centroid
@@ -216,8 +233,8 @@ def _ivf_scored(
 
 
 def ivf_topk(
-    embeddings: DataFrame, k: int = 10, every: int = 100, n_centroids: int = 54,
-    nprobe: int = 8,
+    embeddings: DataFrame, k: int = 10, every: int = 100,
+    n_centroids: int | None = None, nprobe: int = 8,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
@@ -583,7 +600,7 @@ def ivfpq_topk(
     embeddings: DataFrame,
     k: int = 10,
     every: int = 100,
-    n_centroids: int = 54,
+    n_centroids: int | None = None,
     nprobe: int = 12,
     candidates: int = 80,
 ) -> DataFrame:
@@ -715,11 +732,7 @@ def semdedup(
     import pandas as pd
 
     spark = embeddings.sparkSession
-    if n_centroids is None:
-        n = _artifact(
-            spark, embeddings, "count", (), lambda: embeddings.count()
-        )
-        n_centroids = max(4, int(round(n ** 0.5)))
+    n_centroids = derived_centroids(embeddings, n_centroids)
     cen = spark.createDataFrame(
         [(j, c) for j, c in enumerate(kmeans_centroids(embeddings, n_centroids))],
         "c_id int, c_vec array<double>",
@@ -846,7 +859,7 @@ def hard_negative_triplets_ivf(
     every: int = 100,
     neg_lo: int = 11,
     neg_hi: int = 20,
-    n_centroids: int = 54,
+    n_centroids: int | None = None,
     nprobe: int = 12,
 ) -> DataFrame:
     """Hard-negative mining riding the IVF index — the 100 TB shape of

@@ -56,6 +56,8 @@ def list_part_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise ValueError(f"list_part_files: no such path {path}")
     out: list[tuple[str, int]] = []
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
@@ -82,9 +84,10 @@ def compact_parquet(
     """
     import math
 
-    total = sum(size for _, size in list_part_files(spark, src))
-    if total == 0:
+    files = list_part_files(spark, src)
+    if not files:
         raise ValueError(f"compact_parquet: no part files under {src}")
+    total = sum(size for _, size in files)
     n_out = max(1, math.ceil(total / target_bytes))
     spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
     return spark.read.parquet(dst)

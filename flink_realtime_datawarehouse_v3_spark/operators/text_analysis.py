@@ -52,28 +52,67 @@ def token_stats(corpus: DataFrame) -> DataFrame:
     )
 
 
+def quality_counts(text_col: Column) -> dict[str, Column]:
+    """The shared per-doc counting columns every quality operator builds
+    on (ONE definition for quality_score, gopher_quality_filter and
+    quality_gate — a threshold or formula change edits exactly one
+    builder plus the oracles)."""
+    toks = tokens(text_col)
+    return {
+        "toks": toks,
+        "n_words": F.size(toks),
+        "n_chars": F.length(text_col),
+        "n_word_chars": F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)),
+        "n_alpha": F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))),
+        "n_punct": F.size(F.regexp_extract_all(text_col, F.lit("[^a-z0-9 ]"), 0)),
+        "n_stop": F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))),
+    }
+
+
+def quality_score_col(c: dict[str, Column]) -> Column:
+    """Composite quality score in [0,1], NULL for empty/whitespace-only
+    docs — the divisions are GUARDED (an unguarded n/0 is a hard error
+    under the ANSI-on driver session; the DuckDB oracles mirror the same
+    CASE so both engines emit NULL)."""
+    raw = (
+        F.lit(0.4) * F.least(F.lit(1.0), c["n_words"] / F.lit(400.0))
+        + F.lit(0.3) * (F.lit(1.0) - c["n_punct"] / c["n_chars"])
+        + F.lit(0.3) * F.least(F.lit(1.0), (c["n_stop"] / c["n_words"]) * F.lit(5.0))
+    )
+    return F.when((c["n_words"] > 0) & (c["n_chars"] > 0), F.round(raw, 6))
+
+
+def gopher_rules(c: dict[str, Column]) -> dict[str, Column]:
+    """The four Gopher structural rules (Rae et al. 2021 §A1.1) as
+    boolean Columns over :func:`quality_counts` — integer comparisons
+    only, shared by gopher_quality_filter and quality_gate."""
+    return {
+        "word_count": (c["n_words"] >= GOPHER_MIN_WORDS)
+        & (c["n_words"] <= GOPHER_MAX_WORDS),
+        "mean_word_len": (c["n_word_chars"] >= 3 * c["n_words"])
+        & (c["n_word_chars"] <= 10 * c["n_words"]),
+        "alpha_ratio": 5 * c["n_alpha"] >= 4 * c["n_words"],
+        "stopwords": c["n_stop"] >= 2,
+    }
+
+
 def quality_score(corpus: DataFrame) -> DataFrame:
     """Deterministic quality heuristic: length, punctuation ratio, stopword
     ratio -> score in [0,1]. Formula is identical expression-for-expression
-    with the oracle so double arithmetic agrees bit-for-bit."""
-    toks = tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    n_chars = F.length("text")
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), 0))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
-    punct_ratio = n_punct / n_chars
-    stop_ratio = n_stop / n_tokens
-    score = (
-        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(400.0))
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
-        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * F.lit(5.0))
-    )
+    with the oracle so double arithmetic agrees bit-for-bit; ratios and
+    score are NULL for empty/whitespace-only docs (guarded divisions —
+    unguarded they hard-error under the ANSI-on driver session)."""
+    c = quality_counts(F.col("text"))
     return corpus.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        c["n_words"].alias("n_tokens"),
+        F.when(c["n_chars"] > 0, F.round(c["n_punct"] / c["n_chars"], 6)).alias(
+            "punct_ratio"
+        ),
+        F.when(c["n_words"] > 0, F.round(c["n_stop"] / c["n_words"], 6)).alias(
+            "stopword_ratio"
+        ),
+        quality_score_col(c).alias("quality_score"),
     )
 
 
@@ -814,26 +853,18 @@ def gopher_quality_filter(corpus: DataFrame) -> DataFrame:
     in [10, 100k]; mean word length in [3, 10]; >= 80% of words purely
     alphabetic; >= 2 stopwords. Output: per-rule booleans + overall pass.
     """
-    toks = tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_words = F.size(toks)
-    n_word_chars = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
-    r_mean = (n_word_chars >= 3 * n_words) & (n_word_chars <= 10 * n_words)
-    r_alpha = 5 * n_alpha >= 4 * n_words
-    r_stop = n_stop >= 2
+    c = quality_counts(F.col("text"))
+    r = gopher_rules(c)
     return corpus.select(
         "doc_id",
-        n_words.cast("bigint").alias("n_words"),
-        r_words.alias("pass_word_count"),
-        r_mean.alias("pass_mean_word_len"),
-        r_alpha.alias("pass_alpha_ratio"),
-        r_stop.alias("pass_stopwords"),
-        (r_words & r_mean & r_alpha & r_stop).alias("pass_all"),
+        c["n_words"].cast("bigint").alias("n_words"),
+        r["word_count"].alias("pass_word_count"),
+        r["mean_word_len"].alias("pass_mean_word_len"),
+        r["alpha_ratio"].alias("pass_alpha_ratio"),
+        r["stopwords"].alias("pass_stopwords"),
+        (
+            r["word_count"] & r["mean_word_len"] & r["alpha_ratio"] & r["stopwords"]
+        ).alias("pass_all"),
     )
 
 
@@ -1044,36 +1075,27 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     One projection over (doc_id, text, lang) — all rules and the score
     are computed in the same pass (no joins between rule families), so
     the gate costs exactly one corpus scan at any scale, same as
-    :func:`gopher_quality_filter`.
+    :func:`gopher_quality_filter`. Rules and score come from the SHARED
+    builders (:func:`quality_counts` / :func:`gopher_rules` /
+    :func:`quality_score_col`), so the three quality operators cannot
+    drift apart. The score is NULL for empty docs (guarded divisions);
+    such docs always fail the word_count rule first, so the low_quality
+    comparison never consults a NULL score.
     """
-    toks = tokens(F.col("text"))
-    n_words = F.size(toks)
-    n_chars = F.length("text")
-    n_word_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), 0))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
-    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
-    r_mean = (n_word_chars >= 3 * n_words) & (n_word_chars <= 10 * n_words)
-    r_alpha = 5 * n_alpha >= 4 * n_words
-    r_stop = n_stop >= 2
-    score = F.round(
-        F.lit(0.4) * F.least(F.lit(1.0), n_words / F.lit(400.0))
-        + F.lit(0.3) * (F.lit(1.0) - n_punct / n_chars)
-        + F.lit(0.3) * F.least(F.lit(1.0), (n_stop / n_words) * F.lit(5.0)),
-        6,
-    )
+    c = quality_counts(F.col("text"))
+    r = gopher_rules(c)
+    score = quality_score_col(c)
     reason = (
-        F.when(~r_words, F.lit("word_count"))
-        .when(~r_mean, F.lit("mean_word_len"))
-        .when(~r_alpha, F.lit("alpha_ratio"))
-        .when(~r_stop, F.lit("stopwords"))
+        F.when(~r["word_count"], F.lit("word_count"))
+        .when(~r["mean_word_len"], F.lit("mean_word_len"))
+        .when(~r["alpha_ratio"], F.lit("alpha_ratio"))
+        .when(~r["stopwords"], F.lit("stopwords"))
         .when(score < F.lit(QUALITY_GATE_MIN_SCORE), F.lit("low_quality"))
     )
     return docs.select(
         "doc_id",
         "lang",
-        n_words.cast("bigint").alias("n_words"),
+        c["n_words"].cast("bigint").alias("n_words"),
         score.alias("quality_score"),
         reason.isNull().alias("keep"),
         reason.alias("reject_reason"),

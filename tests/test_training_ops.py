@@ -786,11 +786,29 @@ def test_semdedup_bucket_sqrt_bound(spark):
     from the corpus count, not a constant (a constant lets cluster sizes
     grow linearly with the corpus). Gate at two SFs: the max bucket size
     must stay within a constant factor of sqrt(N)."""
+    import os
+
     from pyspark.sql import functions as F
 
     from flink_realtime_datawarehouse_v3_spark.operators import simsearch
 
-    for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
+    # derive the SECOND scale factor relative to SF_SMOKE (the conftest
+    # override may already point at sf0.01): the property under test is
+    # sqrt(N) scaling ACROSS two sizes, so testing one size twice would
+    # be vacuous; skip rather than error when no second SF exists.
+    base = os.path.dirname(SF_SMOKE.rstrip("/"))
+    other = next(
+        (
+            os.path.join(base, d)
+            for d in ("sf0.01", "sf0.001")
+            if os.path.join(base, d) != SF_SMOKE.rstrip("/")
+            and os.path.exists(os.path.join(base, d))
+        ),
+        None,
+    )
+    if other is None:
+        pytest.skip("no second scale factor available for the sqrt(N) gate")
+    for sf in (SF_SMOKE, other):
         emb = api._emb_corpus(spark, sf)
         n = emb.count()
         buckets = (
@@ -1120,3 +1138,29 @@ def test_quality_gate_reasons(spark):
             assert r.reject_reason == "low_quality"
     assert any(r.keep for r in rows.values())
     assert any(not r.keep for r in rows.values())
+
+
+def test_quality_ops_survive_empty_docs(spark):
+    """Empty / whitespace-only documents must not blow up the quality
+    operators under the ANSI-on session (unguarded n/0 is a hard error
+    there — the r4/r5 driver-only failure class): score and ratios come
+    back NULL, and the gate rejects such docs via the word_count rule."""
+    from flink_realtime_datawarehouse_v3_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [(1, "", "en"), (2, "   ", "en"), (3, "the quick brown fox", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    gate = {r.doc_id: r for r in text_analysis.quality_gate(docs).collect()}
+    assert gate[1].quality_score is None and gate[1].reject_reason == "word_count"
+    assert gate[2].quality_score is None and gate[2].reject_reason == "word_count"
+    assert gate[3].quality_score is not None
+    score = {
+        r.doc_id: r
+        for r in text_analysis.quality_score(
+            docs.select("doc_id", "text")
+        ).collect()
+    }
+    assert score[1].punct_ratio is None and score[1].quality_score is None
+    assert score[2].stopword_ratio is None
+    assert score[3].quality_score is not None
