@@ -3197,6 +3197,13 @@ def _register_streaming() -> None:
             "stream_sample_mixture",
             "corpus_sample_mixture",
         ),
+        # Benchmark decontamination at ingestion: static bench shingle
+        # set (bounded eval-set artifact) broadcast-joined per
+        # micro-batch, COMPLETE-mode per-doc overlap count.
+        "streaming_decontaminate": (
+            "stream_decontaminate",
+            "decontaminate_ngram",
+        ),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -3345,6 +3352,7 @@ _DRIVER_WINDOW = [
     "embedding_random_projection",       # new r7: JL projection
     "corpus_ngram_novelty",              # new r7: new-text diagnostic
     "corpus_quality_gate",               # new r7: composed keep/drop
+    "streaming_decontaminate",           # new r7: decon at ingestion
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
     "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
@@ -3395,12 +3403,12 @@ _DRIVER_WINDOW = [
     "events_view_no_purchase",
     "multimodal_frame_sample",
     "multimodal_resize",
-    "session_funnel",
 ]
 
 # Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "session_funnel",
     "skew_heavy_hitters",
     "temporal_join_coupon_asof",
     "dedup_embedding_cluster_keep",

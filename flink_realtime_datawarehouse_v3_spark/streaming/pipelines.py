@@ -1174,3 +1174,51 @@ def stream_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         s = read_stream(spark, d.sub("in"))
         return run_to_memory(ta.apply_mixture(s, rates))
+
+
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination at INGESTION: candidate docs replayed as
+    a document stream, each micro-batch's shingles tested against the
+    STATIC held-out benchmark shingle set — the pass a crawl pipeline
+    runs before anything reaches the training corpus, live.
+
+    The benchmark set is pinned as a collected literal DataFrame (eval
+    sets are bounded artifacts, orders of magnitude smaller than the
+    corpus — the same broadcast posture as the batch entry; a lazy plan
+    would re-run the benchmark shingle agg every micro-batch). The
+    per-doc overlap count is a stream-static broadcast LEFT join over
+    the exploded shingles + a COMPLETE-mode count (a doc's shingles all
+    arrive in its one input row, so the count is exact at every
+    snapshot). stream == batch == oracle (decontaminate_ngram's).
+    """
+    from .. import api
+    from ..operators import text_dedup as td
+
+    corpus = api._corpus(spark, sf_dir)
+    is_bench = (F.col("doc_id") % td.BENCH_MOD == 0) & (
+        F.col("doc_id") < 1_000_000
+    )
+    bench = spark.createDataFrame(
+        td.shingles_exploded(corpus.filter(is_bench), n=td.DECON_N)
+        .select("shingle")
+        .distinct()
+        .collect(),
+        "shingle string",
+    ).withColumn("hit", F.lit(1))
+    with TempStreamDir() as d:
+        cand = corpus.filter(~is_bench).select("doc_id", "text")
+        _write_replay(cand, d.sub("in"), order_by=["doc_id"])
+        s = read_stream(spark, d.sub("in"))
+        marked = td.shingles_exploded(s, n=td.DECON_N).join(
+            F.broadcast(bench), "shingle", "left"
+        )
+        agg = (
+            marked.groupBy("doc_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"))
+            .select(
+                "doc_id",
+                F.col("n_overlap").cast("bigint").alias("n_overlap"),
+                (F.col("n_overlap") > 0).cast("int").alias("contaminated"),
+            )
+        )
+        return run_to_memory(agg, output_mode="complete")

@@ -71,6 +71,15 @@ def test_stream_dedup_incremental(spark):
     _same(stream, batch, "dedup_incremental")
 
 
+def test_stream_decontaminate(spark):
+    """Decontamination at ingestion: the static benchmark shingle set
+    joined per micro-batch must flag exactly what the batch semi-join
+    pass flags (stream == batch == oracle transitively)."""
+    stream = sp.stream_decontaminate(spark, SF_SMOKE)
+    batch = api.QUERIES["decontaminate_ngram"](spark, SF_SMOKE)
+    _same(stream, batch, "decontaminate")
+
+
 def test_stream_sample_mixture(spark):
     """Mixture policy at ingestion: the static rate table applied per
     micro-batch keeps exactly the batch entry's hash keep-set."""
