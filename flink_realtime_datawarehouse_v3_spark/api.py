@@ -1541,6 +1541,7 @@ register(
 # --- training-data ops: text dedup / analysis / simsearch / multimodal -------
 
 from .operators import bpe, multimodal, simsearch, text_analysis, text_dedup  # noqa: E402
+from .operators import snapshot as snapshot_op  # noqa: E402
 from .sources import corpus as corpus_mod  # noqa: E402
 from .sources import tables  # noqa: E402
 
@@ -2511,6 +2512,92 @@ SELECT doc_id, count(*) AS n_shingles,
 FROM sh JOIN fst USING (shingle) GROUP BY doc_id""",
 )
 
+# fastText-style hashed-ngram linear classifier (Joulin et al. 2016; the
+# CCNet quality-classifier shape): unigram+bigram features hashed into
+# 4096 buckets, deterministic per-bucket micro-unit weights, score = one
+# aggregate() inside a single projection — zero shuffle, zero explode.
+_FT_BUCKET = f"{text_analysis.hash40_sql('t')} % {text_analysis.FT_BUCKETS}"
+_FT_WEIGHT = (
+    text_analysis.hash40_sql(f"concat('w_', CAST({_FT_BUCKET} AS VARCHAR))")
+    + f" % {text_analysis.FT_W_MOD} - 1000"
+)
+register(
+    "text_fasttext_score",
+    lambda spark, sf: text_analysis.fasttext_score(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id, lang,
+             toks || list_transform(range(1, greatest(len(toks), 1)),
+                                    i -> toks[i] || ' ' || toks[i + 1]) AS feats
+      FROM t)
+SELECT doc_id, lang,
+       CAST(len(feats) AS BIGINT) AS n_feats,
+       CAST(coalesce(list_sum(list_transform(feats, t -> {_FT_WEIGHT})), 0)
+            AS BIGINT) AS score_sum,
+       CAST(CAST(coalesce(list_sum(list_transform(feats, t -> {_FT_WEIGHT})),
+                          0) AS BIGINT) > 0 AS INT) AS label_keep
+FROM f""",
+)
+
+# Per-source corpus health report: docs / distinct texts / exact-dup
+# ppm / token budget share — the per-domain accounting pass of a crawl
+# curation pipeline. Two-level agg; the share window runs over the
+# |sources|-row frame, never the corpus.
+register(
+    "corpus_source_stats",
+    lambda spark, sf: text_analysis.source_stats(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH per AS (
+    SELECT source, md5(text) AS text_hash, count(*) AS c,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS tok_sum
+    FROM documents GROUP BY 1, 2),
+s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+             count(*) AS n_distinct_texts,
+             CAST(sum(c) - count(*) AS BIGINT) AS n_dup_docs,
+             CAST(sum(tok_sum) AS BIGINT) AS total_tokens
+      FROM per GROUP BY source),
+l AS (SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents GROUP BY source)
+SELECT s.source, n_docs, n_distinct_texts, n_dup_docs,
+       CAST(n_dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+       total_tokens,
+       CAST(total_tokens * 1000000 // sum(total_tokens) OVER ()
+            AS BIGINT) AS token_share_ppm,
+       n_langs
+FROM s JOIN l USING (source)""",
+)
+
+# Dataset-versioning snapshot diff: content-hash FULL OUTER join of two
+# corpus snapshots (v2 derived deterministically from v1), emitting only
+# the added/removed/changed delta. Hash-before-join: the shuffle payload
+# is (doc_id, 32-byte digest) regardless of document size.
+register(
+    "corpus_snapshot_diff",
+    lambda spark, sf: snapshot_op.snapshot_diff(
+        tables.load(spark, sf, "documents").select("doc_id", "text"),
+        snapshot_op.snapshot_v2(tables.load(spark, sf, "documents")),
+    ),
+    f"""WITH v1 AS (SELECT doc_id, md5(text) AS v1_hash FROM documents),
+v2raw AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {snapshot_op.CHANGED_MOD} = 0
+                THEN text || ' [rev2]' ELSE text END AS text
+    FROM documents WHERE doc_id % {snapshot_op.REMOVED_MOD} <> 0
+    UNION ALL
+    SELECT doc_id + {snapshot_op.ADDED_OFFSET}, 'new: ' || text
+    FROM documents WHERE doc_id % {snapshot_op.ADDED_MOD} = 0),
+v2 AS (SELECT doc_id, md5(text) AS v2_hash FROM v2raw)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1_hash IS NULL THEN 'added'
+            WHEN v2_hash IS NULL THEN 'removed'
+            WHEN v1_hash <> v2_hash THEN 'changed' END AS status,
+       v1_hash, v2_hash
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v1_hash IS NULL OR v2_hash IS NULL OR v1_hash <> v2_hash""",
+)
+
 # PageRank over the near-dup pair graph: 10 fixed power-method steps in
 # exact integer micro-units (rank DIV degree contributions), so Spark's
 # iterative joins and the oracle's recursive CTE agree bit-for-bit —
@@ -3204,6 +3291,13 @@ def _register_streaming() -> None:
             "stream_decontaminate",
             "decontaminate_ngram",
         ),
+        # Curation keep/drop gate applied per micro-batch: stateless
+        # append projection via the SAME shared rule builders as the
+        # batch entry (no state store — the live filter shape).
+        "streaming_quality_gate": (
+            "stream_quality_gate",
+            "corpus_quality_gate",
+        ),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -3353,6 +3447,10 @@ _DRIVER_WINDOW = [
     "corpus_ngram_novelty",              # new r7: new-text diagnostic
     "corpus_quality_gate",               # new r7: composed keep/drop
     "streaming_decontaminate",           # new r7: decon at ingestion
+    "text_fasttext_score",               # new r7: hashed-ngram classifier
+    "corpus_source_stats",               # new r7: per-domain accounting
+    "corpus_snapshot_diff",              # new r7: dataset-version delta
+    "streaming_quality_gate",            # new r7: live curation gate
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
     "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
@@ -3399,15 +3497,15 @@ _DRIVER_WINDOW = [
     "dws_trade_province_source_rollup",
     "events_profile_stats",
     "events_running_total",
-    "events_value_histogram",
-    "events_view_no_purchase",
-    "multimodal_frame_sample",
-    "multimodal_resize",
 ]
 
 # Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "events_value_histogram",
+    "events_view_no_purchase",
+    "multimodal_frame_sample",
+    "multimodal_resize",
     "session_funnel",
     "skew_heavy_hitters",
     "temporal_join_coupon_asof",

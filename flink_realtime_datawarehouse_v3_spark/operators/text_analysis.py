@@ -1100,3 +1100,104 @@ def quality_gate(docs: DataFrame) -> DataFrame:
         reason.isNull().alias("keep"),
         reason.alias("reject_reason"),
     )
+
+
+# fastText-style hashed-ngram linear classifier (Joulin et al. 2016;
+# the CCNet / LLaMA "quality classifier" shape): unigram + bigram
+# features hashed into FT_BUCKETS, a linear weight per bucket, score =
+# sum of feature weights. Weights here are derived deterministically
+# from the bucket id via the shared hash40 (a stand-in for a trained
+# weight vector — the PLAN is the product: at 100 TB the real weights
+# arrive as one broadcast literal array and the shape is identical).
+FT_BUCKETS = 4096
+FT_W_MOD = 2001  # weight(b) = hash40('w_' || b) % 2001 - 1000, in [-1000, 1000]
+
+
+def _ft_weight(feature: Column) -> Column:
+    """Integer micro-unit weight of one feature string: hash the feature
+    into a bucket (the fastText hashing trick), hash the bucket id into a
+    deterministic pseudo-weight."""
+    bucket = hash40(feature) % FT_BUCKETS
+    return hash40(F.concat(F.lit("w_"), bucket.cast("string"))) % FT_W_MOD - 1000
+
+
+def fasttext_score(docs: DataFrame) -> DataFrame:
+    """Per-doc linear classifier score over hashed unigram+bigram
+    features — zero shuffle, zero explode: the feature arrays, bucket
+    hashes, and weight sum all live inside ONE projection (aggregate()
+    over the token array), so the classifier costs exactly one corpus
+    scan at any scale. All-integer micro-unit arithmetic -> the score is
+    engine- and partitioning-independent.
+    """
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    score_sum = F.aggregate(
+        feats,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + _ft_weight(t),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(feats).cast("bigint").alias("n_feats"),
+        score_sum.alias("score_sum"),
+        (score_sum > 0).cast("int").alias("label_keep"),
+    )
+
+
+def source_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus health report — the per-domain accounting table
+    every crawl curation pass maintains (docs, tokens, exact-dup rate,
+    language spread, share of the corpus token budget).
+
+    Two-level aggregation: (source, text_hash) partial counts first (the
+    wide shuffle, map-side combined), then the per-source rollup plus a
+    window total for the corpus share — the window runs over the
+    per-source frame (|sources| rows), never the corpus. Language spread
+    joins in from its own tiny agg. Everything lands as BIGINT / ppm
+    integers so both engines agree bit-for-bit."""
+    per_text = (
+        docs.select(
+            "source",
+            F.md5(F.col("text")).alias("text_hash"),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+        )
+        .groupBy("source", "text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_toks").alias("tok_sum"),
+        )
+    )
+    per_source = per_text.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        (F.sum("c") - F.count(F.lit(1))).cast("bigint").alias("n_dup_docs"),
+        F.sum("tok_sum").cast("bigint").alias("total_tokens"),
+    )
+    langs = docs.groupBy("source").agg(
+        F.countDistinct("lang").alias("n_langs")
+    )
+    return (
+        per_source.join(langs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_texts",
+            "n_dup_docs",
+            F.expr("n_dup_docs * 1000000 DIV n_docs").alias("dup_ppm"),
+            "total_tokens",
+            F.expr(
+                "total_tokens * 1000000 DIV sum(total_tokens) OVER ()"
+            ).alias("token_share_ppm"),
+            F.col("n_langs").cast("bigint").alias("n_langs"),
+        )
+    )

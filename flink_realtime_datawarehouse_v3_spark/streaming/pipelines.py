@@ -1222,3 +1222,25 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return run_to_memory(agg, output_mode="complete")
+
+
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation gate at INGESTION: the composed Gopher-rules +
+    quality-score keep/drop decision applied to each micro-batch of the
+    replayed document stream — the stateless filter a crawl pipeline
+    runs inline before anything is materialized. Pure projection (no
+    state, no watermark, append mode): the gate column set is built by
+    the SAME shared builders as the batch entry, so stream == batch ==
+    oracle by construction."""
+    from ..operators import text_analysis as ta
+
+    from ..sources import tables
+
+    docs = tables.load(spark, sf_dir, "documents")
+    with TempStreamDir() as d:
+        _write_replay(
+            docs.select("doc_id", "text", "lang"), d.sub("in"),
+            order_by=["doc_id"],
+        )
+        s = read_stream(spark, d.sub("in"))
+        return run_to_memory(ta.quality_gate(s))

@@ -62,6 +62,10 @@ SMJ_WHITELIST = {
     "text_tfidf_topk",
     # shard sink: text x pack assignment on doc_id — both sides the corpus.
     "sink_corpus_shards_roundtrip",
+    # snapshot diff: v1 x v2 full-outer on doc_id — both sides ARE the
+    # corpus (neither snapshot is broadcastable at 100 TB); the hash-
+    # before-join projection bounds the shuffle payload, not a broadcast.
+    "corpus_snapshot_diff",
     # novelty joins the exploded shingle stream with per-shingle first-doc
     # minima on shingle: both sides are vocabulary-scale (same posture as
     # text_tfidf_topk's token join).

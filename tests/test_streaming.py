@@ -499,3 +499,12 @@ def test_stream_activity_coupon_full_outer(spark):
         )
     )
     _same(stream, batch, "activity_coupon_full_outer")
+
+
+def test_stream_quality_gate(spark):
+    """Curation gate at ingestion: the stateless per-batch projection
+    must reproduce the batch gate's keep/drop decisions exactly
+    (stream == batch == oracle transitively)."""
+    stream = sp.stream_quality_gate(spark, SF_SMOKE)
+    batch = api.QUERIES["corpus_quality_gate"](spark, SF_SMOKE)
+    _same(stream, batch, "quality_gate")

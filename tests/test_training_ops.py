@@ -77,6 +77,9 @@ ORACLED = [
     "embedding_random_projection",
     "corpus_ngram_novelty",
     "corpus_quality_gate",
+    "text_fasttext_score",
+    "corpus_source_stats",
+    "corpus_snapshot_diff",
 ]
 
 
@@ -1164,3 +1167,76 @@ def test_quality_ops_survive_empty_docs(spark):
     assert score[1].punct_ratio is None and score[1].quality_score is None
     assert score[2].stopword_ratio is None
     assert score[3].quality_score is not None
+
+
+def test_snapshot_diff_statuses(spark):
+    """The diff must recover the derivation slices exactly: every
+    removed-mod id reports removed, every changed-mod (surviving) id
+    reports changed, every added id is original%19 shifted by the offset
+    — and nothing else appears in the delta."""
+    from flink_realtime_datawarehouse_v3_spark.operators import snapshot as sn
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    ids = {
+        r.doc_id
+        for r in tables.load(spark, SF_SMOKE, "documents").select("doc_id").collect()
+    }
+    rows = api.QUERIES["corpus_snapshot_diff"](spark, SF_SMOKE).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.status, set()).add(r.doc_id)
+    assert by_status["removed"] == {i for i in ids if i % sn.REMOVED_MOD == 0}
+    assert by_status["changed"] == {
+        i for i in ids if i % sn.REMOVED_MOD != 0 and i % sn.CHANGED_MOD == 0
+    }
+    assert by_status["added"] == {
+        i + sn.ADDED_OFFSET for i in ids if i % sn.ADDED_MOD == 0
+    }
+    assert set(by_status) == {"removed", "changed", "added"}
+    for r in rows:
+        assert (r.v1_hash is None) == (r.status == "added")
+        assert (r.v2_hash is None) == (r.status == "removed")
+
+
+def test_fasttext_score_feature_arithmetic(spark):
+    """Hashed-ngram classifier invariants: n_feats = 2n-1 for n>=2 tokens
+    (unigrams + adjacent bigrams), scores bounded by n_feats * max
+    weight, label consistent with the sign."""
+    from flink_realtime_datawarehouse_v3_spark.operators.text_analysis import tokens
+    from pyspark.sql import functions as F
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    ntok = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n")).collect()
+    }
+    rows = api.QUERIES["text_fasttext_score"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        n = ntok[r.doc_id]
+        expect = 2 * n - 1 if n >= 2 else n
+        assert r.n_feats == expect, (r.doc_id, n, r.n_feats)
+        assert abs(r.score_sum) <= r.n_feats * 1000
+        assert r.label_keep == int(r.score_sum > 0)
+    # deterministic weights must separate docs both ways at this SF
+    assert any(r.label_keep for r in rows) and any(not r.label_keep for r in rows)
+
+
+def test_source_stats_consistency(spark):
+    """Per-source accounting must reconcile with the corpus: doc counts
+    sum to the table count, token shares sum to ~1e6 ppm (floor slack <
+    |sources|), and dup counts agree with exact dedup's keep-set."""
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    n_corpus = docs.count()
+    rows = api.QUERIES["corpus_source_stats"](spark, SF_SMOKE).collect()
+    assert rows
+    assert sum(r.n_docs for r in rows) == n_corpus
+    share = sum(r.token_share_ppm for r in rows)
+    assert 1_000_000 - len(rows) < share <= 1_000_000
+    for r in rows:
+        assert r.n_dup_docs == r.n_docs - r.n_distinct_texts
+        assert 0 <= r.dup_ppm < 1_000_000
+        assert r.n_langs >= 1
