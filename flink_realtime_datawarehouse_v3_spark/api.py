@@ -1541,6 +1541,7 @@ register(
 # --- training-data ops: text dedup / analysis / simsearch / multimodal -------
 
 from .operators import bpe, multimodal, simsearch, text_analysis, text_dedup  # noqa: E402
+from .operators import funnel as funnel_op  # noqa: E402
 from .operators import snapshot as snapshot_op  # noqa: E402
 from .sources import corpus as corpus_mod  # noqa: E402
 from .sources import tables  # noqa: E402
@@ -2598,6 +2599,147 @@ FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 WHERE v1_hash IS NULL OR v2_hash IS NULL OR v1_hash <> v2_hash""",
 )
 
+# Deterministic hash-keyed train/val/test split: membership is a pure
+# salted function of doc_id — zero shuffle, stable across engines and
+# reruns, independent of every other doc_id-keyed hash decision.
+register(
+    "corpus_train_val_test_split",
+    lambda spark, sf: text_analysis.train_val_test_split(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""SELECT doc_id, lang, split_key,
+       CASE WHEN split_key < {text_analysis.SPLIT_TEST_PPM} THEN 'test'
+            WHEN split_key < {text_analysis.SPLIT_TEST_PPM
+                              + text_analysis.SPLIT_VAL_PPM} THEN 'val'
+            ELSE 'train' END AS split
+FROM (SELECT doc_id, lang,
+             {text_analysis.hash40_sql(
+                 "concat('split_', CAST(doc_id AS VARCHAR))")} % 1000000
+                 AS split_key
+      FROM documents)""",
+)
+
+# Per-label embedding-health report: min/mean/max squared L2 norm in
+# integer micro-units — the pre-indexing drift/outlier check.
+register(
+    "embedding_norm_stats",
+    lambda spark, sf: simsearch.norm_stats(_emb(spark, sf)),
+    """SELECT label, count(*) AS n_vecs,
+       min(n2u) AS min_norm2_micro,
+       max(n2u) AS max_norm2_micro,
+       CAST(CAST(sum(n2u) AS BIGINT) // count(*) AS BIGINT)
+           AS mean_norm2_micro
+FROM (SELECT label,
+             CAST(round(list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x * x)) * 1e6)
+                  AS BIGINT) AS n2u
+      FROM embeddings)
+GROUP BY label""",
+)
+
+# Composed curation-funnel report: per-stage survivor counts through
+# structural rules -> quality threshold -> decontamination -> exact
+# dedup -> mixture sampling, every stage via the SHARED builders of the
+# standalone operators (the funnel cannot drift from what it reports).
+register(
+    "corpus_curation_funnel",
+    lambda spark, sf: funnel_op.curation_funnel(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH cnt AS (
+    SELECT doc_id, lang, md5(text) AS text_hash,
+           len({_TOKS}) AS n_words,
+           length(text) AS n_chars,
+           coalesce(list_sum(list_transform({_TOKS}, x -> length(x))), 0)
+               AS n_word_chars,
+           len(list_filter({_TOKS}, x -> regexp_matches(x, '^[a-z]+$')))
+               AS n_alpha,
+           len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+           len(list_filter({_TOKS}, t -> t IN {_STOP_EN})) AS n_stop
+    FROM documents),
+flags AS (
+    SELECT doc_id, lang, text_hash,
+           (n_words >= {text_analysis.GOPHER_MIN_WORDS}
+            AND n_words <= {text_analysis.GOPHER_MAX_WORDS}
+            AND n_word_chars >= 3 * n_words
+            AND n_word_chars <= 10 * n_words
+            AND 5 * n_alpha >= 4 * n_words
+            AND n_stop >= 2) AS structural,
+           CASE WHEN n_words > 0 AND n_chars > 0 THEN
+                round(0.4 * least(1.0, n_words / 400.0)
+                      + 0.3 * (1.0 - n_punct / n_chars)
+                      + 0.3 * least(1.0, (n_stop / n_words) * 5.0), 6)
+           END AS score
+    FROM cnt),
+base0 AS (
+    SELECT f.*,
+           (f.structural AND f.score >= {text_analysis.QUALITY_GATE_MIN_SCORE!r})
+               AS qkeep
+    FROM flags f),
+shn AS (SELECT doc_id, UNNEST(list_distinct({_SHINGLE_LIST_N})) AS shingle
+        FROM documents),
+bench AS (SELECT DISTINCT shingle FROM shn
+          WHERE doc_id % {_BM} = 0 AND doc_id < 1000000),
+hits AS (SELECT s.doc_id, count(*) AS n_overlap
+         FROM shn s JOIN bench b USING (shingle)
+         WHERE NOT (s.doc_id % {_BM} = 0 AND s.doc_id < 1000000)
+         GROUP BY 1),
+base AS (
+    SELECT b0.*,
+           (NOT (b0.doc_id % {_BM} = 0 AND b0.doc_id < 1000000))
+               AND coalesce(h.n_overlap, 0) = 0 AS decon_ok
+    FROM base0 b0 LEFT JOIN hits h USING (doc_id)),
+surv3 AS (SELECT * FROM base WHERE qkeep AND decon_ok),
+keepd AS (SELECT text_hash, min(doc_id) AS keep_id FROM surv3 GROUP BY 1),
+st4 AS (SELECT s.*, (s.doc_id = k.keep_id) AS dedup_keep
+        FROM surv3 s JOIN keepd k USING (text_hash)),
+per AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars_s,
+               {_MIX_W_CASE} AS w
+        FROM documents GROUP BY lang),
+bdg AS (SELECT min(chars_s * 10 // w) AS budget FROM per),
+rates AS (SELECT lang, (w * budget // 10) * 1000000 // chars_s AS sample_ppm
+          FROM per, bdg),
+st5 AS (SELECT st4.*,
+               ({text_analysis.hash40_sql("CAST(doc_id AS VARCHAR)")} % 1000000
+                < r.sample_ppm) AS mix_keep
+        FROM st4 JOIN rates r USING (lang)),
+a1 AS (SELECT CAST(count(*) AS BIGINT) AS c0,
+              CAST(sum(CASE WHEN structural THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+              CAST(sum(CASE WHEN qkeep THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+              CAST(sum(CASE WHEN qkeep AND decon_ok THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c3
+       FROM base),
+a2 AS (SELECT CAST(sum(CASE WHEN dedup_keep THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+              CAST(sum(CASE WHEN dedup_keep AND mix_keep THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c5
+       FROM st5)
+SELECT 0 AS stage_idx, 'raw' AS stage, c0 AS n_docs FROM a1
+UNION ALL SELECT 1, 'structural', c1 FROM a1
+UNION ALL SELECT 2, 'quality', c2 FROM a1
+UNION ALL SELECT 3, 'decontaminated', c3 FROM a1
+UNION ALL SELECT 4, 'deduped', c4 FROM a2
+UNION ALL SELECT 5, 'sampled', c5 FROM a2""",
+)
+
+# Growth accounting over events: per-day new users + cumulative total —
+# first-seen agg (user_id shuffle), day counts, then the running sum
+# over the |days|-row frame only.
+register(
+    "events_new_users_daily",
+    lambda spark, sf: analytics_op.new_users_daily(
+        tables.load(spark, sf, "events")
+    ),
+    """WITH fst AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+             FROM events GROUP BY user_id),
+daily AS (SELECT d0, count(*) AS n_new FROM fst GROUP BY d0)
+SELECT strftime(d0, '%Y-%m-%d') AS dt,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_new) OVER (ORDER BY d0
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM daily""",
+)
+
 # PageRank over the near-dup pair graph: 10 fixed power-method steps in
 # exact integer micro-units (rank DIV degree contributions), so Spark's
 # iterative joins and the oracle's recursive CTE agree bit-for-bit —
@@ -3451,6 +3593,10 @@ _DRIVER_WINDOW = [
     "corpus_source_stats",               # new r7: per-domain accounting
     "corpus_snapshot_diff",              # new r7: dataset-version delta
     "streaming_quality_gate",            # new r7: live curation gate
+    "corpus_train_val_test_split",       # new r7: held-out hash split
+    "embedding_norm_stats",              # new r7: embedding health
+    "corpus_curation_funnel",            # new r7: staged survivor report
+    "events_new_users_daily",            # new r7: growth accounting
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
     "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
@@ -3493,15 +3639,15 @@ _DRIVER_WINDOW = [
     "corpus_lang_pivot",
     "corpus_mix_report",
     "decontaminate_ngram",
-    "dim_user_info_schema_evolve",
-    "dws_trade_province_source_rollup",
-    "events_profile_stats",
-    "events_running_total",
 ]
 
 # Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "dim_user_info_schema_evolve",
+    "dws_trade_province_source_rollup",
+    "events_profile_stats",
+    "events_running_total",
     "events_value_histogram",
     "events_view_no_purchase",
     "multimodal_frame_sample",

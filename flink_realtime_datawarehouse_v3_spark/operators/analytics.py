@@ -296,3 +296,22 @@ def user_rfm(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
         F.ntile(buckets).over(w_f).alias("f_quartile"),
         F.ntile(buckets).over(w_m).alias("m_quartile"),
     )
+
+
+def new_users_daily(events: DataFrame) -> DataFrame:
+    """Growth accounting: per-day new-user counts plus the running
+    cumulative user total — first-seen-date agg (user_id-keyed shuffle),
+    then a per-day count, then the running sum over the |days|-row frame
+    (the unpartitioned window never sees event rows, only day subtotals)."""
+    first = (
+        events.select("user_id", F.to_date("ts").alias("dt"))
+        .groupBy("user_id")
+        .agg(F.min("dt").alias("d0"))
+    )
+    daily = first.groupBy("d0").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d0", "yyyy-MM-dd").alias("dt"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+    ).orderBy("dt")

@@ -946,3 +946,28 @@ def random_projection(embeddings: DataFrame, out_dims: int = PROJ_DIMS) -> DataF
             )
         ).alias("p_digest"),
     )
+
+
+def norm_stats(emb: DataFrame) -> DataFrame:
+    """Per-label embedding-health report: count plus min/mean/max squared
+    L2 norm in integer micro-units — the drift/outlier check an embedding
+    pipeline runs before indexing (collapsed vectors, un-normalized
+    batches, and dead labels all surface here). One projection (the norm
+    is an in-array fold, no explode) + one hash agg; micro-unit BIGINTs
+    make the result engine- and partitioning-independent."""
+    norm2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    t = emb.select(
+        "label", F.round(norm2 * 1e6).cast("bigint").alias("n2u")
+    )
+    return t.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("n2u").alias("min_norm2_micro"),
+        F.max("n2u").alias("max_norm2_micro"),
+        F.expr("CAST(sum(n2u) DIV count(1) AS BIGINT)").alias(
+            "mean_norm2_micro"
+        ),
+    )

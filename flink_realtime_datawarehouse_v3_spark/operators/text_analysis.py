@@ -205,7 +205,11 @@ def fingerprint(corpus: DataFrame) -> DataFrame:
     40-bit 3-gram shingle hash (rolling-hash-style content signature usable
     as a cheap near-dup prefilter)."""
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    toks = tokens(F.col("text"))
+    # Token array materialized ONCE per row: inside an interpreted
+    # higher-order lambda a raw tokens(text) sub-tree is re-evaluated per
+    # element_at (the re-tokenization trap text_dedup.shingle_array
+    # documents).
+    toks = F.col("__toks")
     n = F.size(toks)
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),
@@ -220,6 +224,8 @@ def fingerprint(corpus: DataFrame) -> DataFrame:
         F.transform(shingles, lambda s: hash40(s))
     )
     return corpus.select(
+        "doc_id", "text", tokens(F.col("text")).alias("__toks")
+    ).select(
         "doc_id",
         F.md5(norm).alias("fingerprint_md5"),
         min_shingle.alias("min_shingle_hash"),
@@ -362,13 +368,15 @@ def repetition_stats(corpus: DataFrame) -> DataFrame:
     per-document state larger than its gram counts. All outputs are
     ratios of integers — no float drift against the oracle.
     """
-    toks = tokens(F.col("text"))
+    toks = F.col("__toks")  # materialized once — the re-tokenization trap
     tagged = F.concat(
         F.transform(_grams(toks, 2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))),
         F.transform(_grams(toks, 3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("g"))),
     )
-    grams = corpus.select("doc_id", F.explode(tagged).alias("t")).select(
-        "doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g")
+    grams = (
+        corpus.select("doc_id", tokens(F.col("text")).alias("__toks"))
+        .select("doc_id", F.explode(tagged).alias("t"))
+        .select("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
     )
     counts = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
     two = F.col("n") == 2
@@ -729,7 +737,7 @@ def bigram_pmi_topk(
     shuffle on the token key (vocabulary-scale sides); N arrives via a
     one-row broadcast; the final cut is per-partition top-k heaps.
     """
-    toks = tokens(F.col("text"))
+    toks = F.col("__toks")  # materialized once — the re-tokenization trap
     size = F.size(toks)
     pairs_arr = F.when(
         size >= 2,
@@ -741,7 +749,11 @@ def bigram_pmi_topk(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    pairs = corpus.select(F.explode(pairs_arr).alias("p")).select("p.a", "p.b")
+    pairs = (
+        corpus.select(tokens(F.col("text")).alias("__toks"))
+        .select(F.explode(pairs_arr).alias("p"))
+        .select("p.a", "p.b")
+    )
     c_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     uni = pairs.select(F.col("a").alias("t")).unionAll(
         pairs.select(F.col("b").alias("t"))
@@ -1200,4 +1212,31 @@ def source_stats(docs: DataFrame) -> DataFrame:
             ).alias("token_share_ppm"),
             F.col("n_langs").cast("bigint").alias("n_langs"),
         )
+    )
+
+
+# Deterministic held-out split (train/val/test): hash-keyed so membership
+# is a pure function of doc_id — stable across reruns, partitionings and
+# engines, and any doc's split is computable without a lookup table.
+SPLIT_TEST_PPM = 10_000  # 1%
+SPLIT_VAL_PPM = 10_000  # 1%
+
+
+def train_val_test_split(docs: DataFrame) -> DataFrame:
+    """Per-doc split assignment — one projection, zero shuffle. The key
+    is salted ('split_' prefix) so it is independent of every other
+    hash40 decision keyed on doc_id (e.g. the mixture keep threshold);
+    correlated splits would leak the sampling policy into the held-out
+    sets."""
+    key = (
+        hash40(F.concat(F.lit("split_"), F.col("doc_id").cast("string")))
+        % 1_000_000
+    )
+    split = (
+        F.when(key < SPLIT_TEST_PPM, F.lit("test"))
+        .when(key < SPLIT_TEST_PPM + SPLIT_VAL_PPM, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(
+        "doc_id", "lang", key.alias("split_key"), split.alias("split")
     )

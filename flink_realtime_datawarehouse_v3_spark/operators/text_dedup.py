@@ -49,7 +49,15 @@ def shingle_array(text_col: Column, n: int = 3) -> Column:
     """All n-gram token shingles of ``text_col`` in order (duplicates
     kept) — the ONE builder for the index arithmetic mirrored by the
     oracle's _SHINGLE_LIST (sequence/element_at/concat_ws, including the
-    shared short-doc truncated-shingle behavior)."""
+    shared short-doc truncated-shingle behavior).
+
+    PERF: pass a pre-projected TOKEN-ARRAY column (see
+    :func:`shingles_exploded`) wherever possible. Higher-order functions
+    evaluate interpreted, with NO common-subexpression sharing: if
+    ``text_col`` is the raw text, every ``element_at`` inside the lambda
+    re-runs the full tokenize (regex split + filter) — n re-tokenizations
+    per shingle per row, measured at ~30 s for a 5k-doc sf0.1 pass at
+    n=8 versus <1 s with the array projected once."""
     toks = tokens(text_col)
     cnt = F.size(toks)
     return F.transform(
@@ -60,11 +68,31 @@ def shingle_array(text_col: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_array_of(toks: Column, n: int = 3) -> Column:
+    """:func:`shingle_array` over an already-materialized token-array
+    column — each ``element_at`` is then an O(1) array read instead of a
+    re-tokenization (the interpreted-HOF trap documented above)."""
+    cnt = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+
+
 def shingles_exploded(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct n-gram token shingles per doc."""
+    """(doc_id, shingle) — distinct n-gram token shingles per doc.
+
+    Two-step projection: the token array materializes ONCE per row, then
+    the shingle transform reads it by attribute (Catalyst does not
+    inline a multiply-referenced non-cheap projection into the
+    generator, so the re-tokenization blowup cannot come back)."""
     return corpus.select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    ).select(
         "doc_id",
-        F.explode(F.array_distinct(shingle_array(F.col("text"), n))).alias(
+        F.explode(F.array_distinct(shingle_array_of(F.col("__toks"), n))).alias(
             "shingle"
         ),
     )
@@ -585,9 +613,10 @@ def dup_ngram_rate(corpus: DataFrame, n: int = 3) -> DataFrame:
     swap approx_count_distinct — same plan shape.
     """
     occ = (
-        corpus.select(
+        corpus.select("source", tokens(F.col("text")).alias("__toks"))
+        .select(
             "source",
-            F.explode(shingle_array(F.col("text"), n)).alias("shingle"),
+            F.explode(shingle_array_of(F.col("__toks"), n)).alias("shingle"),
         )
         .groupBy("source", "shingle")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -66,6 +66,10 @@ SMJ_WHITELIST = {
     # corpus (neither snapshot is broadcastable at 100 TB); the hash-
     # before-join projection bounds the shuffle payload, not a broadcast.
     "corpus_snapshot_diff",
+    # curation funnel: the flag table joins the decon verdicts on doc_id
+    # — both sides are the corpus (per-doc decision columns, not
+    # broadcastable at 100 TB); co-partitioned equi-join is the plan.
+    "corpus_curation_funnel",
     # novelty joins the exploded shingle stream with per-shingle first-doc
     # minima on shingle: both sides are vocabulary-scale (same posture as
     # text_tfidf_topk's token join).
