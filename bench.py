@@ -5,11 +5,14 @@
     {"metric": "total_wall_sec", "value": N, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1}
 
-Each query is materialized via a count-style action (``df.count()`` after a
-no-op cache-free pass) so the full plan executes but no rows cross to the
-driver.  Timings are per-query wall clock on a shared warm SparkSession
-(JVM startup excluded — the driver contract is query latency, not cold
-start).
+Each query is materialized via a ``noop``-sink write so the COMPLETE plan
+executes — every output column, every join — but no rows cross to the
+driver.  (Through round 6 the harness used ``df.count()``, which lets the
+optimizer prune unreferenced columns and even whole joins out of the
+timed plan; r7 numbers are the first honest full-materialization
+timings and are NOT directly comparable to the r1–r6 tails.)  Timings
+are per-query wall clock on a shared warm SparkSession (JVM startup
+excluded — the driver contract is query latency, not cold start).
 """
 
 from __future__ import annotations
@@ -77,7 +80,15 @@ def main() -> None:
             continue
         t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).count()
+            # Full materialization via the noop sink: count() lets the
+            # optimizer PRUNE every column the count doesn't need —
+            # joins, aggregate values, and whole projections silently
+            # drop out (measured: decontaminate_ngram "0.4 s" under
+            # count() vs ~3.5 s actually computing the overlap counts).
+            # The noop write executes the complete plan, every output
+            # column, and moves nothing to the driver — the honest
+            # query-latency number BASELINE.md is compared against.
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record and keep going — one JSON line always
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
