@@ -1542,6 +1542,7 @@ register(
 
 from .operators import bpe, multimodal, simsearch, text_analysis, text_dedup  # noqa: E402
 from .operators import funnel as funnel_op  # noqa: E402
+from .operators import retrieval as retrieval_op  # noqa: E402
 from .operators import snapshot as snapshot_op  # noqa: E402
 from .sources import corpus as corpus_mod  # noqa: E402
 from .sources import tables  # noqa: E402
@@ -2333,12 +2334,10 @@ register(
 # bounded df/N/avgdl artifacts broadcast back, per-term scores in integer
 # micro-units (float-order-proof), one global top-k.
 _BM25_TERMS = "(" + ", ".join(f"'{t}'" for t in text_analysis.BM25_QUERY) + ")"
-register(
-    "text_bm25_topk",
-    lambda spark, sf: text_analysis.bm25_topk(
-        tables.load(spark, sf, "documents")
-    ),
-    f"""WITH tok AS (SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents),
+
+# Shared BM25 scoring CTE chain (tok -> dl -> stats -> tf -> dft -> s):
+# one definition behind both the BM25 entry and the hybrid fusion entry.
+_BM25_S_CTES = f"""tok AS (SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
@@ -2351,12 +2350,50 @@ s AS (SELECT tf.doc_id,
                      * ({1.0 - text_analysis.BM25_B!r}
                         + {text_analysis.BM25_B!r} * dl / avgdl))
                   * 1e6) AS BIGINT) AS s_micro
-      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id), stats)
+      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id), stats)"""
+register(
+    "text_bm25_topk",
+    lambda spark, sf: text_analysis.bm25_topk(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH {_BM25_S_CTES}
 SELECT doc_id, n_terms_hit, score,
        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
 FROM (SELECT doc_id, count(*) AS n_terms_hit,
              round(CAST(sum(s_micro) AS BIGINT) / 1e6, 6) AS score
       FROM s GROUP BY doc_id)
+QUALIFY rank <= 20""",
+)
+
+# Hybrid sparse+dense retrieval: BM25 micro-units fused with cosine
+# micro-units against the pinned query embedding — the production
+# search shape (keyword recall + semantic similarity), one dense
+# projection + the shared BM25 pass + one global top-k.
+register(
+    "retrieval_hybrid_topk",
+    lambda spark, sf: retrieval_op.hybrid_topk(
+        tables.load(spark, sf, "documents"), _emb(spark, sf)
+    ),
+    f"""WITH {_BM25_S_CTES},
+sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+              CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+       FROM s GROUP BY doc_id),
+dense AS (SELECT vec_id AS doc_id,
+                 CAST(round(round(list_cosine_similarity(
+                          embedding::DOUBLE[],
+                          (SELECT embedding::DOUBLE[] FROM embeddings
+                           WHERE vec_id = {retrieval_op.HYBRID_QUERY_VEC_ID})),
+                      4) * 10000) AS BIGINT) * 100 AS cos_micro
+          FROM embeddings),
+fused AS (SELECT d.doc_id,
+                 coalesce(n_terms_hit, 0) AS n_terms_hit,
+                 coalesce(bm25_micro, 0) AS bm25_micro,
+                 cos_micro,
+                 coalesce(bm25_micro, 0) + cos_micro AS combined_micro
+          FROM dense d LEFT JOIN sp USING (doc_id))
+SELECT doc_id, n_terms_hit, bm25_micro, cos_micro, combined_micro,
+       row_number() OVER (ORDER BY combined_micro DESC, doc_id) AS rank
+FROM fused
 QUALIFY rank <= 20""",
 )
 
@@ -3597,6 +3634,7 @@ _DRIVER_WINDOW = [
     "embedding_norm_stats",              # new r7: embedding health
     "corpus_curation_funnel",            # new r7: staged survivor report
     "events_new_users_daily",            # new r7: growth accounting
+    "retrieval_hybrid_topk",             # new r7: sparse+dense fusion
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
     "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
@@ -3610,40 +3648,55 @@ _DRIVER_WINDOW = [
     "sink_events_zorder_read",
     "corpus_shard_pack",
     "simsearch_hard_negatives",
-    # stalest proven fills, oldest green round first: all 21 entries whose
-    # last hash-green driver record is r3 ...
+    # re-prove: the shingle/n-gram builders changed mid-round (the
+    # interpreted-HOF re-tokenization fix pre-projects the token array —
+    # same semantics, new plan shape; every consumer re-proven hard).
+    "decontaminate_ngram",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_containment",
+    "dedup_edit_distance",
+    "dedup_incremental",
+    "dedup_cluster_keep",
+    "corpus_dup_ngram_rate",
+    "corpus_materialize_final",
+    "graph_pagerank_neardup",
+    "text_fingerprint",
+    "text_repetition_stats",
+    "text_bigram_pmi_topk",
+    # stalest proven fills (last hash-green record r3); the rest of the
+    # r3 set rotated to the tail to make room for the changed-entry
+    # re-proofs above and rotates back next round.
     "dim_user_info",
     "dwd_interaction_favor_add",
     "dwd_tool_coupon_get",
-    "dwd_tool_coupon_order",
-    "dwd_tool_coupon_pay",
-    "dwd_trade_cancel_detail",
     "dwd_trade_order_detail",
-    "dwd_trade_pay_detail_suc",
     "dwd_traffic_action_log",
-    "dwd_traffic_display_log",
-    "dwd_traffic_error_log",
     "dwd_traffic_page_log",
-    "dwd_traffic_start_log",
-    "dwd_traffic_unique_visitor_detail",
-    "dwd_traffic_user_jump_detail",
     "dwd_user_register",
     "dws_trade_province_order_window",
-    "dws_traffic_source_keyword_page_view_window",
-    "dws_traffic_vc_ch_ar_is_new_page_view_window",
     "dws_user_user_register_window",
     "text_token_stats",
-    # ... then the oldest non-streaming r4-green entries (the remaining
-    # r4 text_* family rotates in next round).
-    "asof_join_events",
-    "corpus_lang_pivot",
-    "corpus_mix_report",
-    "decontaminate_ngram",
 ]
 
 # Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "dwd_tool_coupon_order",
+    "dwd_tool_coupon_pay",
+    "dwd_trade_cancel_detail",
+    "dwd_trade_pay_detail_suc",
+    "dwd_traffic_display_log",
+    "dwd_traffic_error_log",
+    "dwd_traffic_start_log",
+    "dwd_traffic_unique_visitor_detail",
+    "dwd_traffic_user_jump_detail",
+    "dws_traffic_source_keyword_page_view_window",
+    "dws_traffic_vc_ch_ar_is_new_page_view_window",
+    "asof_join_events",
+    "corpus_lang_pivot",
+    "corpus_mix_report",
     "dim_user_info_schema_evolve",
     "dws_trade_province_source_rollup",
     "events_profile_stats",
@@ -3656,18 +3709,13 @@ _DRIVER_TAIL = [
     "skew_heavy_hitters",
     "temporal_join_coupon_asof",
     "dedup_embedding_cluster_keep",
-    "corpus_materialize_final",
     "streaming_dedup_incremental",
-    "dedup_containment",
-    "dedup_edit_distance",
     "dedup_substring_spans",
     "corpus_span_hotlist",
     "text_gopher_filter",
     "corpus_sample_mixture",
     "streaming_sample_mixture",
-    "dedup_cluster_keep",
     "dws_keyword_window_udtf_sql",
-    "dedup_incremental",
     "dedup_embedding_cosine",
     "simsearch_cosine_topk",
     "embedding_quantize_int8",
@@ -3689,15 +3737,11 @@ _DRIVER_TAIL = [
     "sink_dws_partitioned_roundtrip",
     "sessionize_events",
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "join_bucketed_colocated",
     "dwd_interaction_comment",
     "dwd_trade_order_refund",
     "dwd_trade_refund_pay_suc",
     "dws_user_user_login_window",
-    "text_fingerprint",
     "dim_coupon_use",
     "dws_trade_cart_add_uu_window",
     "streaming_keyword_window",
@@ -3712,8 +3756,6 @@ _DRIVER_TAIL = [
     "events_user_gap_stats",
     "events_props_k_stats",
     "events_viewers_minus_buyers",
-    "corpus_dup_ngram_rate",
-    "graph_pagerank_neardup",
     "streaming_keyword_cjk_window",
     "text_bigram_lm_score",
     "events_value_anomalies",
@@ -3741,7 +3783,6 @@ _DRIVER_TAIL = [
     "streaming_order_info_upsert",
     "streaming_order_info_debounce",
     "streaming_dim_coupon_scd2",
-    "text_repetition_stats",
     "text_vocab_topk",
     "text_tfidf_topk",
     "streaming_time_rollup",
@@ -3749,7 +3790,6 @@ _DRIVER_TAIL = [
     "text_quality_top_fraction",
     "text_unigram_lm_score",
     "streaming_value_histogram",
-    "text_bigram_pmi_topk",
     "text_chunk_tokens",
     "text_pii_scrub",
     "decontaminate_bloom",

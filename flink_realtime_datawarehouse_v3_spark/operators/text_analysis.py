@@ -966,6 +966,24 @@ def bm25_topk(docs: DataFrame, query: list[str] | None = None, k: int = 20) -> D
 
     Output: (doc_id, n_terms_hit, score, rank) — ties broken by doc_id.
     """
+    agg = bm25_scores(docs, query).select(
+        "doc_id",
+        "n_terms_hit",
+        F.round(F.col("bm25_micro") / F.lit(1e6), 6).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "n_terms_hit", "score", "rank")
+    )
+
+
+def bm25_scores(docs: DataFrame, query: list[str] | None = None) -> DataFrame:
+    """Raw per-doc BM25 hit scores for the query terms — the shared
+    scoring pass behind :func:`bm25_topk` and the hybrid retrieval
+    entry. Output: (doc_id, n_terms_hit, bm25_micro), docs with no term
+    hit absent."""
     q = [t.lower() for t in (query or BM25_QUERY)]
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -1003,15 +1021,9 @@ def bm25_topk(docs: DataFrame, query: list[str] | None = None, k: int = 20) -> D
             .alias("s_micro"),
         )
     )
-    agg = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_terms_hit"),
-        F.round(F.sum("s_micro") / F.lit(1e6), 6).alias("score"),
-    )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "n_terms_hit", "score", "rank")
+        F.sum("s_micro").cast("bigint").alias("bm25_micro"),
     )
 
 

@@ -80,6 +80,7 @@ ORACLED = [
     "text_fasttext_score",
     "corpus_source_stats",
     "corpus_snapshot_diff",
+    "retrieval_hybrid_topk",
 ]
 
 
@@ -1240,3 +1241,21 @@ def test_source_stats_consistency(spark):
         assert r.n_dup_docs == r.n_docs - r.n_distinct_texts
         assert 0 <= r.dup_ppm < 1_000_000
         assert r.n_langs >= 1
+
+
+def test_hybrid_topk_fusion(spark):
+    """Hybrid retrieval invariants: the pinned query doc itself must rank
+    first (cosine 1.0 with itself dominates), combined = bm25 + cos for
+    every row, and ranks are dense 1..k."""
+    from flink_realtime_datawarehouse_v3_spark.operators import retrieval as rt
+
+    rows = api.QUERIES["retrieval_hybrid_topk"](spark, SF_SMOKE).collect()
+    assert rows
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert [r.rank for r in by_rank] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.combined_micro == r.bm25_micro + r.cos_micro
+    top = by_rank[0]
+    # the query doc scores cos_micro = 1_000_000 against itself; only a
+    # doc with a large BM25 hit could beat it, and then fusion worked too
+    assert top.doc_id == rt.HYBRID_QUERY_VEC_ID or top.bm25_micro > 0
