@@ -2777,6 +2777,86 @@ SELECT strftime(d0, '%Y-%m-%d') AS dt,
 FROM daily""",
 )
 
+# Robust (median/MAD) anomaly twin of the z-score entry: two exact
+# percentile passes broadcast back as |event_types|-row artifacts.
+register(
+    "events_value_mad_anomalies",
+    lambda spark, sf: analytics_op.value_mad_anomalies(
+        tables.load(spark, sf, "events")
+    ),
+    f"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY 1),
+mad AS (SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+               any_value(m.med) AS med
+        FROM events e JOIN med m USING (event_type) GROUP BY 1),
+st AS (SELECT event_type, med, mad FROM mad WHERE mad > 0)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - st.med) / ({analytics_op.MAD_SCALE!r} * st.mad), 6)
+           AS robust_z
+FROM events e JOIN st USING (event_type)
+WHERE abs(round((e.value - st.med) / ({analytics_op.MAD_SCALE!r} * st.mad), 6))
+      > {analytics_op.MAD_THRESHOLD!r}""",
+)
+
+# User-path mining: top-k event-type transitions within the session gap
+# (Markov edge counts) — one lead() window pass + hash agg + top-k.
+register(
+    "events_path_transitions_topk",
+    lambda spark, sf: analytics_op.path_transitions_topk(
+        tables.load(spark, sf, "events")
+    ),
+    f"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type
+            FROM events),
+t AS (SELECT event_type AS from_type,
+             lead(event_type) OVER w AS to_type,
+             lead(ts_ms) OVER w - ts_ms AS gap_ms
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+c AS (SELECT from_type, to_type, count(*) AS n FROM t
+      WHERE to_type IS NOT NULL
+        AND gap_ms <= {analytics_op.TRANSITION_GAP_MS} GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       row_number() OVER (ORDER BY n DESC, from_type, to_type) AS rank
+FROM c QUALIFY rank <= 20""",
+)
+
+# Multi-benchmark decontamination: every held-out eval set screened in
+# ONE candidate explode (a per-benchmark rescan is the naive trap); the
+# tagged shingle union rides as one broadcast, per-bench columns via a
+# fixed-value pivot.
+register(
+    "corpus_multi_bench_decontaminate",
+    lambda spark, sf: text_dedup.decontaminate_multi(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH shn AS (SELECT doc_id, UNNEST(list_distinct({_SHINGLE_LIST_N}))
+                AS shingle FROM documents),
+tagged AS (
+    SELECT DISTINCT shingle, 'b97' AS bench FROM shn
+    WHERE doc_id % 97 = 0 AND doc_id < 1000000
+    UNION ALL
+    SELECT DISTINCT shingle, 'b89' AS bench FROM shn
+    WHERE doc_id % 89 = 0 AND doc_id < 1000000),
+cand AS (SELECT doc_id FROM documents
+         WHERE NOT ((doc_id % 97 = 0 OR doc_id % 89 = 0)
+                    AND doc_id < 1000000)),
+hits AS (SELECT s.doc_id,
+                CAST(sum(CASE WHEN bench = 'b97' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n97,
+                CAST(sum(CASE WHEN bench = 'b89' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n89
+         FROM shn s JOIN tagged t USING (shingle)
+         WHERE NOT ((s.doc_id % 97 = 0 OR s.doc_id % 89 = 0)
+                    AND s.doc_id < 1000000)
+         GROUP BY 1)
+SELECT c.doc_id,
+       coalesce(n97, 0) AS n_overlap_b97,
+       coalesce(n89, 0) AS n_overlap_b89,
+       CAST(coalesce(n97, 0) > 0 OR coalesce(n89, 0) > 0 AS INT)
+           AS contaminated_any
+FROM cand c LEFT JOIN hits USING (doc_id)""",
+)
+
 # PageRank over the near-dup pair graph: 10 fixed power-method steps in
 # exact integer micro-units (rank DIV degree contributions), so Spark's
 # iterative joins and the oracle's recursive CTE agree bit-for-bit —
@@ -3635,6 +3715,9 @@ _DRIVER_WINDOW = [
     "corpus_curation_funnel",            # new r7: staged survivor report
     "events_new_users_daily",            # new r7: growth accounting
     "retrieval_hybrid_topk",             # new r7: sparse+dense fusion
+    "events_value_mad_anomalies",        # new r7: robust outliers
+    "events_path_transitions_topk",      # new r7: user-path mining
+    "corpus_multi_bench_decontaminate",  # new r7: multi-eval-set decon
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
     "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
@@ -3669,10 +3752,7 @@ _DRIVER_WINDOW = [
     # r3 set rotated to the tail to make room for the changed-entry
     # re-proofs above and rotates back next round.
     "dim_user_info",
-    "dwd_interaction_favor_add",
-    "dwd_tool_coupon_get",
     "dwd_trade_order_detail",
-    "dwd_traffic_action_log",
     "dwd_traffic_page_log",
     "dwd_user_register",
     "dws_trade_province_order_window",
@@ -3683,6 +3763,9 @@ _DRIVER_WINDOW = [
 # Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "dwd_interaction_favor_add",
+    "dwd_tool_coupon_get",
+    "dwd_traffic_action_log",
     "dwd_tool_coupon_order",
     "dwd_tool_coupon_pay",
     "dwd_trade_cancel_detail",

@@ -315,3 +315,80 @@ def new_users_daily(events: DataFrame) -> DataFrame:
         F.col("n_new").cast("bigint").alias("n_new"),
         F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
     ).orderBy("dt")
+
+
+MAD_SCALE = 1.4826  # normal-consistency constant (sigma ~= 1.4826 * MAD)
+MAD_THRESHOLD = 3.0
+
+
+def value_mad_anomalies(events: DataFrame) -> DataFrame:
+    """Robust anomaly detection per event_type: |value - median| measured
+    in MAD units (median absolute deviation), the outlier-resistant twin
+    of the z-score entry (a single extreme value shifts mean/stddev but
+    not the medians).
+
+    Two-phase exact stats: median pass, then the deviation-median pass —
+    both per-type exact percentiles (the Spark percentile ==
+    quantile_cont parity profiling.py pins), both broadcast back as
+    |event_types|-row artifacts; the corpus is scanned twice and never
+    shuffled on anything but event_type."""
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+            F.first("med").alias("med"),
+        )
+        .filter(F.col("mad") > 0)
+    )
+    rz = F.round(
+        (F.col("value") - F.col("med")) / (F.lit(MAD_SCALE) * F.col("mad")), 6
+    )
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .select("event_id", "event_type", "value", rz.alias("robust_z"))
+        .filter(F.abs(F.col("robust_z")) > MAD_THRESHOLD)
+    )
+
+
+TRANSITION_GAP_MS = 30 * 60 * 1000  # same gap as the sessionizer
+
+
+def path_transitions_topk(events: DataFrame, k: int = 20) -> DataFrame:
+    """User-path mining: the top-k event-type transitions (A -> B) taken
+    by consecutive events of the same user within the session gap — the
+    Markov-chain edge counts behind funnel/next-action analytics.
+
+    One user_id-keyed window pass (lead), a filter, one hash agg, one
+    global top-k — ordering is (ts, event_id) so ties are deterministic
+    and both engines count identical pairs."""
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    e = events.select(
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "event_id",
+        "event_type",
+    )
+    t = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn("gap_ms", F.lead("ts_ms").over(w) - F.col("ts_ms"))
+        .filter(
+            F.col("next_type").isNotNull()
+            & (F.col("gap_ms") <= TRANSITION_GAP_MS)
+        )
+    )
+    counts = t.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(
+        F.col("n").desc(), F.col("from_type"), F.col("to_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("from_type", "to_type", "n", "rank")
+    )

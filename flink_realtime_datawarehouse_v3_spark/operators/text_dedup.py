@@ -973,3 +973,51 @@ def ngram_novelty(corpus: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+BENCH_MODS = {"b97": BENCH_MOD, "b89": 89}  # held-out benchmark slices
+
+
+def decontaminate_multi(corpus: DataFrame, n: int = DECON_N) -> DataFrame:
+    """Multi-benchmark decontamination: per-doc overlap counts against
+    EVERY held-out eval set in one pass — real pipelines screen against
+    dozens of benchmarks, and re-scanning the corpus per benchmark is the
+    naive trap. All benchmark shingle sets ride as ONE tagged broadcast
+    (bounded eval-set artifacts); candidates explode once; the per-bench
+    columns come from a fixed-value pivot of the single hit join.
+    """
+    is_bench = F.lit(False)
+    for mod in BENCH_MODS.values():
+        is_bench = is_bench | (
+            (F.col("doc_id") % mod == 0) & (F.col("doc_id") < 1_000_000)
+        )
+    tagged = None
+    for name, mod in BENCH_MODS.items():
+        one_is = (F.col("doc_id") % mod == 0) & (F.col("doc_id") < 1_000_000)
+        sh = (
+            shingles_exploded(corpus.filter(one_is), n=n)
+            .select("shingle")
+            .distinct()
+            .withColumn("bench", F.lit(name))
+        )
+        tagged = sh if tagged is None else tagged.unionByName(sh)
+    cand = corpus.filter(~is_bench)
+    hits = (
+        shingles_exploded(cand, n=n)
+        .join(F.broadcast(tagged), "shingle")
+        .groupBy("doc_id")
+        .pivot("bench", list(BENCH_MODS))
+        .agg(F.count(F.lit(1)))
+    )
+    out = cand.select("doc_id").join(hits, "doc_id", "left")
+    cols = [
+        F.coalesce(F.col(name), F.lit(0)).cast("bigint").alias(f"n_overlap_{name}")
+        for name in BENCH_MODS
+    ]
+    any_hit = None
+    for name in BENCH_MODS:
+        c = F.coalesce(F.col(name), F.lit(0)) > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    return out.select(
+        "doc_id", *cols, any_hit.cast("int").alias("contaminated_any")
+    )

