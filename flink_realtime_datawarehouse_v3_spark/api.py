@@ -2857,6 +2857,66 @@ SELECT c.doc_id,
 FROM cand c LEFT JOIN hits USING (doc_id)""",
 )
 
+# Language-ID calibration: (true lang, predicted lang) confusion matrix
+# with per-truth ppm shares — zero joins, truth and prediction in the
+# same row.
+register(
+    "text_lang_confusion",
+    lambda spark, sf: text_analysis.lang_confusion(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH p AS (
+    SELECT lang,
+           CASE WHEN greatest(se, sd, sf2) <= 0 THEN 'und'
+                WHEN se = greatest(se, sd, sf2) THEN 'en'
+                WHEN sd = greatest(se, sd, sf2) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM (SELECT lang,
+                 len(list_filter({_TOKS}, t -> t IN {_STOP_EN}))
+                     / len({_TOKS}) AS se,
+                 len(list_filter({_TOKS},
+                     t -> t IN ('der','die','das','und','ist')))
+                     / len({_TOKS}) AS sd,
+                 len(list_filter({_TOKS},
+                     t -> t IN ('le','la','et','les','des')))
+                     / len({_TOKS}) AS sf2
+          FROM documents)),
+m AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2)
+SELECT lang, lang_pred, n,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+           AS share_ppm
+FROM m""",
+)
+
+# Per-source contamination rollup: which crawl sources carry benchmark
+# overlap — the actionable slice (drop a source, not a doc).
+register(
+    "corpus_contamination_by_source",
+    lambda spark, sf: text_dedup.contamination_by_source(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH shn AS (SELECT doc_id, UNNEST(list_distinct({_SHINGLE_LIST_N}))
+                AS shingle FROM documents),
+bench AS (SELECT DISTINCT shingle FROM shn
+          WHERE doc_id % {_BM} = 0 AND doc_id < 1000000),
+hits AS (SELECT s.doc_id, count(*) AS n_overlap
+         FROM shn s JOIN bench b USING (shingle)
+         WHERE NOT (s.doc_id % {_BM} = 0 AND s.doc_id < 1000000)
+         GROUP BY 1),
+per AS (SELECT d.source, coalesce(h.n_overlap, 0) AS n_overlap
+        FROM (SELECT doc_id, source FROM documents
+              WHERE NOT (doc_id % {_BM} = 0 AND doc_id < 1000000)) d
+        LEFT JOIN hits h USING (doc_id))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_overlap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       CAST(CAST(sum(CASE WHEN n_overlap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // count(*) AS BIGINT) AS contaminated_ppm,
+       CAST(sum(n_overlap) AS BIGINT) AS total_overlaps
+FROM per GROUP BY source""",
+)
+
 # PageRank over the near-dup pair graph: 10 fixed power-method steps in
 # exact integer micro-units (rank DIV degree contributions), so Spark's
 # iterative joins and the oracle's recursive CTE agree bit-for-bit —
@@ -3718,6 +3778,8 @@ _DRIVER_WINDOW = [
     "events_value_mad_anomalies",        # new r7: robust outliers
     "events_path_transitions_topk",      # new r7: user-path mining
     "corpus_multi_bench_decontaminate",  # new r7: multi-eval-set decon
+    "text_lang_confusion",               # new r7: lang-ID calibration
+    "corpus_contamination_by_source",    # new r7: actionable decon slice
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
     "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
@@ -3754,15 +3816,15 @@ _DRIVER_WINDOW = [
     "dim_user_info",
     "dwd_trade_order_detail",
     "dwd_traffic_page_log",
-    "dwd_user_register",
     "dws_trade_province_order_window",
-    "dws_user_user_register_window",
     "text_token_stats",
 ]
 
 # Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "dwd_user_register",
+    "dws_user_user_register_window",
     "dwd_interaction_favor_add",
     "dwd_tool_coupon_get",
     "dwd_traffic_action_log",

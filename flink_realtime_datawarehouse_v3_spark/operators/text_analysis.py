@@ -116,16 +116,33 @@ def quality_score(corpus: DataFrame) -> DataFrame:
     )
 
 
+def _lang_scores(text_col: Column) -> dict[str, Column]:
+    toks = tokens(text_col)
+    n = F.size(toks)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))) / n
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_pred_col(text_col: Column) -> Column:
+    """The argmax language prediction as one Column — shared by lang_id
+    and the confusion-matrix diagnostic."""
+    scores = _lang_scores(text_col)
+    best = F.greatest(*scores.values())
+    return (
+        F.when(best <= 0, "und")
+        .when(scores["en"] == best, "en")
+        .when(scores["de"] == best, "de")
+        .otherwise("fr")
+    )
+
+
 def lang_id(corpus: DataFrame) -> DataFrame:
     """Stopword-profile language ID (n-gram heuristic family): fraction of
     tokens hitting each language's profile, argmax wins, 'und' if nothing
     matches."""
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
-    scores = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(*words))) / n
-        for lang, words in STOPWORDS.items()
-    }
+    scores = _lang_scores(F.col("text"))
     best = F.greatest(*scores.values())
     pred = (
         F.when(best <= 0, "und")
@@ -1251,4 +1268,23 @@ def train_val_test_split(docs: DataFrame) -> DataFrame:
     )
     return docs.select(
         "doc_id", "lang", key.alias("split_key"), split.alias("split")
+    )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Language-ID quality diagnostic: the (true lang, predicted lang)
+    confusion matrix with per-truth share — how often the classifier
+    mislabels each language (the calibration table a curation team reads
+    before trusting per-language budgets). Zero joins: truth and
+    prediction live in the same row, so this is one projection + one
+    hash agg + a window over the |langs x preds| matrix."""
+    t = docs.select("lang", lang_pred_col(F.col("text")).alias("lang_pred"))
+    m = t.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    return m.select(
+        "lang",
+        "lang_pred",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(n * 1000000 DIV sum(n) OVER (PARTITION BY lang) AS BIGINT)"
+        ).alias("share_ppm"),
     )

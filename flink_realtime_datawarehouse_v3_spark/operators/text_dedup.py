@@ -1021,3 +1021,36 @@ def decontaminate_multi(corpus: DataFrame, n: int = DECON_N) -> DataFrame:
     return out.select(
         "doc_id", *cols, any_hit.cast("int").alias("contaminated_any")
     )
+
+
+def contamination_by_source(corpus: DataFrame, n: int = DECON_N) -> DataFrame:
+    """Per-source contamination report: which crawl sources carry the
+    benchmark overlap — the slice a curation team actually acts on
+    (drop/filter a source, not individual docs). Same broadcast bench
+    set and single candidate explode as :func:`decontaminate`, rolled up
+    by source with ppm shares."""
+    is_bench = (F.col("doc_id") % BENCH_MOD == 0) & (F.col("doc_id") < 1_000_000)
+    bench_shingles = (
+        shingles_exploded(corpus.filter(is_bench), n=n).select("shingle").distinct()
+    )
+    cand = corpus.filter(~is_bench)
+    hits = (
+        shingles_exploded(cand, n=n)
+        .join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    per = cand.select("doc_id", "source").join(hits, "doc_id", "left")
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.coalesce("n_overlap", F.lit(0)) > 0).cast("int"))
+        .cast("bigint")
+        .alias("n_contaminated"),
+        F.expr(
+            "CAST(CAST(sum(CASE WHEN coalesce(n_overlap, 0) > 0 THEN 1 ELSE 0 "
+            "END) AS BIGINT) * 1000000 DIV count(1) AS BIGINT)"
+        ).alias("contaminated_ppm"),
+        F.sum(F.coalesce("n_overlap", F.lit(0)))
+        .cast("bigint")
+        .alias("total_overlaps"),
+    )

@@ -70,6 +70,13 @@ SMJ_WHITELIST = {
     # — both sides are the corpus (per-doc decision columns, not
     # broadcastable at 100 TB); co-partitioned equi-join is the plan.
     "corpus_curation_funnel",
+    # same doc_id-keyed corpus x overlap-verdict join, rolled by source.
+    "corpus_contamination_by_source",
+    # decon overlap columns join candidates on doc_id (corpus x corpus).
+    "corpus_multi_bench_decontaminate",
+    # hybrid fusion: dense arm (all vectors) x sparse BM25 hits on
+    # doc_id — the dense side is the corpus, not broadcastable.
+    "retrieval_hybrid_topk",
     # novelty joins the exploded shingle stream with per-shingle first-doc
     # minima on shingle: both sides are vocabulary-scale (same posture as
     # text_tfidf_topk's token join).

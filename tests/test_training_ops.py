@@ -84,6 +84,8 @@ ORACLED = [
     "events_value_mad_anomalies",
     "events_path_transitions_topk",
     "corpus_multi_bench_decontaminate",
+    "text_lang_confusion",
+    "corpus_contamination_by_source",
 ]
 
 
@@ -1298,3 +1300,36 @@ def test_path_transitions_rank_and_gap(spark):
     assert [r.rank for r in by_rank] == list(range(1, len(rows) + 1))
     ns = [r.n for r in by_rank]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_lang_confusion_reconciles(spark):
+    """The confusion matrix must reconcile with the corpus: per-truth
+    shares sum to ~1e6 ppm (floor slack < |preds|), and total n equals
+    the document count."""
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    n_docs = tables.load(spark, SF_SMOKE, "documents").count()
+    rows = api.QUERIES["text_lang_confusion"](spark, SF_SMOKE).collect()
+    assert sum(r.n for r in rows) == n_docs
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        share = sum(r.share_ppm for r in rs)
+        assert 1_000_000 - len(rs) < share <= 1_000_000, (lang, share)
+
+
+def test_contamination_by_source_reconciles(spark):
+    """Source rollup must reconcile with the per-doc decon pass: summed
+    contaminated counts match, and ppm arithmetic holds per source."""
+    from flink_realtime_datawarehouse_v3_spark.operators import text_dedup as td
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    per_doc = td.decontaminate(docs).collect()
+    n_cont = sum(1 for r in per_doc if r.contaminated)
+    rows = api.QUERIES["corpus_contamination_by_source"](spark, SF_SMOKE).collect()
+    assert sum(r.n_contaminated for r in rows) == n_cont
+    assert sum(r.n_docs for r in rows) == len(per_doc)
+    for r in rows:
+        assert r.contaminated_ppm == r.n_contaminated * 1_000_000 // r.n_docs
