@@ -3617,6 +3617,12 @@ def _register_streaming() -> None:
             "stream_quality_gate",
             "corpus_quality_gate",
         ),
+        # Embedding-health drift monitor: COMPLETE-mode per-label norm
+        # stats over the replayed embedding stream (state = O(|labels|)).
+        "streaming_norm_stats": (
+            "stream_norm_stats",
+            "embedding_norm_stats",
+        ),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -3780,6 +3786,7 @@ _DRIVER_WINDOW = [
     "corpus_multi_bench_decontaminate",  # new r7: multi-eval-set decon
     "text_lang_confusion",               # new r7: lang-ID calibration
     "corpus_contamination_by_source",    # new r7: actionable decon slice
+    "streaming_norm_stats",              # new r7: live drift monitor
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
     "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
@@ -3817,12 +3824,12 @@ _DRIVER_WINDOW = [
     "dwd_trade_order_detail",
     "dwd_traffic_page_log",
     "dws_trade_province_order_window",
-    "text_token_stats",
 ]
 
 # Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "text_token_stats",
     "dwd_user_register",
     "dws_user_user_register_window",
     "dwd_interaction_favor_add",

@@ -1244,3 +1244,21 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         s = read_stream(spark, d.sub("in"))
         return run_to_memory(ta.quality_gate(s))
+
+
+def stream_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health monitoring at INGESTION: the per-label squared-
+    norm min/mean/max report maintained live over the replayed embedding
+    stream (the drift check an indexing pipeline alerts on). COMPLETE
+    mode: one hash aggregation keyed on label — state is O(|labels|),
+    never O(rows) — and after availableNow the snapshot equals the batch
+    entry exactly (same micro-unit fold, same oracle)."""
+    from ..operators import simsearch as ss
+    from ..sources import tables
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    with TempStreamDir() as d:
+        _write_replay(emb.select("vec_id", "embedding", "label"),
+                      d.sub("in"), order_by=["vec_id"])
+        s = read_stream(spark, d.sub("in"))
+        return run_to_memory(ss.norm_stats(s), output_mode="complete")

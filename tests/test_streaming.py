@@ -508,3 +508,11 @@ def test_stream_quality_gate(spark):
     stream = sp.stream_quality_gate(spark, SF_SMOKE)
     batch = api.QUERIES["corpus_quality_gate"](spark, SF_SMOKE)
     _same(stream, batch, "quality_gate")
+
+
+def test_stream_norm_stats(spark):
+    """Drift monitor at ingestion: the complete-mode per-label norm
+    report must equal the batch entry after availableNow drains."""
+    stream = sp.stream_norm_stats(spark, SF_SMOKE)
+    batch = api.QUERIES["embedding_norm_stats"](spark, SF_SMOKE)
+    _same(stream, batch, "norm_stats")
