@@ -273,11 +273,26 @@ register(
     ),
 )
 
+def _refund(spark: SparkSession, sf: str) -> DataFrame:
+    # Memoized like _pre: the reference's DWS refund window consumes the
+    # dwd_trade_order_refund KAFKA TOPIC (RT/app/dws/DwsTradeTrademark
+    # CategoryUserRefundWindow.java:60-75) — it never re-runs the CDC
+    # join; re-deriving it per DWS query would be both slower and
+    # architecturally unfaithful.
+    return _memo_df(
+        spark,
+        "dwd_order_refund",
+        sf,
+        lambda: dwd_trade.order_refund(
+            _cdc(spark, sf, ["order_refund_info", "order_info"]),
+            dic.base_dic(spark),
+        ),
+    )
+
+
 register(
     "dwd_trade_order_refund",
-    lambda spark, sf: dwd_trade.order_refund(
-        _cdc(spark, sf, ["order_refund_info", "order_info"]), dic.base_dic(spark)
-    ),
+    lambda spark, sf: _refund(spark, sf),
     oracle.sql(
         """SELECT ri.id, ri.user_id, ri.order_id, ri.sku_id, oi.province_id,
                   strftime(CAST(ri.create_time AS TIMESTAMP), '%Y-%m-%d') AS date_id,
@@ -894,7 +909,7 @@ _TM_KEYS = (
 register(
     "dws_trade_trademark_category_user_refund_window",
     lambda spark, sf: dws.trade_trademark_category_user_refund_window(
-        QUERIES["dwd_trade_order_refund"](spark, sf), dims.dim_sku_full(spark, sf)
+        _refund(spark, sf), dims.dim_sku_full(spark, sf)
     ),
     oracle.sql(
         f"""SELECT {_stt_edt()},
