@@ -222,11 +222,23 @@ register(
     ),
 )
 
+def _cart_add(spark: SparkSession, sf: str) -> DataFrame:
+    # Memoized like _pre: the DWS cart-add UU window consumes the
+    # dwd_trade_cart_add topic (RT/app/dws/DwsTradeCartAddUuWindow.java),
+    # never re-running the CDC join.
+    return _memo_df(
+        spark,
+        "dwd_cart_add",
+        sf,
+        lambda: dwd_trade.cart_add(
+            _cdc(spark, sf, ["cart_info"]), dic.base_dic(spark)
+        ),
+    )
+
+
 register(
     "dwd_trade_cart_add",
-    lambda spark, sf: dwd_trade.cart_add(
-        _cdc(spark, sf, ["cart_info"]), dic.base_dic(spark)
-    ),
+    lambda spark, sf: _cart_add(spark, sf),
     oracle.sql(
         """SELECT ci.id, ci.user_id, ci.sku_id, ci.cart_price,
                   CASE WHEN ci.type = 'insert' THEN ci.sku_num
@@ -247,13 +259,25 @@ register(
     ),
 )
 
+def _pay_detail(spark: SparkSession, sf: str) -> DataFrame:
+    # Memoized like _pre: the DWS payment window consumes the
+    # dwd_trade_pay_detail_suc topic (RT/app/dws/DwsTradePaymentSucWindow
+    # .java:60-71), never re-running the 3-way payment join.
+    return _memo_df(
+        spark,
+        "dwd_pay_detail_suc",
+        sf,
+        lambda: dwd_trade.pay_detail_suc(
+            _cdc(spark, sf, ["payment_info"]),
+            dwd_trade.order_detail(_pre(spark, sf)),
+            dic.base_dic(spark),
+        ),
+    )
+
+
 register(
     "dwd_trade_pay_detail_suc",
-    lambda spark, sf: dwd_trade.pay_detail_suc(
-        _cdc(spark, sf, ["payment_info"]),
-        dwd_trade.order_detail(_pre(spark, sf)),
-        dic.base_dic(spark),
-    ),
+    lambda spark, sf: _pay_detail(spark, sf),
     oracle.sql(
         """SELECT od.id AS order_detail_id, od.order_id, od.user_id,
                   od.sku_id, od.sku_name, od.province_id, od.activity_id,
@@ -694,9 +718,7 @@ register(
 
 register(
     "dws_trade_cart_add_uu_window",
-    lambda spark, sf: dws.trade_cart_add_uu_window(
-        dwd_trade.cart_add(_cdc(spark, sf, ["cart_info"]), dic.base_dic(spark))
-    ),
+    lambda spark, sf: dws.trade_cart_add_uu_window(_cart_add(spark, sf)),
     oracle.sql(
         f"""SELECT {_stt_edt()}, count(*) AS cart_add_uu_ct
             FROM (SELECT user_id, dt, ws, row_number() OVER
@@ -714,9 +736,7 @@ register(
 
 register(
     "dws_trade_payment_suc_window",
-    lambda spark, sf: dws.trade_payment_suc_window(
-        QUERIES["dwd_trade_pay_detail_suc"](spark, sf)
-    ),
+    lambda spark, sf: dws.trade_payment_suc_window(_pay_detail(spark, sf)),
     oracle.sql(
         f"""SELECT {_stt_edt()},
                    count(*) AS payment_suc_unique_user_count,
