@@ -33,6 +33,9 @@ from .conftest import SF_SMOKE
 # plan is acceptable because AQE re-plans with runtime sizes.
 SMJ_WHITELIST = {
     "dwd_trade_order_refund",        # order_refund_info x order_info
+    # consumes the memoized dwd_trade_order_refund topic and inherits
+    # its fact-fact SMJ lineage (same rule as the _pre consumers below).
+    "dws_trade_trademark_category_user_refund_window",
     "dwd_trade_refund_pay_suc",      # refund_payment x order_info x refund_info
     "join_activity_coupon_full_outer",  # full-outer changelog join (J8)
     "simsearch_ivf_topk",            # candidate x query bucket join
