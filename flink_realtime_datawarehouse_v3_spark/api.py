@@ -3852,18 +3852,22 @@ _DRIVER_WINDOW = [
     "text_fingerprint",
     "text_repetition_stats",
     "text_bigram_pmi_topk",
-    # stalest proven fills (last hash-green record r3); the rest of the
-    # r3 set rotated to the tail to make room for the changed-entry
-    # re-proofs above and rotates back next round.
-    "dim_user_info",
-    "dwd_trade_order_detail",
-    "dwd_traffic_page_log",
-    "dws_trade_province_order_window",
+    # re-prove: the DWD topic memoization landed late-r7 (order_refund /
+    # cart_add / pay_detail_suc persisted once per session, their DWS
+    # windows consuming the memo — same values, new plan lineage).
+    "dwd_trade_order_refund",
+    "dws_trade_trademark_category_user_refund_window",
+    "dws_trade_payment_suc_window",
+    "dws_trade_cart_add_uu_window",
 ]
 
 # Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
-_DRIVER_TAIL = [
+_DRIVER_TAIL = [    "dim_user_info",
+    "dwd_trade_order_detail",
+    "dwd_traffic_page_log",
+    "dws_trade_province_order_window",
+
     "text_token_stats",
     "dwd_user_register",
     "dws_user_user_register_window",
@@ -3916,7 +3920,6 @@ _DRIVER_TAIL = [
     "dim_coupon_use_scd2",
     "dws_traffic_page_view_window",
     "dws_trade_user_spu_order_window",
-    "dws_trade_payment_suc_window",
     "dws_trade_order_window",
     "join_salted_skew",
     "join_activity_coupon_full_outer",
@@ -3926,11 +3929,9 @@ _DRIVER_TAIL = [
     "dedup_exact",
     "join_bucketed_colocated",
     "dwd_interaction_comment",
-    "dwd_trade_order_refund",
     "dwd_trade_refund_pay_suc",
     "dws_user_user_login_window",
     "dim_coupon_use",
-    "dws_trade_cart_add_uu_window",
     "streaming_keyword_window",
     "streaming_sessionize",
     "events_viewers_and_buyers",
@@ -3953,7 +3954,6 @@ _DRIVER_TAIL = [
     "events_user_rfm",
     "events_time_rollup",
     "events_hop_window",
-    "dws_trade_trademark_category_user_refund_window",
     "dwd_trade_order_pre_process",
     "streaming_favor_add",
     "streaming_base_log",
