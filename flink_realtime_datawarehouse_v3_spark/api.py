@@ -2952,6 +2952,75 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM per GROUP BY source""",
 )
 
+# Rolling 7-day active users: exact sliding-window distinct WITHOUT a
+# range-frame distinct or a day x day self-join — each (user, day) pair
+# fans out to the <=7 report days it supports (constant fan-out), then
+# one count-distinct per day.
+register(
+    "events_rolling_wau",
+    lambda spark, sf: analytics_op.rolling_wau(
+        tables.load(spark, sf, "events")
+    ),
+    f"""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+              FROM events),
+bounds AS (SELECT CAST(min(ts) AS DATE) AS d_min,
+                  CAST(max(ts) AS DATE) AS d_max FROM events),
+fan AS (SELECT user_id, d + CAST(o AS INT) AS report_d
+        FROM days, UNNEST(range({analytics_op.WAU_WINDOW_DAYS})) AS t(o)),
+wau AS (SELECT report_d, count(DISTINCT user_id) AS wau
+        FROM fan GROUP BY 1)
+SELECT strftime(report_d, '%Y-%m-%d') AS dt, CAST(wau AS BIGINT) AS wau
+FROM wau, bounds
+WHERE report_d >= d_min AND report_d <= d_max""",
+)
+
+# Curation audit: per-source reject_reason histogram from the SAME
+# single-projection rule builders as corpus_quality_gate.
+register(
+    "corpus_quality_reasons_by_source",
+    lambda spark, sf: text_analysis.quality_reasons_by_source(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH g AS (
+    SELECT source,
+           CASE
+             WHEN NOT (n_words >= {text_analysis.GOPHER_MIN_WORDS}
+                       AND n_words <= {text_analysis.GOPHER_MAX_WORDS})
+               THEN 'word_count'
+             WHEN NOT (n_word_chars >= 3 * n_words
+                       AND n_word_chars <= 10 * n_words)
+               THEN 'mean_word_len'
+             WHEN NOT (5 * n_alpha >= 4 * n_words) THEN 'alpha_ratio'
+             WHEN NOT (n_stop >= 2) THEN 'stopwords'
+             WHEN quality_score < {text_analysis.QUALITY_GATE_MIN_SCORE!r}
+               THEN 'low_quality'
+             ELSE 'kept'
+           END AS reason
+    FROM (SELECT source, n_words, n_word_chars, n_alpha, n_stop,
+                 CASE WHEN n_words > 0 AND n_chars > 0 THEN
+                 round(0.4 * least(1.0, n_words / 400.0)
+                       + 0.3 * (1.0 - n_punct / n_chars)
+                       + 0.3 * least(1.0, (n_stop / n_words) * 5.0), 6)
+                 END AS quality_score
+          FROM (SELECT source,
+                       len({_TOKS}) AS n_words,
+                       length(text) AS n_chars,
+                       coalesce(list_sum(list_transform({_TOKS},
+                           x -> length(x))), 0) AS n_word_chars,
+                       len(list_filter({_TOKS},
+                           x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha,
+                       len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+                       len(list_filter({_TOKS}, t -> t IN {_STOP_EN}))
+                           AS n_stop
+                FROM documents))),
+m AS (SELECT source, reason, CAST(count(*) AS BIGINT) AS n
+      FROM g GROUP BY 1, 2)
+SELECT source, reason, n,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY source) AS BIGINT)
+           AS share_ppm
+FROM m""",
+)
+
 # PageRank over the near-dup pair graph: 10 fixed power-method steps in
 # exact integer micro-units (rank DIV degree contributions), so Spark's
 # iterative joins and the oracle's recursive CTE agree bit-for-bit —
@@ -3822,6 +3891,8 @@ _DRIVER_WINDOW = [
     "text_lang_confusion",               # new r7: lang-ID calibration
     "corpus_contamination_by_source",    # new r7: actionable decon slice
     "streaming_norm_stats",              # new r7: live drift monitor
+    "events_rolling_wau",                # new r7: sliding exact distinct
+    "corpus_quality_reasons_by_source",  # new r7: curation audit table
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
     "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
@@ -3844,8 +3915,6 @@ _DRIVER_WINDOW = [
     "dedup_simhash",
     "dedup_containment",
     "dedup_edit_distance",
-    "dedup_incremental",
-    "dedup_cluster_keep",
     "corpus_dup_ngram_rate",
     "corpus_materialize_final",
     "graph_pagerank_neardup",
@@ -3863,7 +3932,10 @@ _DRIVER_WINDOW = [
 
 # Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
-_DRIVER_TAIL = [    "dim_user_info",
+_DRIVER_TAIL = [
+    "dedup_incremental",
+    "dedup_cluster_keep",
+    "dim_user_info",
     "dwd_trade_order_detail",
     "dwd_traffic_page_log",
     "dws_trade_province_order_window",

@@ -392,3 +392,50 @@ def path_transitions_topk(events: DataFrame, k: int = 20) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("from_type", "to_type", "n", "rank")
     )
+
+
+WAU_WINDOW_DAYS = 7
+
+
+def rolling_wau(events: DataFrame) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) — exact distinct over a
+    sliding window WITHOUT a range-frame distinct (Spark has no
+    count(DISTINCT) over a window) and without a day x day self-join:
+    each (user, active day) pair fans out to the <=7 report days it
+    supports (explode of a bounded 7-element sequence), then one
+    count-distinct hash agg per report day. The fan-out factor is the
+    window length — constant — so the shuffle is 7x the distinct
+    (user, day) pairs, never quadratic. Report days are restricted to
+    the observed day range so both engines emit identical rows."""
+    days = (
+        events.select(
+            "user_id", F.to_date("ts").alias("d")
+        ).distinct()
+    )
+    bounds = events.agg(
+        F.to_date(F.min("ts")).alias("d_min"),
+        F.to_date(F.max("ts")).alias("d_max"),
+    )
+    fan = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.date_add(F.col("d"), WAU_WINDOW_DAYS - 1),
+            )
+        ).alias("report_d"),
+    )
+    wau = fan.groupBy("report_d").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        wau.join(F.broadcast(bounds))
+        .filter(
+            (F.col("report_d") >= F.col("d_min"))
+            & (F.col("report_d") <= F.col("d_max"))
+        )
+        .select(
+            F.date_format("report_d", "yyyy-MM-dd").alias("dt"),
+            F.col("wau").cast("bigint").alias("wau"),
+        )
+    )

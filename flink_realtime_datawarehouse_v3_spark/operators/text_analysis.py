@@ -1288,3 +1288,32 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
             "CAST(n * 1000000 DIV sum(n) OVER (PARTITION BY lang) AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+def quality_reasons_by_source(docs: DataFrame) -> DataFrame:
+    """Curation audit table: which gate rule does the cutting on each
+    source — the reject_reason histogram per source slice the composed
+    quality gate exists to feed. Same single-projection rule builders as
+    :func:`quality_gate` (no drift possible), one hash agg, a window
+    over the |sources x reasons| frame for the ppm share."""
+    c = quality_counts(F.col("text"))
+    r = gopher_rules(c)
+    score = quality_score_col(c)
+    reason = (
+        F.when(~r["word_count"], F.lit("word_count"))
+        .when(~r["mean_word_len"], F.lit("mean_word_len"))
+        .when(~r["alpha_ratio"], F.lit("alpha_ratio"))
+        .when(~r["stopwords"], F.lit("stopwords"))
+        .when(score < F.lit(QUALITY_GATE_MIN_SCORE), F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    t = docs.select("source", reason.alias("reason"))
+    m = t.groupBy("source", "reason").agg(F.count(F.lit(1)).alias("n"))
+    return m.select(
+        "source",
+        "reason",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(n * 1000000 DIV sum(n) OVER (PARTITION BY source) AS BIGINT)"
+        ).alias("share_ppm"),
+    )

@@ -86,6 +86,8 @@ ORACLED = [
     "corpus_multi_bench_decontaminate",
     "text_lang_confusion",
     "corpus_contamination_by_source",
+    "events_rolling_wau",
+    "corpus_quality_reasons_by_source",
 ]
 
 
@@ -1333,3 +1335,39 @@ def test_contamination_by_source_reconciles(spark):
     assert sum(r.n_docs for r in rows) == len(per_doc)
     for r in rows:
         assert r.contaminated_ppm == r.n_contaminated * 1_000_000 // r.n_docs
+
+
+def test_rolling_wau_bounds(spark):
+    """WAU must dominate the daily-active count on every report day and
+    never exceed the total distinct-user count; days are contiguous over
+    the observed range."""
+    from pyspark.sql import functions as F
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    ev = tables.load(spark, SF_SMOKE, "events")
+    dau = {
+        r.dt: r.n
+        for r in ev.select(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("dt"), "user_id")
+        .distinct().groupBy("dt").count().withColumnRenamed("count", "n").collect()
+    }
+    total_users = ev.select("user_id").distinct().count()
+    rows = api.QUERIES["events_rolling_wau"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.wau <= total_users
+        if r.dt in dau:
+            assert r.wau >= dau[r.dt]
+
+
+def test_quality_reasons_reconcile_with_gate(spark):
+    """The per-source reason histogram must sum to the corpus count and
+    its per-reason totals must equal the composed gate's reasons."""
+    from collections import Counter
+
+    gate = api.QUERIES["corpus_quality_gate"](spark, SF_SMOKE).collect()
+    expect = Counter((r.reject_reason or "kept") for r in gate)
+    rows = api.QUERIES["corpus_quality_reasons_by_source"](spark, SF_SMOKE).collect()
+    got = Counter()
+    for r in rows:
+        got[r.reason] += r.n
+    assert got == expect
