@@ -2974,6 +2974,45 @@ FROM wau, bounds
 WHERE report_d >= d_min AND report_d <= d_max""",
 )
 
+# Hypertable gap filling with LOCF: dense per-(type, minute) spine from
+# a bounds agg (never the raw events), missing buckets materialized,
+# last observed mean carried forward by one per-series window pass.
+register(
+    "events_timeseries_gapfill",
+    lambda spark, sf: timeseries_op.gap_fill_locf(
+        tables.load(spark, sf, "events")
+    ),
+    f"""WITH obs AS (
+    SELECT event_type,
+           (epoch_ms(ts) // {timeseries_op.BUCKET_MS}) * {timeseries_op.BUCKET_MS}
+               AS bucket_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) / count(*) AS DOUBLE),
+                 6) AS mean_value
+    FROM events GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+           FROM obs GROUP BY 1),
+spine AS (SELECT event_type, UNNEST(range(lo, hi + 1, {timeseries_op.BUCKET_MS}))
+              AS bucket_ms
+          FROM bounds)
+SELECT s.event_type, s.bucket_ms,
+       coalesce(o.n_events, 0) AS n_events,
+       last_value(o.mean_value IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.bucket_ms
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+       CAST(o.n_events IS NULL AS INT) AS is_gap
+FROM spine s LEFT JOIN obs o USING (event_type, bucket_ms)""",
+)
+
+# Distributed PCA: exact decimal Gram in one pass, 64x64 eigh on the
+# driver (bounded artifact), projection as one Catalyst literal pass.
+# Rows-only (eigen-decomposition is not single-query SQL); gated by the
+# variance-dominance pytest.
+register(
+    "embedding_pca_project",
+    lambda spark, sf: simsearch.pca_project(_emb(spark, sf)),
+)
+
 # Curation audit: per-source reject_reason histogram from the SAME
 # single-projection rule builders as corpus_quality_gate.
 register(
@@ -3893,6 +3932,7 @@ _DRIVER_WINDOW = [
     "streaming_norm_stats",              # new r7: live drift monitor
     "events_rolling_wau",                # new r7: sliding exact distinct
     "corpus_quality_reasons_by_source",  # new r7: curation audit table
+    "events_timeseries_gapfill",         # new r7: gapfill + LOCF
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
     "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
@@ -3914,7 +3954,6 @@ _DRIVER_WINDOW = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_containment",
-    "dedup_edit_distance",
     "corpus_dup_ngram_rate",
     "corpus_materialize_final",
     "graph_pagerank_neardup",
@@ -3933,6 +3972,7 @@ _DRIVER_WINDOW = [
 # Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "dedup_edit_distance",
     "dedup_incremental",
     "dedup_cluster_keep",
     "dim_user_info",
@@ -4057,6 +4097,7 @@ _DRIVER_TAIL = [
     "simsearch_ivf_topk",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
+    "embedding_pca_project",
 ]
 
 # Dataflow definition order (DWD -> DWS -> ops), captured before the driver

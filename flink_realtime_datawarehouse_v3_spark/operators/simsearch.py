@@ -971,3 +971,104 @@ def norm_stats(emb: DataFrame) -> DataFrame:
             "mean_norm2_micro"
         ),
     )
+
+
+PCA_K = 2  # projected dimensions
+
+
+def pca_fit(emb: DataFrame) -> tuple[list[list[float]], list[float], list[float]]:
+    """Distributed PCA fit: ONE pass computes the exact Gram matrix and
+    per-dim sums (the classic X^T X decomposition — the only driver-side
+    object is the bounded 64x64 Gram, never data). Products are summed
+    as DECIMAL(38,12): decimal addition is exact and associative, so the
+    Gram — and therefore the eigenbasis — is bit-identical under any
+    partitioning (a float partial-sum gram would drift at the lsb and
+    flip eigenvector signs run to run). Eigen-decomposition of the
+    covariance happens on the driver (numpy, 64x64); each eigenvector's
+    sign is fixed by making its largest-|.| component positive.
+
+    Returns (components[k][d], mean[d], explained_variance[k]).
+    """
+    import numpy as np
+
+    v = F.col("embedding")
+    pairs = F.flatten(
+        F.transform(
+            v,
+            lambda x, i: F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda y, j: F.struct(
+                    (i * F.size(v) + j).alias("p"),
+                    (x.cast("double") * y.cast("double"))
+                    .cast("decimal(38,12)")
+                    .alias("xy"),
+                ),
+            ),
+        )
+    )
+    g = (
+        emb.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.p").alias("p"))
+        .agg(F.sum("e.xy").alias("s"))
+        .collect()
+    )
+    sums = (
+        emb.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.sum(F.col("x").cast("double").cast("decimal(38,12)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    dim = len(sums)
+    n = int(sums[0].n)
+    mean = np.zeros(dim)
+    for r in sums:
+        mean[r.d] = float(r.s) / n
+    gram = np.zeros((dim, dim))
+    for r in g:
+        gram[r.p // dim, r.p % dim] = float(r.s)
+    cov = gram / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:PCA_K]
+    comps, evs = [], []
+    for idx in order:
+        w = vecs[:, idx]
+        w = w if w[int(np.argmax(np.abs(w)))] >= 0 else -w
+        comps.append([float(x) for x in w])
+        evs.append(float(vals[idx]))
+    return comps, [float(m) for m in mean], evs
+
+
+def pca_project(emb: DataFrame) -> DataFrame:
+    """Project every embedding onto the top-k principal components —
+    the spectral twin of the JL random projection (data-adapted axes vs
+    oblivious ones). The fit is a session-memoized bounded artifact; the
+    projection is one Catalyst pass (component matrix as ONE literal,
+    dot products as in-array folds), outputs in integer micro-units so
+    the result is engine- and partitioning-independent. Registered
+    rows-only (eigen-decomposition is not single-query SQL); gated by
+    the variance-dominance pytest."""
+    comps, mean, evs = _artifact(
+        emb.sparkSession, emb, "pca_fit", (PCA_K,), lambda: pca_fit(emb)
+    )
+    mean_lit = F.array(*[F.lit(m) for m in mean])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        mean_lit,
+        lambda x, m: x - m,
+    )
+    cols = [F.col("vec_id"), F.col("label")]
+    for k, w in enumerate(comps):
+        w_lit = F.array(*[F.lit(x) for x in w])
+        proj = F.aggregate(
+            F.zip_with(centered, w_lit, lambda x, ww: x * ww),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        cols.append(
+            F.round(proj * 1e6).cast("bigint").alias(f"pc{k}_micro")
+        )
+    return emb.select(*cols)

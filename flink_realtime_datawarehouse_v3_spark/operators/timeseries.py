@@ -17,7 +17,7 @@ self-join); the hop window fans each row into window/slide rows map-side
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKET_MS = 60_000  # 1-minute rollup buckets
@@ -111,4 +111,52 @@ def running_total(events: DataFrame) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("running_value"),
+    )
+
+
+def gap_fill_locf(events: DataFrame, bucket_ms: int = BUCKET_MS) -> DataFrame:
+    """Gap filling with last-observation-carried-forward — the hypertable
+    ``time_bucket_gapfill`` + ``locf`` pattern: a dense per-(event_type,
+    minute) spine with empty buckets materialized (n_events = 0) and the
+    last observed mean value carried forward.
+
+    Scale shape: bucketed observations are one hash agg; the dense spine
+    is |types| x |minutes| rows generated from a per-type bounds agg
+    (never from the raw events — generate_series over the bounded bucket
+    range); the LOCF is one window pass PARTITIONED by event_type, so
+    each series sorts only its own spine. The carried value is the
+    6-decimal rounded per-bucket mean (decimal-exact sum / count), so
+    both engines carry identical doubles."""
+    b = (F.unix_millis(F.col("ts")) / F.lit(bucket_ms)).cast("bigint") * bucket_ms
+    obs = (
+        events.select("event_type", b.alias("bucket_ms"),
+                      F.col("value").cast("decimal(18,2)").alias("v"))
+        .groupBy("event_type", "bucket_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round((F.sum("v") / F.count(F.lit(1))).cast("double"), 6)
+            .alias("mean_value"),
+        )
+    )
+    bounds = obs.groupBy("event_type").agg(
+        F.min("bucket_ms").alias("lo"), F.max("bucket_ms").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(bucket_ms))
+        ).alias("bucket_ms"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = spine.join(obs, ["event_type", "bucket_ms"], "left")
+    return joined.select(
+        "event_type",
+        "bucket_ms",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("mean_value", ignorenulls=True).over(w).alias("locf_value"),
+        (F.col("n_events").isNull()).cast("int").alias("is_gap"),
     )

@@ -88,6 +88,7 @@ ORACLED = [
     "corpus_contamination_by_source",
     "events_rolling_wau",
     "corpus_quality_reasons_by_source",
+    "events_timeseries_gapfill",
 ]
 
 
@@ -1371,3 +1372,26 @@ def test_quality_reasons_reconcile_with_gate(spark):
     for r in rows:
         got[r.reason] += r.n
     assert got == expect
+
+
+def test_pca_variance_dominance(spark):
+    """PCA contract: PC1 variance >= PC2 variance, and PC1 variance >=
+    the variance of EVERY original coordinate axis (PC1 maximizes
+    variance over all unit directions, axes included). The exact-decimal
+    Gram makes the fit deterministic: a second projection is identical."""
+    import statistics
+
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    rows = api.QUERIES["embedding_pca_project"](spark, SF_SMOKE).collect()
+    assert rows
+    v0 = statistics.pvariance([r.pc0_micro / 1e6 for r in rows])
+    v1 = statistics.pvariance([r.pc1_micro / 1e6 for r in rows])
+    assert v0 >= v1
+    emb = tables.load(spark, SF_SMOKE, "embeddings").select("embedding").collect()
+    dim = len(emb[0].embedding)
+    for d in range(dim):
+        vd = statistics.pvariance([float(r.embedding[d]) for r in emb])
+        assert v0 >= vd - 1e-9, (d, vd, v0)
+    rows2 = api.QUERIES["embedding_pca_project"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
