@@ -3901,7 +3901,7 @@ _WINDOW_ROUND = 7
 _WINDOW_ROWS_ONLY = {
     "simsearch_hard_negatives_ivf",
     "dedup_embedding_semdedup",
-    "text_bpe_tokenize",
+    "embedding_pca_project",
 }
 
 _DRIVER_WINDOW = [
@@ -3936,7 +3936,7 @@ _DRIVER_WINDOW = [
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
     "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
-    "text_bpe_tokenize",                 # r7: ASCII-\s encode split fix
+    "embedding_pca_project",             # new r7: exact-Gram PCA
     # re-prove: implementation changed this round (uid tmp-path scheme in
     # every sink roundtrip, decimal(38,0) zorder grid, Hadoop-FS
     # compaction inventory, the shared triplet-band refactor).
@@ -4097,7 +4097,7 @@ _DRIVER_TAIL = [
     "simsearch_ivf_topk",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
-    "embedding_pca_project",
+    "text_bpe_tokenize",
 ]
 
 # Dataflow definition order (DWD -> DWS -> ops), captured before the driver

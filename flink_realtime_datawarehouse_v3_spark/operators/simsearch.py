@@ -976,68 +976,42 @@ def norm_stats(emb: DataFrame) -> DataFrame:
 PCA_K = 2  # projected dimensions
 
 
-def pca_fit(emb: DataFrame) -> tuple[list[list[float]], list[float], list[float]]:
-    """Distributed PCA fit: ONE pass computes the exact Gram matrix and
-    per-dim sums (the classic X^T X decomposition — the only driver-side
-    object is the bounded 64x64 Gram, never data). Products are summed
-    as DECIMAL(38,12): decimal addition is exact and associative, so the
-    Gram — and therefore the eigenbasis — is bit-identical under any
-    partitioning (a float partial-sum gram would drift at the lsb and
-    flip eigenvector signs run to run). Eigen-decomposition of the
-    covariance happens on the driver (numpy, 64x64); each eigenvector's
-    sign is fixed by making its largest-|.| component positive.
+def pca_fit(
+    emb: DataFrame, sample_cap: int = SAMPLE_CAP
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """PCA fit on a deterministic BOUNDED sample — the same posture as
+    the IVF/PQ quantizer fits (FAISS trains transforms on ~256k vectors
+    regardless of corpus size): vec_id-ordered sample collected once,
+    covariance + eigh in numpy on the driver. Fixed row order -> fixed
+    float summation order -> a bit-identical eigenbasis every run; each
+    eigenvector's sign is pinned by making its largest-|.| component
+    positive. (An exact distributed Gram via a decimal pair-explode was
+    measured at ~13 s for 2k vectors at sf0.1 — the sampled fit is the
+    production shape AND three orders of magnitude cheaper.)
 
     Returns (components[k][d], mean[d], explained_variance[k]).
     """
     import numpy as np
 
-    v = F.col("embedding")
-    pairs = F.flatten(
-        F.transform(
-            v,
-            lambda x, i: F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(v) - 1),
-                lambda y, j: F.struct(
-                    (i * F.size(v) + j).alias("p"),
-                    (x.cast("double") * y.cast("double"))
-                    .cast("decimal(38,12)")
-                    .alias("xy"),
-                ),
-            ),
-        )
-    )
-    g = (
-        emb.select(F.explode(pairs).alias("e"))
-        .groupBy(F.col("e.p").alias("p"))
-        .agg(F.sum("e.xy").alias("s"))
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_cap)
         .collect()
     )
-    sums = (
-        emb.select(F.posexplode("embedding").alias("d", "x"))
-        .groupBy("d")
-        .agg(
-            F.sum(F.col("x").cast("double").cast("decimal(38,12)")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
-    )
-    dim = len(sums)
-    n = int(sums[0].n)
-    mean = np.zeros(dim)
-    for r in sums:
-        mean[r.d] = float(r.s) / n
-    gram = np.zeros((dim, dim))
-    for r in g:
-        gram[r.p // dim, r.p % dim] = float(r.s)
-    cov = gram / n - np.outer(mean, mean)
+    if not rows:
+        raise ValueError("pca_fit: empty sample")
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = (xc.T @ xc) / len(rows)
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:PCA_K]
     comps, evs = [], []
     for idx in order:
         w = vecs[:, idx]
         w = w if w[int(np.argmax(np.abs(w)))] >= 0 else -w
-        comps.append([float(x) for x in w])
+        comps.append([float(v) for v in w])
         evs.append(float(vals[idx]))
     return comps, [float(m) for m in mean], evs
 
