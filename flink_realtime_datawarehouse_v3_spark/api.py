@@ -3004,9 +3004,10 @@ SELECT s.event_type, s.bucket_ms,
 FROM spine s LEFT JOIN obs o USING (event_type, bucket_ms)""",
 )
 
-# Distributed PCA: exact decimal Gram in one pass, 64x64 eigh on the
-# driver (bounded artifact), projection as one Catalyst literal pass.
-# Rows-only (eigen-decomposition is not single-query SQL); gated by the
+# PCA projection: fit on the bounded deterministic vec_id-ordered
+# sample (same FAISS posture as the IVF/PQ quantizers), 64x64 eigh on
+# the driver, projection as one Catalyst literal pass. Rows-only
+# (eigen-decomposition is not single-query SQL); gated by the
 # variance-dominance pytest.
 register(
     "embedding_pca_project",
@@ -3936,7 +3937,7 @@ _DRIVER_WINDOW = [
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
     "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
-    "embedding_pca_project",             # new r7: exact-Gram PCA
+    "embedding_pca_project",             # new r7: sampled-fit PCA
     # re-prove: implementation changed this round (uid tmp-path scheme in
     # every sink roundtrip, decimal(38,0) zorder grid, Hadoop-FS
     # compaction inventory, the shared triplet-band refactor).

@@ -31,11 +31,17 @@ def hybrid_topk(docs: DataFrame, emb: DataFrame, k: int = 20) -> DataFrame:
     convention every simsearch oracle uses) and only then scaled to
     micro-units, so the fused integer cannot disagree across engines on
     a float half-way case."""
+    # Cast to double BEFORE the cosine (the simsearch._dvec convention):
+    # the oracle scores embedding::DOUBLE[], so a float32 dot product
+    # here could flip the round(,4) on a half-way case.
+    dvec = simsearch._dvec
     qv = (
         emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC_ID)
-        .select(F.col("embedding").alias("q_vec"))
+        .select(dvec(F.col("embedding")).alias("q_vec"))
     )
-    cos4 = F.round(simsearch.cosine(F.col("embedding"), F.col("q_vec")), 4)
+    cos4 = F.round(
+        simsearch.cosine(dvec(F.col("embedding")), F.col("q_vec")), 4
+    )
     dense = emb.crossJoin(F.broadcast(qv)).select(
         F.col("vec_id").alias("doc_id"),
         (F.round(cos4 * 10000).cast("bigint") * 100).alias("cos_micro"),

@@ -1186,12 +1186,21 @@ def fasttext_score(docs: DataFrame) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, t: acc + _ft_weight(t),
     )
+    # Two-step select: the md5-per-feature fold materializes ONCE, then
+    # label_keep reads the column (interpreted HOFs have no
+    # common-subexpression sharing — referencing score_sum twice in one
+    # projection would run the whole fold twice per row).
     return docs.select(
         "doc_id",
         "lang",
         F.size(feats).cast("bigint").alias("n_feats"),
         score_sum.alias("score_sum"),
-        (score_sum > 0).cast("int").alias("label_keep"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "score_sum",
+        (F.col("score_sum") > 0).cast("int").alias("label_keep"),
     )
 
 

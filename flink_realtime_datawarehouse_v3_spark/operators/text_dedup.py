@@ -58,14 +58,7 @@ def shingle_array(text_col: Column, n: int = 3) -> Column:
     re-runs the full tokenize (regex split + filter) — n re-tokenizations
     per shingle per row, measured at ~30 s for a 5k-doc sf0.1 pass at
     n=8 versus <1 s with the array projected once."""
-    toks = tokens(text_col)
-    cnt = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+    return shingle_array_of(tokens(text_col), n)
 
 
 def shingle_array_of(toks: Column, n: int = 3) -> Column:

@@ -127,7 +127,13 @@ def gap_fill_locf(events: DataFrame, bucket_ms: int = BUCKET_MS) -> DataFrame:
     each series sorts only its own spine. The carried value is the
     6-decimal rounded per-bucket mean (decimal-exact sum / count), so
     both engines carry identical doubles."""
-    b = (F.unix_millis(F.col("ts")) / F.lit(bucket_ms)).cast("bigint") * bucket_ms
+    # floor(), not a truncating cast: Spark's cast/DIV truncate toward
+    # zero and diverge from the oracle's // on pre-epoch (negative
+    # epoch-ms) timestamps — same guard as time_rollup above.
+    b = (
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(bucket_ms)).cast("bigint")
+        * bucket_ms
+    )
     obs = (
         events.select("event_type", b.alias("bucket_ms"),
                       F.col("value").cast("decimal(18,2)").alias("v"))

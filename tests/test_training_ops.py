@@ -89,6 +89,10 @@ ORACLED = [
     "events_rolling_wau",
     "corpus_quality_reasons_by_source",
     "events_timeseries_gapfill",
+    "corpus_curation_funnel",
+    "corpus_train_val_test_split",
+    "embedding_norm_stats",
+    "events_new_users_daily",
 ]
 
 
@@ -1377,8 +1381,8 @@ def test_quality_reasons_reconcile_with_gate(spark):
 def test_pca_variance_dominance(spark):
     """PCA contract: PC1 variance >= PC2 variance, and PC1 variance >=
     the variance of EVERY original coordinate axis (PC1 maximizes
-    variance over all unit directions, axes included). The exact-decimal
-    Gram makes the fit deterministic: a second projection is identical."""
+    variance over all unit directions, axes included). The vec_id-ordered
+    bounded-sample fit is deterministic: a second projection is identical."""
     import statistics
 
     from flink_realtime_datawarehouse_v3_spark.sources import tables
