@@ -3014,6 +3014,49 @@ register(
     lambda spark, sf: simsearch.pca_project(_emb(spark, sf)),
 )
 
+# Per-doc Shannon character entropy (garbage/randomness detector):
+# exact counts -> ln on identical integers -> micro-nat round, the LM
+# convention.
+register(
+    "text_char_entropy",
+    lambda spark, sf: text_analysis.char_entropy(
+        tables.load(spark, sf, "documents")
+    ),
+    """WITH ch AS (
+    SELECT doc_id, UNNEST(list_filter(string_split(text, ''), c -> c <> ''))
+        AS ch
+    FROM documents),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       CAST(round((ln(CAST(sum(c) AS BIGINT))
+                   - sum(c * ln(c)) / CAST(sum(c) AS BIGINT)) * 1e6)
+            AS BIGINT) AS entropy_micro_nats
+FROM cnt GROUP BY doc_id""",
+)
+
+# Conversion latency: first view -> first purchase at-or-after it, exact
+# min/median/max over the converter set (percentile == quantile_cont).
+register(
+    "events_time_to_convert",
+    lambda spark, sf: analytics_op.time_to_convert(
+        tables.load(spark, sf, "events")
+    ),
+    """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+conv AS (SELECT v.user_id,
+                min(epoch_ms(p.ts) - epoch_ms(v.first_view)) AS ms
+         FROM v JOIN events p USING (user_id)
+         WHERE p.event_type = 'purchase' AND p.ts >= v.first_view
+         GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_converters,
+       CAST(min(ms) AS BIGINT) AS min_ms,
+       round(quantile_cont(ms, 0.5), 6) AS median_ms,
+       CAST(max(ms) AS BIGINT) AS max_ms
+FROM conv""",
+)
+
 # Curation audit: per-source reject_reason histogram from the SAME
 # single-projection rule builders as corpus_quality_gate.
 register(
@@ -3934,6 +3977,8 @@ _DRIVER_WINDOW = [
     "events_rolling_wau",                # new r7: sliding exact distinct
     "corpus_quality_reasons_by_source",  # new r7: curation audit table
     "events_timeseries_gapfill",         # new r7: gapfill + LOCF
+    "text_char_entropy",                 # new r7: randomness detector
+    "events_time_to_convert",            # new r7: conversion latency
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
     "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
@@ -3954,12 +3999,10 @@ _DRIVER_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_containment",
     "corpus_dup_ngram_rate",
     "corpus_materialize_final",
     "graph_pagerank_neardup",
     "text_fingerprint",
-    "text_repetition_stats",
     "text_bigram_pmi_topk",
     # re-prove: the DWD topic memoization landed late-r7 (order_refund /
     # cart_add / pay_detail_suc persisted once per session, their DWS
@@ -3973,6 +4016,8 @@ _DRIVER_WINDOW = [
 # Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "dedup_containment",
+    "text_repetition_stats",
     "dedup_edit_distance",
     "dedup_incremental",
     "dedup_cluster_keep",

@@ -439,3 +439,36 @@ def rolling_wau(events: DataFrame) -> DataFrame:
             F.col("wau").cast("bigint").alias("wau"),
         )
     )
+
+
+def time_to_convert(events: DataFrame) -> DataFrame:
+    """Conversion-latency distribution: per user, seconds from FIRST
+    'view' to the first 'purchase' at-or-after it, rolled up to exact
+    stats (converter count + min/median/max seconds — the percentile ==
+    quantile_cont parity profiling.py pins). Two tiny per-user min aggs
+    (user_id-keyed shuffles) and one global stats agg — no window, no
+    self-join."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        v.join(p, "user_id")
+        .filter(F.col("pts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_millis("pts") - F.unix_millis("first_view")
+            ).alias("ms")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        F.min("ms").cast("bigint").alias("min_ms"),
+        F.round(F.expr("percentile(ms, 0.5)"), 6).alias("median_ms"),
+        F.max("ms").cast("bigint").alias("max_ms"),
+    )

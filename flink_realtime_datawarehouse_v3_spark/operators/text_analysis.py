@@ -1326,3 +1326,42 @@ def quality_reasons_by_source(docs: DataFrame) -> DataFrame:
             "CAST(n * 1000000 DIV sum(n) OVER (PARTITION BY source) AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-doc Shannon character entropy in integer micro-nats — the
+    randomness/garbage detector (binary blobs and key dumps score high,
+    natural text ~2.5-4.5 nats, repeated filler near 0) a curation pass
+    runs beside the Gopher rules.
+
+    H = ln(n) - sum(c * ln c)/n over exact character counts, so the
+    doubles fed to ln are identical integers on both engines and the
+    micro-round matches bit-for-bit (the LM-score convention). One
+    char explode + two hash aggs keyed by doc_id — no skew beyond a
+    doc's own alphabet."""
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("_clc"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct_chars",
+            F.round(
+                (F.log(F.col("n_chars")) - F.col("_clc") / F.col("n_chars"))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("entropy_micro_nats"),
+        )
+    )

@@ -93,6 +93,8 @@ ORACLED = [
     "corpus_train_val_test_split",
     "embedding_norm_stats",
     "events_new_users_daily",
+    "text_char_entropy",
+    "events_time_to_convert",
 ]
 
 
@@ -1399,3 +1401,18 @@ def test_pca_variance_dominance(spark):
         assert v0 >= vd - 1e-9, (d, vd, v0)
     rows2 = api.QUERIES["embedding_pca_project"](spark, SF_SMOKE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_char_entropy_bounds(spark):
+    """Entropy bounds: 0 <= H <= ln(n_distinct_chars) (+1 micro-nat of
+    rounding slack), and a repeated-single-char doc scores exactly 0."""
+    import math
+
+    rows = api.QUERIES["text_char_entropy"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.entropy_micro_nats <= round(
+            math.log(r.n_distinct_chars) * 1e6
+        ) + 1
+        if r.n_distinct_chars == 1:
+            assert r.entropy_micro_nats == 0
