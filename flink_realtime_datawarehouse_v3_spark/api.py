@@ -2636,7 +2636,8 @@ l AS (SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
 SELECT s.source, n_docs, n_distinct_texts, n_dup_docs,
        CAST(n_dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm,
        total_tokens,
-       CAST(total_tokens * 1000000 // sum(total_tokens) OVER ()
+       CAST(CAST(total_tokens AS HUGEINT) * 1000000
+            // sum(CAST(total_tokens AS HUGEINT)) OVER ()
             AS BIGINT) AS token_share_ppm,
        n_langs
 FROM s JOIN l USING (source)""",

@@ -196,15 +196,18 @@ def encode(
         # text containing e.g.   would yield words the merge table
         # was never trained on — re.ASCII pins \s to the Java set.
         ascii_ws = re.compile(r"\s+", re.ASCII)
+        _FS_CONTROLS = re.compile("[\x1c-\x1f]")
 
         def jsplit(t: str) -> list[str]:
             # Fast path: for ASCII text (the common case) str.split() is
-            # the Java \s+ split at C speed (same set { \t\n\v\f\r};
-            # known divergence: Python also splits the \x1c-\x1f
-            # separator controls, which never occur in real text) — only
-            # non-ASCII rows pay the regex (regex on every row measured
-            # ~4x the whole encode stage at sf0.1).
-            if t.isascii():
+            # the Java \s+ split at C speed — BUT Python str.split() also
+            # splits on the \x1c-\x1f separator controls, which Java \s+
+            # (the training tokenization) does not, so rows containing
+            # any of them take the regex path to keep encode-time word
+            # segmentation identical to the merge-table training. Only
+            # non-ASCII / control-bearing rows pay the regex (regex on
+            # every row measured ~4x the whole encode stage at sf0.1).
+            if t.isascii() and not _FS_CONTROLS.search(t):
                 return t.split()
             return [w for w in ascii_ws.split(t) if w]
 

@@ -39,6 +39,17 @@ def hybrid_topk(docs: DataFrame, emb: DataFrame, k: int = 20) -> DataFrame:
         emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC_ID)
         .select(dvec(F.col("embedding")).alias("q_vec"))
     )
+    # Guard the precondition loudly (the pca_fit empty-sample posture):
+    # with no pinned query vector the crossJoin silently returns 0 rows
+    # while the oracle's scalar subquery yields NULL cosine and still
+    # ranks — a silent parity break. The probe is a pushed-down
+    # single-key filter + take(1): bounded, runs once at plan-build.
+    if not qv.take(1):
+        raise ValueError(
+            f"hybrid_topk: query embedding vec_id={HYBRID_QUERY_VEC_ID} "
+            "not present in the embeddings table (the dense arm assumes "
+            "vec_id and doc_id share an id space)"
+        )
     cos4 = F.round(
         simsearch.cosine(dvec(F.col("embedding")), F.col("q_vec")), 4
     )

@@ -1245,8 +1245,14 @@ def source_stats(docs: DataFrame) -> DataFrame:
             "n_dup_docs",
             F.expr("n_dup_docs * 1000000 DIV n_docs").alias("dup_ppm"),
             "total_tokens",
+            # The share multiply runs in decimal(38,0): BIGINT
+            # total_tokens * 1e6 overflows int64 once the corpus holds
+            # ~9.2e12 tokens (well under 100 TB of text), and the ANSI-on
+            # session turns that into a hard error — the same overflow
+            # class sinks.zorder_write routes through decimal.
             F.expr(
-                "total_tokens * 1000000 DIV sum(total_tokens) OVER ()"
+                "CAST(total_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV sum(CAST(total_tokens AS DECIMAL(38,0))) OVER ()"
             ).alias("token_share_ppm"),
             F.col("n_langs").cast("bigint").alias("n_langs"),
         )
@@ -1338,7 +1344,13 @@ def char_entropy(docs: DataFrame) -> DataFrame:
     doubles fed to ln are identical integers on both engines and the
     micro-round matches bit-for-bit (the LM-score convention). One
     char explode + two hash aggs keyed by doc_id — no skew beyond a
-    doc's own alphabet."""
+    doc's own alphabet.
+
+    Unicode note: ``F.split(text, '')`` is code-POINT-safe on this
+    engine (Java regex zero-width splits cannot land inside a surrogate
+    pair), so non-BMP characters stay whole and match DuckDB's
+    per-character ``string_split`` — pinned on an astral-plane string by
+    ``test_char_entropy_astral_parity``."""
     chars = docs.select(
         "doc_id",
         F.explode(

@@ -1416,3 +1416,38 @@ def test_char_entropy_bounds(spark):
         ) + 1
         if r.n_distinct_chars == 1:
             assert r.entropy_micro_nats == 0
+
+
+def test_char_entropy_astral_parity(spark):
+    """Non-BMP safety: Spark's zero-width regex split cannot land inside
+    a surrogate pair, so astral-plane characters (emoji, CJK extension B)
+    count as ONE character on both engines — guards the UTF-16-code-unit
+    divergence an engine swap could reintroduce."""
+    import duckdb
+    import pandas as pd
+
+    from flink_realtime_datawarehouse_v3_spark.operators import text_analysis
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a\U0001f600b", "\U0001f600\U0001f600", "𠀀𠀁 plain"],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = {
+        r.doc_id: (r.n_chars, r.n_distinct_chars, r.entropy_micro_nats)
+        for r in text_analysis.char_entropy(docs).collect()
+    }
+    # Code-point counts: surrogate halves would double these.
+    assert got[1][0] == 3 and got[1][1] == 3
+    assert got[2] == (2, 1, 0)
+    assert got[3][0] == 8
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    assert_parity(
+        text_analysis.char_entropy(docs),
+        con,
+        api.ORACLES["text_char_entropy"],
+        "char_entropy_astral",
+    )
