@@ -44,7 +44,7 @@ from ..plans import dwd_simple
 from ..sources import cdc, logs
 from . import stateful
 from .core import TempStreamDir, read_stream, run_foreach_batch, run_to_memory
-from .dim_app import dim_router
+from .dim_app import dim_router, read_dim_table
 
 N_FILES = 4
 
@@ -409,7 +409,7 @@ def stream_order_info_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = read_stream(spark, d.sub("in"))
         out_path = d.sub("sink")
         run_foreach_batch(s, stateful.upsert_sink(["id"], "ts", out_path))
-        return spark.read.parquet(out_path).localCheckpoint()
+        return stateful.read_upsert_table(spark, out_path).localCheckpoint()
 
 
 _PRE_TABLES = [
@@ -692,8 +692,8 @@ def stream_dim_app(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         out_dir = d.sub("dims")
         run_foreach_batch(s, dim_router(out_dir))
         return {
-            cfg.sink_table: spark.read.parquet(
-                os.path.join(out_dir, cfg.sink_table)
+            cfg.sink_table: read_dim_table(
+                spark, out_dir, cfg.sink_table
             ).localCheckpoint()
             for cfg in DIM_CONFIG
         }
@@ -885,9 +885,11 @@ def stream_dim_coupon_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = read_stream(spark, d.sub("in"))
         out_dir = d.sub("dims")
         run_foreach_batch(s, scd2_sink(out_dir, cfg))
-        return spark.read.parquet(
-            os.path.join(out_dir, cfg.sink_table + "_scd2")
-        ).localCheckpoint()
+        return (
+            spark.read.parquet(os.path.join(out_dir, cfg.sink_table + "_scd2"))
+            .drop("__bucket")
+            .localCheckpoint()
+        )
 
 
 def stream_keyword_window_late(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,7 +972,7 @@ def stream_dim_user_info_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         run_foreach_batch(s, dim_router(out_dir, provider))
         return (
-            spark.read.parquet(os.path.join(out_dir, "dim_user_info"))
+            read_dim_table(spark, out_dir, "dim_user_info")
             .select("id", "name", "phone_num", "create_time")
             .localCheckpoint()
         )
