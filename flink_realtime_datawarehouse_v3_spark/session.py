@@ -75,5 +75,21 @@ def get_spark(app_name: str = "flink_realtime_datawarehouse_v3_spark") -> SparkS
     spark.conf.set(
         "spark.sql.ansi.enabled", os.environ.get("SPARK_GRAFT_ANSI", "true")
     )
+    # Streaming keyed state lives in RocksDB, not the default in-memory
+    # HDFSBackedStateStore: at 100 TB the live D1/D4/D5 state (one entry
+    # per mid/order key) exceeds executor heap, and RocksDB spills to
+    # local disk with bounded memory — the reference's bounded-state
+    # intent (state TTL, RT/app/dwd/DwdTrafficUniqueVisitorDetail.java:83-87)
+    # under Spark's production provider. Read at query start, so every
+    # stateful replay in this repo runs on RocksDB (asserted by
+    # tests/test_streaming.py::test_rocksdb_state_store_active).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        os.environ.get(
+            "SPARK_GRAFT_STATESTORE",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ),
+    )
     spark.sparkContext.setLogLevel("WARN")
     return spark

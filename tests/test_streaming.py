@@ -579,3 +579,45 @@ def test_upsert_sink_untouched_buckets_byte_identical(spark, tmp_path):
         assert rows[i] == ("upd", 99)
     missed = next(i for i in range(64) if i not in upd_ids)
     assert rows[missed] == (f"v{missed}", 10)
+
+
+def test_rocksdb_state_store_active(spark, tmp_path):
+    """The production state-store posture: every stateful streaming query
+    in this session runs on the RocksDB provider (bounded executor memory,
+    disk-backed keyed state), not the default in-memory HDFS-backed store.
+    Asserts both the session conf and the live query's state-operator
+    metrics — the conf alone could be silently ignored."""
+    import os
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import core, stateful
+
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+    df = spark.createDataFrame(
+        [
+            (f"m{i % 5}", f"2024-01-0{1 + i % 3}", 1000 + i, f"e{i}")
+            for i in range(40)
+        ],
+        "mid string, dt string, ts long, event_id string",
+    )
+    core.write_stream_input(df, str(tmp_path / "in"), n_files=3, order_by=["ts"])
+    s = core.read_stream(spark, str(tmp_path / "in"))
+    out = stateful.first_per_day_stream(s)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rocksdb_gate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+        lp = q.lastProgress
+    finally:
+        q.stop()
+    metrics = lp["stateOperators"][0]["customMetrics"]
+    rocks = [k for k in metrics if k.lower().startswith("rocksdb")]
+    assert rocks, f"no rocksdb state-store metrics in {sorted(metrics)[:8]}"
+    assert spark.table("rocksdb_gate").count() > 0
