@@ -26,11 +26,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Pytest-only recall fixtures: EXACT brute-force baselines whose plans are
+# unbounded cross products by construction (|Q| x |V|). They are NOT part
+# of the registered surface — the registry ships zero cartesians
+# (tests/test_plans.py::test_registry_no_cartesian, empty whitelist) —
+# but stay oracle-checked in pytest (tests/test_training_ops.py) because
+# they are the recall oracles the registered ANN twins
+# (simsearch_ivf_topk / simsearch_ivfpq_topk / simsearch_hard_negatives_ivf)
+# are gated against.
+FIXTURE_QUERIES: dict[str, QueryFn] = {}
+FIXTURE_ORACLES: dict[str, str] = {}
+
 
 def register(name: str, fn: QueryFn, oracle_sql: str | None = None) -> None:
     QUERIES[name] = fn
     if oracle_sql is not None:
         ORACLES[name] = oracle_sql
+
+
+def register_fixture(name: str, fn: QueryFn, oracle_sql: str | None = None) -> None:
+    FIXTURE_QUERIES[name] = fn
+    if oracle_sql is not None:
+        FIXTURE_ORACLES[name] = oracle_sql
 
 
 def _cdc(spark: SparkSession, sf_dir: str, only: list[str]) -> DataFrame:
@@ -2266,8 +2283,10 @@ WHERE {text_analysis.hash40_sql("CAST(d.doc_id AS VARCHAR)")} % 1000000
 
 # Contrastive training-pair mining: (anchor, positive, hard-negative)
 # triplets — positive = exact NN, negatives = the close-but-not-nearest
-# rank band (ANCE/DPR-style).
-register(
+# rank band (ANCE/DPR-style). EXACT baseline: pytest-only recall fixture
+# since r8 (its scored pass is an unbounded crossJoin); the registered
+# shape is simsearch_hard_negatives_ivf.
+register_fixture(
     "simsearch_hard_negatives",
     lambda spark, sf: simsearch.hard_negative_triplets(_emb(spark, sf)),
     """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
@@ -2291,9 +2310,8 @@ WHERE r.rank BETWEEN 11 AND 20""",
 
 # The same miner riding the IVF index: candidate generation via the
 # probed-cell bucket equi-join, band selection unchanged — the per-
-# training-run shape (the exact entry above is the one-time oracle
-# baseline; it and simsearch_cosine_topk are the only registered plans
-# allowed a CartesianProduct). Approximate -> rows-only; overlap vs the
+# training-run shape (the exact fixture above is the one-time oracle
+# baseline, pytest-only). Approximate -> rows-only; overlap vs the
 # exact triplets at equal budget + no-cartesian plan gate in pytest.
 register(
     "simsearch_hard_negatives_ivf",
@@ -3515,7 +3533,11 @@ register(
     ),
 )
 
-register(
+# EXACT flat-scan baseline: pytest-only recall fixture since r8 (the
+# |Q| x |V| crossJoin is the one shape that can never survive a 100x
+# scale-up); the registered ANN shapes are simsearch_ivf_topk /
+# simsearch_ivfpq_topk, recall-gated against this fixture in pytest.
+register_fixture(
     "simsearch_cosine_topk",
     lambda spark, sf: simsearch.cosine_topk(_emb(spark, sf)),
     """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
@@ -3992,7 +4014,7 @@ _DRIVER_WINDOW = [
     "sink_corpus_partition_upsert",
     "sink_events_zorder_read",
     "corpus_shard_pack",
-    "simsearch_hard_negatives",
+    "dedup_containment",
     # re-prove: the shingle/n-gram builders changed mid-round (the
     # interpreted-HOF re-tokenization fix pre-projects the token array —
     # same semantics, new plan shape; every consumer re-proven hard).
@@ -4017,7 +4039,6 @@ _DRIVER_WINDOW = [
 # Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
-    "dedup_containment",
     "text_repetition_stats",
     "dedup_edit_distance",
     "dedup_incremental",
@@ -4067,7 +4088,6 @@ _DRIVER_TAIL = [
     "streaming_sample_mixture",
     "dws_keyword_window_udtf_sql",
     "dedup_embedding_cosine",
-    "simsearch_cosine_topk",
     "embedding_quantize_int8",
     "text_corpus_clean",
     "text_quality_score",

@@ -216,19 +216,58 @@ def zorder_write(
     )
 
 
-def files_containing(path: str, col: str, value) -> tuple[int, int]:
-    """(candidate_files, total_files): how many part files' footer
-    min/max for ``col`` admit ``value`` — the driver-side metadata probe
-    behind data skipping (what the scan planner consults)."""
-    import glob
-    import os
+def _read_parquet_footer(spark: SparkSession, file_path: str, flen: int):
+    """Parquet footer metadata via the Hadoop FileSystem API — two ranged
+    reads (8-byte trailer, then the thrift footer), never the data pages,
+    so the probe costs O(footer) per file even when the file lives on an
+    object store. The footer bytes are rewrapped as a minimal in-memory
+    parquet file (magic + footer + trailer) for pyarrow to parse — footer
+    parsing never dereferences data-page offsets."""
+    import io
+    import struct
 
     import pyarrow.parquet as pq
 
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(file_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def ranged_read(pos: int, n: int) -> bytes:
+        # seek + bounded toByteArray: the returned Java byte[] crosses
+        # the py4j bridge as Python bytes (an ARGUMENT array would be
+        # copied by value and never see the Java-side write).
+        stream = fs.open(jpath)
+        try:
+            stream.seek(pos)
+            out = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream, n))
+            if len(out) != n:
+                raise EOFError(f"short read at {pos}+{n} in {file_path}")
+            return out
+        finally:
+            stream.close()
+
+    trailer = ranged_read(flen - 8, 8)
+    if trailer[4:] != b"PAR1":
+        raise ValueError(f"not a parquet file: {file_path}")
+    (footer_len,) = struct.unpack("<I", trailer[:4])
+    footer = ranged_read(flen - 8 - footer_len, footer_len)
+    return pq.ParquetFile(io.BytesIO(b"PAR1" + footer + trailer)).metadata
+
+
+def files_containing(
+    spark: SparkSession, path: str, col: str, value
+) -> tuple[int, int]:
+    """(candidate_files, total_files): how many part files' footer
+    min/max for ``col`` admit ``value`` — the driver-side metadata probe
+    behind data skipping (what the scan planner consults).
+
+    Inventory and footer reads both go through the Hadoop FileSystem API
+    (the :func:`list_part_files` posture), so the same probe works
+    against s3a:// / abfs:// / hdfs:// URIs — no local glob."""
     total = cand = 0
-    for f in glob.glob(os.path.join(path, "part-*.parquet")):
+    for fpath, flen in list_part_files(spark, path):
         total += 1
-        md = pq.ParquetFile(f).metadata
+        md = _read_parquet_footer(spark, fpath, flen)
         idx = md.schema.names.index(col)
         hit = False
         for rg in range(md.num_row_groups):

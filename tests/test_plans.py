@@ -131,16 +131,14 @@ def test_no_row_at_a_time_python_udf(plans):
     assert not offenders, f"row-at-a-time Python UDF in hot path: {offenders}"
 
 
-# The only registered plans allowed an unbounded cartesian: the two
-# documented EXACT baselines (brute-force cosine top-k is the recall
-# oracle the approximate ANN entries are gated against; the exact
-# hard-negative miner is the hash-green oracle twin of the IVF-gated
-# one). Everything else must be bucketed/banded/broadcast — flat-ADC
-# pq_topk was unregistered in r7 for exactly this invariant.
-CARTESIAN_WHITELIST = {
-    "simsearch_cosine_topk",
-    "simsearch_hard_negatives",
-}
+# EMPTY since r8: the registry ships ZERO unbounded cross products. The
+# two exact recall baselines (brute-force cosine top-k, exact
+# hard-negative miner) moved off-registry to pytest-only fixtures
+# (api.FIXTURE_QUERIES) — still oracle-checked and still the recall
+# oracles the ANN entries are gated against, but no registered plan may
+# contain a CartesianProduct (flat-ADC pq_topk was unregistered in r7,
+# these two in r8, for exactly this invariant).
+CARTESIAN_WHITELIST: set[str] = set()
 
 
 def test_registry_no_cartesian(plans):
@@ -267,3 +265,32 @@ def test_events_scans_pruned(plans, name, want):
     for s in scans:
         got = {c.split(":")[0] for c in s.split(",") if ":" in c}
         assert got <= want, f"{name}: scan reads extra columns {got - want}"
+
+
+# Every registered global top-k (rank<=k over a Window.orderBy with no
+# partition key, or ORDER BY + LIMIT over an aggregate) must compile to a
+# partition-pushed k-cut. On Spark >= 3.5 InferWindowGroupLimit rewrites
+# the rank filter into WindowGroupLimit (or all the way to
+# TakeOrderedAndProject); without the rewrite the single-partition
+# WindowExec would funnel the whole corpus through one task — a silent
+# scale regression a version/config flip could reintroduce.
+GLOBAL_TOPK_ENTRIES = [
+    "text_bm25_topk",              # text_analysis.bm25_topk
+    "retrieval_hybrid_topk",       # retrieval.hybrid_topk
+    "events_path_transitions_topk",  # analytics.path_transitions_topk
+    "corpus_span_hotlist",         # text_dedup.span_hotlist
+    "events_type_counts_top",      # analytics.type_counts_top
+]
+
+
+def test_global_topk_kcut_pushed(plans):
+    offenders = [
+        n
+        for n in GLOBAL_TOPK_ENTRIES
+        if "TakeOrderedAndProject" not in plans[n]
+        and "WindowGroupLimit" not in plans[n]
+    ]
+    assert not offenders, (
+        f"global top-k without a partition-pushed k-cut (full sort in one "
+        f"task): {offenders}"
+    )
