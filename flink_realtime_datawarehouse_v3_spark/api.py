@@ -2631,6 +2631,99 @@ SELECT doc_id, lang,
 FROM f""",
 )
 
+# The TRAINED twin of the classifier pair: one-pass NB log-odds fit from
+# Gopher-pass/fail weak labels (feature explode -> <= FT_BUCKETS-row hash
+# agg; the totals window runs over that bounded frame). Full oracle: every
+# ln runs on an exact integer on both engines.
+register(
+    "text_fasttext_fit",
+    lambda spark, sf: text_analysis.fasttext_fit(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+lbl AS (SELECT doc_id,
+               toks || list_transform(range(1, greatest(len(toks), 1)),
+                                      i -> toks[i] || ' ' || toks[i + 1]) AS feats,
+               (len(toks) >= 10 AND len(toks) <= 100000
+                AND coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                      >= 3 * len(toks)
+                AND coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                      <= 10 * len(toks)
+                AND 5 * len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+                      >= 4 * len(toks)
+                AND len(list_filter(toks,
+                        x -> list_contains(['the','a','of','and','to'], x))) >= 2) AS pos
+        FROM t),
+fe AS (SELECT CAST(pos AS INT) AS pos,
+              CAST(CAST(concat('0x', substr(md5(t), 1, 10)) AS UBIGINT) AS BIGINT) % 4096 AS bucket
+       FROM (SELECT pos, UNNEST(feats) AS t FROM lbl)),
+agg AS (SELECT bucket, CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(1 - pos) AS BIGINT) AS n_neg
+        FROM fe GROUP BY bucket)
+SELECT bucket, n_pos, n_neg,
+       CAST(round((ln(n_pos + 1) - ln(sum(n_pos) OVER () + 4096)
+                   - ln(n_neg + 1) + ln(sum(n_neg) OVER () + 4096)) * 1e6)
+            AS BIGINT) AS w_micro
+FROM agg""",
+)
+
+# Scoring with the trained weights: the model rides the Spark plan as one
+# dense 4096-int array literal (bounded broadcast artifact, memoized per
+# session); the oracle recomputes the same fit inline and scores via a
+# bucket join — self-trained on the same corpus, so the smoothed default
+# weight never fires here (its unseen-bucket path is pinned in pytest).
+register(
+    "text_fasttext_score_trained",
+    lambda spark, sf: text_analysis.fasttext_score_trained(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id, lang,
+             toks || list_transform(range(1, greatest(len(toks), 1)),
+                                      i -> toks[i] || ' ' || toks[i + 1]) AS feats,
+             (len(toks) >= 10 AND len(toks) <= 100000
+                AND coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                      >= 3 * len(toks)
+                AND coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                      <= 10 * len(toks)
+                AND 5 * len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+                      >= 4 * len(toks)
+                AND len(list_filter(toks,
+                        x -> list_contains(['the','a','of','and','to'], x))) >= 2) AS pos
+      FROM t),
+fb AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+              CAST(CAST(concat('0x', substr(md5(t), 1, 10)) AS UBIGINT) AS BIGINT) % 4096 AS bucket
+       FROM (SELECT doc_id, pos, UNNEST(feats) AS t FROM f)),
+agg AS (SELECT bucket, CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(1 - pos) AS BIGINT) AS n_neg
+        FROM fb GROUP BY bucket),
+tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS np, CAST(sum(n_neg) AS BIGINT) AS nn
+        FROM agg),
+w AS (SELECT bucket,
+             CAST(round((ln(n_pos + 1) - ln(np + 4096)
+                         - ln(n_neg + 1) + ln(nn + 4096)) * 1e6) AS BIGINT) AS w
+      FROM agg, tot),
+sc AS (SELECT fb.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+       FROM fb JOIN w USING (bucket) GROUP BY fb.doc_id),
+scm AS (SELECT f.doc_id, f.lang, f.pos,
+               CAST(len(f.feats) AS BIGINT) AS n_feats,
+               CAST(coalesce(sc.score, 0) AS BIGINT) AS score_micro
+        FROM f LEFT JOIN sc USING (doc_id)),
+cls AS (SELECT pos, CAST(sum(score_micro // n_feats) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS c
+        FROM scm WHERE n_feats > 0 GROUP BY pos),
+bias AS (SELECT coalesce(
+           (SELECT CAST(floor((CAST(p.s AS DOUBLE) / CAST(p.c AS DOUBLE)
+                               + CAST(n.s AS DOUBLE) / CAST(n.c AS DOUBLE))
+                              / 2) AS BIGINT)
+            FROM (SELECT s, c FROM cls WHERE pos) p,
+                 (SELECT s, c FROM cls WHERE NOT pos) n),
+           0) AS b)
+SELECT doc_id, lang, n_feats, score_micro,
+       CAST(score_micro > bias.b * n_feats AS INT) AS label_keep
+FROM scm, bias""",
+)
+
 # Per-source corpus health report: docs / distinct texts / exact-dup
 # ppm / token budget share — the per-domain accounting pass of a crawl
 # curation pipeline. Two-level agg; the share window runs over the
@@ -4165,6 +4258,8 @@ _DRIVER_TAIL = [
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
     "text_bpe_tokenize",
+    "text_fasttext_fit",
+    "text_fasttext_score_trained",
 ]
 
 # Dataflow definition order (DWD -> DWS -> ops), captured before the driver

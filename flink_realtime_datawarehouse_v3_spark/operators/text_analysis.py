@@ -1162,15 +1162,10 @@ def _ft_weight(feature: Column) -> Column:
     return hash40(F.concat(F.lit("w_"), bucket.cast("string"))) % FT_W_MOD - 1000
 
 
-def fasttext_score(docs: DataFrame) -> DataFrame:
-    """Per-doc linear classifier score over hashed unigram+bigram
-    features — zero shuffle, zero explode: the feature arrays, bucket
-    hashes, and weight sum all live inside ONE projection (aggregate()
-    over the token array), so the classifier costs exactly one corpus
-    scan at any scale. All-integer micro-unit arithmetic -> the score is
-    engine- and partitioning-independent.
-    """
-    toks = tokens(F.col("text"))
+def _ft_feats(text_col: Column) -> Column:
+    """The shared fastText feature array: unigrams + space-joined
+    bigrams (hashed downstream into FT_BUCKETS)."""
+    toks = tokens(text_col)
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,
@@ -1180,7 +1175,22 @@ def fasttext_score(docs: DataFrame) -> DataFrame:
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(toks, bigrams)
+    return F.concat(toks, bigrams)
+
+
+def fasttext_score(docs: DataFrame) -> DataFrame:
+    """Per-doc linear classifier score over hashed unigram+bigram
+    features — zero shuffle, zero explode: the feature arrays, bucket
+    hashes, and weight sum all live inside ONE projection (aggregate()
+    over the token array), so the classifier costs exactly one corpus
+    scan at any scale. All-integer micro-unit arithmetic -> the score is
+    engine- and partitioning-independent.
+
+    The weights here are hash-derived pseudo-weights (the STRUCTURAL
+    twin); the trained form is :func:`fasttext_fit` +
+    :func:`fasttext_score_trained`.
+    """
+    feats = _ft_feats(F.col("text"))
     score_sum = F.aggregate(
         feats,
         F.lit(0).cast("bigint"),
@@ -1201,6 +1211,174 @@ def fasttext_score(docs: DataFrame) -> DataFrame:
         "n_feats",
         "score_sum",
         (F.col("score_sum") > 0).cast("int").alias("label_keep"),
+    )
+
+
+def _gopher_pass(text_col: Column) -> Column:
+    """The composed Gopher pass/fail boolean — the weak label the
+    trainable classifier fits against (gopher-pass = positive)."""
+    r = gopher_rules(quality_counts(text_col))
+    return (
+        r["word_count"] & r["mean_word_len"] & r["alpha_ratio"] & r["stopwords"]
+    )
+
+
+def fasttext_fit(docs: DataFrame) -> DataFrame:
+    """One-pass distributed fit of the hashed linear classifier:
+    per-bucket Naive-Bayes log-odds from Gopher-pass/fail WEAK labels
+    (the fastText supervised recipe with rule-based labels, the
+    CCNet/FineWeb bootstrap posture).
+
+    w(b) = ln((n_pos_b + 1)/(N_pos + B)) - ln((n_neg_b + 1)/(N_neg + B)),
+    in integer micro-units with every ln running on an exact integer, so
+    both engines agree bit-for-bit (the LM-score convention). Plan: one
+    feature explode + one hash agg to <= FT_BUCKETS rows; the totals
+    window runs over that bounded frame, never the corpus.
+    """
+    fe = docs.select(
+        _gopher_pass(F.col("text")).alias("pos"),
+        F.explode(_ft_feats(F.col("text"))).alias("t"),
+    ).select(
+        "pos", (hash40(F.col("t")) % FT_BUCKETS).alias("bucket")
+    )
+    agg = fe.groupBy("bucket").agg(
+        F.sum(F.col("pos").cast("bigint")).cast("bigint").alias("n_pos"),
+        F.sum((~F.col("pos")).cast("bigint")).cast("bigint").alias("n_neg"),
+    )
+    w_tot = Window.partitionBy()  # over the <= FT_BUCKETS-row frame
+    np_t = F.sum("n_pos").over(w_tot)
+    nn_t = F.sum("n_neg").over(w_tot)
+    return agg.select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.log(F.col("n_pos") + 1)
+                - F.log(np_t + FT_BUCKETS)
+                - F.log(F.col("n_neg") + 1)
+                + F.log(nn_t + FT_BUCKETS)
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+
+
+def _ft_score_cols(docs: DataFrame, weights: list[int]) -> DataFrame:
+    """(doc_id, lang, n_feats, score_micro) under a dense weight vector —
+    the shared zero-shuffle scoring projection (one array literal, one
+    fold; the two-step select is the interpreted-HOF CSE lesson: the fold
+    materializes once, downstream columns read it)."""
+    w_arr = F.lit(weights)
+    feats = _ft_feats(F.col("text"))
+    score = F.aggregate(
+        feats,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.element_at(w_arr, (hash40(t) % FT_BUCKETS + 1).cast("int")),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(feats).cast("bigint").alias("n_feats"),
+        score.alias("score_micro"),
+    )
+
+
+def fit_model(docs: DataFrame, cache_key: tuple = ()) -> tuple[list[int], int]:
+    """The trained model as a bounded driver-side artifact: (dense
+    FT_BUCKETS-long micro-unit weight vector, decision bias). Unseen
+    buckets get the smoothed prior ln((N_neg+B)/(N_pos+B)).
+
+    The bias calibrates the imbalanced weak labels (a raw ``sum > 0``
+    cut predicts the majority class): it is the midpoint of the two
+    classes' mean per-FEATURE scores — per-doc mean = score DIV n_feats
+    (truncating integer division on BOTH engines), per-class averages in
+    one bounded 2-row agg, midpoint floored from exact-integer inputs so
+    Python, Spark and DuckDB produce the identical integer.
+
+    Collects are <= FT_BUCKETS rows + 2 rows; memoized per
+    (applicationId, plan, params) via the simsearch artifact cache, so
+    the fit + score entries in one session pay the fit once. Cleared by
+    api.reset_session_caches()."""
+    from . import simsearch
+
+    def build() -> tuple[list[int], int]:
+        import math
+
+        rows = fasttext_fit(docs).collect()
+        np_t = sum(r.n_pos for r in rows)
+        nn_t = sum(r.n_neg for r in rows)
+        default = round(
+            (math.log(nn_t + FT_BUCKETS) - math.log(np_t + FT_BUCKETS)) * 1e6
+        )
+        dense = [default] * FT_BUCKETS
+        for r in rows:
+            dense[r.bucket] = r.w_micro
+        # Calibration pass: per-class mean of per-doc mean-feature scores.
+        per_class = {
+            r.pos: (r.s, r.c)
+            for r in _ft_score_cols(docs, dense)
+            .join(
+                docs.select(
+                    "doc_id", _gopher_pass(F.col("text")).alias("pos")
+                ),
+                "doc_id",
+            )
+            .filter(F.col("n_feats") > 0)
+            .select(
+                "pos",
+                F.expr("score_micro DIV n_feats").alias("m"),
+            )
+            .groupBy("pos")
+            .agg(
+                F.sum("m").cast("bigint").alias("s"),
+                F.count(F.lit(1)).cast("bigint").alias("c"),
+            )
+            .collect()
+        }
+        if True not in per_class or False not in per_class:
+            return dense, 0  # degenerate single-class corpus: raw cut
+        sp, cp = per_class[True]
+        sn, cn = per_class[False]
+        bias = math.floor(
+            (float(sp) / float(cp) + float(sn) / float(cn)) / 2
+        )
+        return dense, bias
+
+    return simsearch._artifact(
+        docs.sparkSession, docs, "ft_model", cache_key, build
+    )
+
+
+def fit_weights_dense(docs: DataFrame, cache_key: tuple = ()) -> list[int]:
+    return fit_model(docs, cache_key)[0]
+
+
+def fasttext_score_trained(
+    docs: DataFrame, model: tuple[list[int], int] | None = None
+) -> DataFrame:
+    """Score with the TRAINED model (self-trained on ``docs``'s own
+    Gopher weak labels unless an explicit (weights, bias) is passed):
+    same zero-shuffle one-projection shape as :func:`fasttext_score`,
+    with the model riding the plan as ONE dense array literal + one bias
+    literal (the Bloom-words posture — a 4096-int broadcast-sized
+    artifact, never a join). label_keep compares the per-feature mean
+    score against the calibrated bias via an integer cross-multiply
+    (score > bias * n_feats), so no division touches the hot path."""
+    if model is None:
+        model = fit_model(docs)
+    weights, bias = model
+    return _ft_score_cols(docs, weights).select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "score_micro",
+        (F.col("score_micro") > F.lit(bias) * F.col("n_feats"))
+        .cast("int")
+        .alias("label_keep"),
     )
 
 
