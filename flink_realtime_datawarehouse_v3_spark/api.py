@@ -2672,12 +2672,11 @@ FROM agg""",
 # session); the oracle recomputes the same fit inline and scores via a
 # bucket join — self-trained on the same corpus, so the smoothed default
 # weight never fires here (its unseen-bucket path is pinned in pytest).
-register(
-    "text_fasttext_score_trained",
-    lambda spark, sf: text_analysis.fasttext_score_trained(
-        tables.load(spark, sf, "documents")
-    ),
-    f"""WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+# Shared oracle CTE chain for the TRAINED classifier family: tokenize ->
+# features + Gopher weak label -> bucketed counts -> log-odds weights ->
+# per-doc score (scm) -> calibrated bias. Used by the score and the
+# calibration oracles so the two can never drift.
+_FT_TRAINED_CTES = f"""WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
 f AS (SELECT doc_id, lang,
              toks || list_transform(range(1, greatest(len(toks), 1)),
                                       i -> toks[i] || ' ' || toks[i + 1]) AS feats,
@@ -2718,10 +2717,174 @@ bias AS (SELECT coalesce(
                               / 2) AS BIGINT)
             FROM (SELECT s, c FROM cls WHERE pos) p,
                  (SELECT s, c FROM cls WHERE NOT pos) n),
-           0) AS b)
+           0) AS b)"""
+
+register(
+    "text_fasttext_score_trained",
+    lambda spark, sf: text_analysis.fasttext_score_trained(
+        tables.load(spark, sf, "documents")
+    ),
+    _FT_TRAINED_CTES
+    + """
 SELECT doc_id, lang, n_feats, score_micro,
        CAST(score_micro > bias.b * n_feats AS INT) AS label_keep
 FROM scm, bias""",
+)
+
+# Per-language calibration table for the trained classifier: agreement
+# with the Gopher weak labels sliced by lang — one scoring projection +
+# one |langs|-row agg on the Spark side (the weak label rides the same
+# projection, no self-join).
+register(
+    "text_fasttext_calibration",
+    lambda spark, sf: text_analysis.fasttext_calibration(
+        tables.load(spark, sf, "documents")
+    ),
+    _FT_TRAINED_CTES
+    + """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(score_micro > bias.b * n_feats AS INT)) AS BIGINT)
+         AS n_pred_keep,
+       CAST(sum(CAST(pos AS INT)) AS BIGINT) AS n_weak_pass,
+       CAST(sum(CAST((score_micro > bias.b * n_feats) = pos AS INT))
+            AS BIGINT) AS n_agree,
+       CAST(CAST(sum(CAST((score_micro > bias.b * n_feats) = pos AS INT))
+                 AS BIGINT) * 1000000 // count(*) AS BIGINT) AS agree_ppm
+FROM scm, bias GROUP BY lang""",
+)
+
+# Tokenizer vocabulary coverage: per-doc OOV ppm against the corpus's own
+# top-200 vocab (the vocab_topk cut, a bounded broadcast artifact).
+register(
+    "text_oov_rate",
+    lambda spark, sf: text_analysis.oov_rate(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // count(*) AS BIGINT) AS oov_ppm
+FROM (SELECT doc_id, UNNEST({_TOKS}) AS token FROM corpus) t
+LEFT JOIN (SELECT token FROM (
+             SELECT token, count(*) AS c
+             FROM (SELECT UNNEST({_TOKS}) AS token FROM corpus)
+             GROUP BY token ORDER BY c DESC, token
+             LIMIT {text_analysis.OOV_VOCAB_K})) v USING (token)
+GROUP BY doc_id"""
+    ),
+)
+
+# Packing-efficiency report over the shard_pack assignment: per-shard
+# docs / tokens / fill ppm against the token budget (|shards| rows).
+register(
+    "corpus_packing_stats",
+    lambda spark, sf: text_analysis.packing_stats(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(CAST(sum(n_tokens) AS BIGINT) * 1000000
+            // {text_analysis.SHARD_BUDGET} AS BIGINT) AS fill_ppm
+FROM ({_SHARD_PACK_SQL})
+GROUP BY shard_id"""
+    ),
+)
+
+# Quality-greedy domain mix planner: rank sources by mean quality, grant
+# token budgets down the ranking until half the corpus is allocated, emit
+# per-source sampling ppm. Windows over the |sources| frame only.
+register(
+    "corpus_mix_planner",
+    lambda spark, sf: text_analysis.mix_planner(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         CAST(CAST(sum(q_micro) AS BIGINT) // count(*) AS BIGINT)
+           AS q_micro_avg
+  FROM (SELECT source, len(toks) AS n_toks,
+               coalesce(CAST(round((CASE WHEN n_tokens > 0 AND n_chars > 0 THEN
+                     round(0.4 * least(1.0, n_tokens / 400.0)
+                           + 0.3 * (1.0 - n_punct / n_chars)
+                           + 0.3 * least(1.0, (n_stop / n_tokens) * 5.0), 6)
+                END) * 1e6) AS BIGINT), -1) AS q_micro
+        FROM (SELECT source,
+                     len({_TOKS}) AS n_tokens,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+                     len(list_filter({_TOKS}, t -> t IN {_STOP_EN})) AS n_stop,
+                     {_TOKS} AS toks
+              FROM documents))
+  GROUP BY source),
+r AS (SELECT *,
+             row_number() OVER (ORDER BY q_micro_avg DESC, source) AS rank,
+             CAST(sum(n_tokens) OVER () AS HUGEINT) AS total,
+             coalesce(sum(n_tokens) OVER (ORDER BY q_micro_avg DESC, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM per),
+g AS (SELECT source, n_docs, n_tokens, q_micro_avg, rank,
+             CAST(greatest(0, least(n_tokens,
+                  total * {text_analysis.MIX_PLAN_BUDGET_TENTHS} // 10
+                  - cum_before)) AS BIGINT) AS take_tokens
+      FROM r)
+SELECT source, n_docs, n_tokens, q_micro_avg, rank, take_tokens,
+       CAST(CAST(take_tokens AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+         AS sample_ppm
+FROM g""",
+)
+
+# Quality-aware canonical pick over exact-text clusters: keep the
+# highest-quality copy per duplicated text, account tokens saved.
+register(
+    "dedup_cluster_keep_quality",
+    lambda spark, sf: text_dedup.cluster_keep_quality(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT text_hash,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_doc_id,
+       CAST(max(CASE WHEN rn = 1 THEN q_micro END) AS BIGINT) AS keep_q_micro,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+         AS tokens_saved
+FROM (SELECT doc_id, text_hash, n_toks, q_micro,
+             row_number() OVER (PARTITION BY text_hash
+                                ORDER BY q_micro DESC, doc_id) AS rn
+      FROM (SELECT doc_id, md5(text) AS text_hash,
+                   CAST(len(toks) AS BIGINT) AS n_toks,
+                   coalesce(CAST(round((CASE WHEN n_tokens > 0 AND n_chars > 0 THEN
+                     round(0.4 * least(1.0, n_tokens / 400.0)
+                           + 0.3 * (1.0 - n_punct / n_chars)
+                           + 0.3 * least(1.0, (n_stop / n_tokens) * 5.0), 6)
+                END) * 1e6) AS BIGINT), -1)
+                     AS q_micro
+            FROM (SELECT doc_id, text,
+                         len({_TOKS}) AS n_tokens,
+                         length(text) AS n_chars,
+                         len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+                         len(list_filter({_TOKS}, t -> t IN {_STOP_EN}))
+                           AS n_stop,
+                         {_TOKS} AS toks
+                  FROM corpus)))
+GROUP BY text_hash HAVING count(*) >= 2"""
+    ),
+)
+
+# IVF index health report (rows-only: the centroid fit is not
+# single-query SQL); invariants pinned in pytest.
+register(
+    "embedding_ivf_cell_stats",
+    lambda spark, sf: simsearch.ivf_cell_stats(_emb(spark, sf)),
+)
+
+# Radius (range) similarity search riding the IVF probed-cell equi-join —
+# rows-only (approximate by construction); recall vs the exact ball is
+# pinned in pytest against the pytest-only flat baseline.
+register(
+    "simsearch_range_search",
+    lambda spark, sf: simsearch.range_search(_emb_corpus(spark, sf)),
 )
 
 # Per-source corpus health report: docs / distinct texts / exact-dup
@@ -3926,6 +4089,13 @@ def _register_streaming() -> None:
             "stream_norm_stats",
             "embedding_norm_stats",
         ),
+        # Train-offline / apply-online classifier: the (weights, bias)
+        # artifact fit on the static corpus, each micro-batch scored by
+        # the shared zero-shuffle projection. Stateless append.
+        "streaming_fasttext_score": (
+            "stream_fasttext_score",
+            "text_fasttext_score_trained",
+        ),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -4043,104 +4213,57 @@ _register_streaming()
 # rounds STRICTLY OLDER than this, so the gate stays green when THIS
 # round's record lands (the r04 lesson: a gate keyed on "all records" fails
 # on schedule the moment the round it shaped gets recorded).
-_WINDOW_ROUND = 7
+_WINDOW_ROUND = 8
 
 # Rows-only entries DELIBERATELY placed inside the checked window this
-# round: the new IVF-gated triplet miner, plus the two rows-only entries
-# whose implementation changed in r7 (SemDeDup's derived sqrt(N)
-# centroid count; the BPE encode tokenization fix). Honest accounting of
-# what a slot buys (per the r6 records: oracle-less entries come back
-# {rows_match: null, err: 'no_oracle'} + a spark_rows count): NOT a
-# match signal — only proof the entry executes without error under the
-# driver's real session plus row-count telemetry. That error-surface is
-# exactly how the r5 ANSI bugs were caught, and these three are the
-# entries whose implementations changed, so the smoke slot is spent
-# where an error is most likely. The gates in tests/test_driver_order.py
-# carve these out of the all-oracled and rows-only-at-tail invariants by
-# exact name.
+# round: the two NEW rows-only entries (IVF health report, range search),
+# plus the two rows-only entries whose implementation changed in r8
+# (simsearch_ivf_topk rides the refactored shared _ivf_assignments;
+# text_bpe_tokenize's encode split gained the control-char regex routing).
+# An oracle-less slot buys error-surface + row-count telemetry under the
+# driver's real session — exactly where a new/changed implementation is
+# most likely to break (the r5 ANSI lesson). Gates in
+# tests/test_driver_order.py carve these out by exact name.
 _WINDOW_ROWS_ONLY = {
-    "simsearch_hard_negatives_ivf",
-    "dedup_embedding_semdedup",
-    "embedding_pca_project",
+    "embedding_ivf_cell_stats",
+    "simsearch_range_search",
+    "simsearch_ivf_topk",
+    "text_bpe_tokenize",
 }
 
 _DRIVER_WINDOW = [
     # unproven first (no hash-green row in any round < _WINDOW_ROUND):
-    # the seven new r7 oracled entries.
-    "sink_corpus_shards_roundtrip",      # new r7: shard materialization
-    "text_bm25_topk",                    # new r7: BM25 retrieval
-    "corpus_perplexity_buckets",         # new r7: CCNet terciles
-    "corpus_token_length_histogram",     # new r7: length planning
-    "embedding_random_projection",       # new r7: JL projection
-    "corpus_ngram_novelty",              # new r7: new-text diagnostic
-    "corpus_quality_gate",               # new r7: composed keep/drop
-    "streaming_decontaminate",           # new r7: decon at ingestion
-    "text_fasttext_score",               # new r7: hashed-ngram classifier
-    "corpus_source_stats",               # new r7: per-domain accounting
-    "corpus_snapshot_diff",              # new r7: dataset-version delta
-    "streaming_quality_gate",            # new r7: live curation gate
-    "corpus_train_val_test_split",       # new r7: held-out hash split
-    "embedding_norm_stats",              # new r7: embedding health
-    "corpus_curation_funnel",            # new r7: staged survivor report
-    "events_new_users_daily",            # new r7: growth accounting
-    "retrieval_hybrid_topk",             # new r7: sparse+dense fusion
-    "events_value_mad_anomalies",        # new r7: robust outliers
-    "events_path_transitions_topk",      # new r7: user-path mining
-    "corpus_multi_bench_decontaminate",  # new r7: multi-eval-set decon
-    "text_lang_confusion",               # new r7: lang-ID calibration
-    "corpus_contamination_by_source",    # new r7: actionable decon slice
-    "streaming_norm_stats",              # new r7: live drift monitor
-    "events_rolling_wau",                # new r7: sliding exact distinct
-    "corpus_quality_reasons_by_source",  # new r7: curation audit table
-    "events_timeseries_gapfill",         # new r7: gapfill + LOCF
-    "text_char_entropy",                 # new r7: randomness detector
-    "events_time_to_convert",            # new r7: conversion latency
+    # the eight new r8 oracled entries — trained-classifier family,
+    # vocab coverage, packing report, mix planner, quality-aware dedup.
+    "text_fasttext_fit",
+    "text_fasttext_score_trained",
+    "text_fasttext_calibration",
+    "streaming_fasttext_score",
+    "text_oov_rate",
+    "corpus_packing_stats",
+    "corpus_mix_planner",
+    "dedup_cluster_keep_quality",
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
-    "simsearch_hard_negatives_ivf",      # new r7: IVF-gated triplets
-    "dedup_embedding_semdedup",          # r7: derived sqrt(N) centroids
-    "embedding_pca_project",             # new r7: sampled-fit PCA
-    # re-prove: implementation changed this round (uid tmp-path scheme in
-    # every sink roundtrip, decimal(38,0) zorder grid, Hadoop-FS
-    # compaction inventory, the shared triplet-band refactor).
-    "sink_corpus_jsonl_roundtrip",
-    "sink_corpus_compacted_roundtrip",
-    "sink_corpus_partition_upsert",
-    "sink_events_zorder_read",
-    "corpus_shard_pack",
-    "dedup_containment",
-    # re-prove: the shingle/n-gram builders changed mid-round (the
-    # interpreted-HOF re-tokenization fix pre-projects the token array —
-    # same semantics, new plan shape; every consumer re-proven hard).
-    "decontaminate_ngram",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "corpus_dup_ngram_rate",
-    "corpus_materialize_final",
-    "graph_pagerank_neardup",
-    "text_fingerprint",
-    "text_bigram_pmi_topk",
-    # re-prove: the DWD topic memoization landed late-r7 (order_refund /
-    # cart_add / pay_detail_suc persisted once per session, their DWS
-    # windows consuming the memo — same values, new plan lineage).
-    "dwd_trade_order_refund",
-    "dws_trade_trademark_category_user_refund_window",
-    "dws_trade_payment_suc_window",
-    "dws_trade_cart_add_uu_window",
-]
-
-# Proven green in CORRECTNESS_r03-r06; rotated past the cutoff. The
-# rows-only-by-design entries (no oracle possible) sit strictly last.
-_DRIVER_TAIL = [
-    "text_repetition_stats",
-    "dedup_edit_distance",
-    "dedup_incremental",
-    "dedup_cluster_keep",
-    "dim_user_info",
-    "dwd_trade_order_detail",
-    "dwd_traffic_page_log",
-    "dws_trade_province_order_window",
-
+    "embedding_ivf_cell_stats",
+    "simsearch_range_search",
+    "simsearch_ivf_topk",
+    "text_bpe_tokenize",
+    # re-prove: implementation changed this round (decimal token share;
+    # hybrid query-vector guard; _ft_feats refactor under the structural
+    # scorer; the BUCKETED upsert/dim/scd2 sinks — the r8 headline — and
+    # the RocksDB state store under the stateful replays).
+    "corpus_source_stats",
+    "retrieval_hybrid_topk",
+    "text_fasttext_score",
+    "streaming_order_info_upsert",
+    "streaming_dim_user_info",
+    "streaming_dim_user_info_evolve",
+    "streaming_dim_coupon_scd2",
+    "streaming_unique_visitor",
+    "streaming_order_info_debounce",
+    # stalest proven entries (r3/r4-green, longest since last driver
+    # re-proof): the dwd/dws log-and-coupon family, the r4 events
+    # profile/histogram block, multimodal, session funnel.
     "text_token_stats",
     "dwd_user_register",
     "dws_user_user_register_window",
@@ -4170,6 +4293,63 @@ _DRIVER_TAIL = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "session_funnel",
+]
+
+# Proven in earlier rounds; rotated past the cutoff. The
+# rows-only-by-design entries (no oracle possible) sit strictly last.
+_DRIVER_TAIL = [
+    "sink_corpus_shards_roundtrip",
+    "text_bm25_topk",
+    "corpus_perplexity_buckets",
+    "corpus_token_length_histogram",
+    "embedding_random_projection",
+    "corpus_ngram_novelty",
+    "corpus_quality_gate",
+    "streaming_decontaminate",
+    "corpus_snapshot_diff",
+    "streaming_quality_gate",
+    "corpus_train_val_test_split",
+    "embedding_norm_stats",
+    "corpus_curation_funnel",
+    "events_new_users_daily",
+    "events_value_mad_anomalies",
+    "events_path_transitions_topk",
+    "corpus_multi_bench_decontaminate",
+    "text_lang_confusion",
+    "corpus_contamination_by_source",
+    "streaming_norm_stats",
+    "events_rolling_wau",
+    "corpus_quality_reasons_by_source",
+    "events_timeseries_gapfill",
+    "text_char_entropy",
+    "events_time_to_convert",
+    "sink_corpus_jsonl_roundtrip",
+    "sink_corpus_compacted_roundtrip",
+    "sink_corpus_partition_upsert",
+    "sink_events_zorder_read",
+    "corpus_shard_pack",
+    "dedup_containment",
+    "decontaminate_ngram",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "corpus_dup_ngram_rate",
+    "corpus_materialize_final",
+    "graph_pagerank_neardup",
+    "text_fingerprint",
+    "text_bigram_pmi_topk",
+    "dwd_trade_order_refund",
+    "dws_trade_trademark_category_user_refund_window",
+    "dws_trade_payment_suc_window",
+    "dws_trade_cart_add_uu_window",
+    "text_repetition_stats",
+    "dedup_edit_distance",
+    "dedup_incremental",
+    "dedup_cluster_keep",
+    "dim_user_info",
+    "dwd_trade_order_detail",
+    "dwd_traffic_page_log",
+    "dws_trade_province_order_window",
     "skew_heavy_hitters",
     "temporal_join_coupon_asof",
     "dedup_embedding_cluster_keep",
@@ -4229,19 +4409,13 @@ _DRIVER_TAIL = [
     "dwd_trade_order_pre_process",
     "streaming_favor_add",
     "streaming_base_log",
-    "streaming_unique_visitor",
     "streaming_jump_detail",
     "streaming_keyword_window_late",
     "streaming_order_pre_process",
     "streaming_activity_coupon_full_outer",
     "streaming_traffic_union_window",
     "streaming_pay_detail_suc",
-    "streaming_dim_user_info",
-    "streaming_dim_user_info_evolve",
     "sink_checkpoint_recovery",
-    "streaming_order_info_upsert",
-    "streaming_order_info_debounce",
-    "streaming_dim_coupon_scd2",
     "text_vocab_topk",
     "text_tfidf_topk",
     "streaming_time_rollup",
@@ -4251,15 +4425,15 @@ _DRIVER_TAIL = [
     "streaming_value_histogram",
     "text_chunk_tokens",
     "text_pii_scrub",
+    # rows-only by design, strictly last:
+    "simsearch_hard_negatives_ivf",
+    "dedup_embedding_semdedup",
+    "embedding_pca_project",
     "decontaminate_bloom",
     "dws_trade_province_order_window_approx",
     "events_profile_stats_approx",
-    "simsearch_ivf_topk",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
-    "text_bpe_tokenize",
-    "text_fasttext_fit",
-    "text_fasttext_score_trained",
 ]
 
 # Dataflow definition order (DWD -> DWS -> ops), captured before the driver

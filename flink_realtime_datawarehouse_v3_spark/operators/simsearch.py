@@ -179,6 +179,28 @@ def kmeans_centroids(
     )
 
 
+def _ivf_assignments(embeddings: DataFrame, cen: DataFrame) -> DataFrame:
+    """(neighbor_id, v_vec, bucket): every vector assigned to its nearest
+    coarse centroid — broadcast centroids, one bounded
+    BroadcastNestedLoopJoin + a per-vector window (frame = n_centroids
+    rows). Shared by the IVF candidate generator and the index health
+    report."""
+    v = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), _dvec(F.col("embedding")).alias("v_vec")
+    )
+    va = v.crossJoin(F.broadcast(cen)).select(
+        "neighbor_id",
+        "v_vec",
+        "c_id",
+        F.round(cosine(F.col("v_vec"), F.col("c_vec")), 4).alias("sim"),
+    )
+    wv = Window.partitionBy("neighbor_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        va.withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
+        .select("neighbor_id", "v_vec", F.col("c_id").alias("bucket"))
+    )
+
+
 def _ivf_scored(
     embeddings: DataFrame, every: int, n_centroids: int | None, nprobe: int
 ) -> DataFrame:
@@ -194,21 +216,7 @@ def _ivf_scored(
         [(j, c) for j, c in enumerate(kmeans_centroids(embeddings, n_centroids))],
         "c_id int, c_vec array<double>",
     )
-    v = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), _dvec(F.col("embedding")).alias("v_vec")
-    )
-    # assignment: nearest centroid per vector (broadcast centroids).
-    va = v.crossJoin(F.broadcast(cen)).select(
-        "neighbor_id",
-        "v_vec",
-        "c_id",
-        F.round(cosine(F.col("v_vec"), F.col("c_vec")), 4).alias("sim"),
-    )
-    wv = Window.partitionBy("neighbor_id").orderBy(F.col("sim").desc(), F.col("c_id"))
-    assigned = (
-        va.withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
-        .select("neighbor_id", "v_vec", F.col("c_id").alias("bucket"))
-    )
+    assigned = _ivf_assignments(embeddings, cen)
     # probe: nprobe nearest centroids per query.
     q = _queries(embeddings, every)
     qc = q.crossJoin(F.broadcast(cen)).select(
@@ -1046,3 +1054,71 @@ def pca_project(emb: DataFrame) -> DataFrame:
             F.round(proj * 1e6).cast("bigint").alias(f"pc{k}_micro")
         )
     return emb.select(*cols)
+
+
+def ivf_cell_stats(
+    embeddings: DataFrame, n_centroids: int | None = None
+) -> DataFrame:
+    """IVF index health report: per-cell population, corpus share, and
+    imbalance versus the ideal uniform fill — the operational table that
+    decides when the coarse quantizer needs a re-fit (a cell holding 10x
+    its fair share makes every probe that hits it scan 10x the
+    candidates).
+
+    Rides the SAME assignment join as the search path
+    (:func:`_ivf_assignments`, memoized centroids), so the report
+    measures the index actually being probed. The stats agg is
+    <= n_centroids rows; the share/balance windows run over that bounded
+    frame, never the corpus. Rows-only entry (the centroid fit is not
+    single-query SQL); invariants pinned in pytest."""
+    spark = embeddings.sparkSession
+    cen = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(kmeans_centroids(embeddings, n_centroids))],
+        "c_id int, c_vec array<double>",
+    )
+    per = (
+        _ivf_assignments(embeddings, cen)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
+    w_all = Window.partitionBy()  # <= n_centroids rows
+    return per.select(
+        F.col("bucket").cast("bigint").alias("cell_id"),
+        "n_vecs",
+        F.expr("n_vecs * 1000000 DIV sum(n_vecs) OVER ()").alias("share_ppm"),
+        # balance = cell size / ideal uniform size, in ppm: 1e6 == fair.
+        (
+            F.col("n_vecs")
+            * F.count(F.lit(1)).over(w_all)
+            * F.lit(1_000_000)
+            / F.sum("n_vecs").over(w_all)
+        )
+        .cast("bigint")
+        .alias("balance_ppm"),
+    )
+
+
+RANGE_TAU = 0.8  # report all probed pairs with round(cosine,4) >= TAU
+
+
+def range_search(
+    embeddings: DataFrame,
+    tau: float = RANGE_TAU,
+    every: int = 100,
+    n_centroids: int | None = None,
+    nprobe: int = 8,
+) -> DataFrame:
+    """Radius (range) similarity search — the OTHER vector-search API
+    beside top-k: every candidate within cosine >= tau of each query,
+    however many there are (duplicate mining / recall-oriented retrieval
+    wants the full ball, not a fixed k).
+
+    Candidate generation rides the IVF probed-cell bucket equi-join
+    (:func:`_ivf_scored`) — no cartesian; the tau cut is a filter on the
+    already-bucketed pairs, so cost tracks the probed candidate count.
+    Rows-only (approximate by construction); recall vs the exact ball is
+    pinned in pytest against the pytest-only flat baseline."""
+    scored = _ivf_scored(embeddings, every, n_centroids, nprobe)
+    return scored.filter(F.col("cosine_sim") >= tau).select(
+        "q_id", "neighbor_id", "cosine_sim"
+    )

@@ -1266,11 +1266,17 @@ def fasttext_fit(docs: DataFrame) -> DataFrame:
     )
 
 
-def _ft_score_cols(docs: DataFrame, weights: list[int]) -> DataFrame:
-    """(doc_id, lang, n_feats, score_micro) under a dense weight vector —
-    the shared zero-shuffle scoring projection (one array literal, one
-    fold; the two-step select is the interpreted-HOF CSE lesson: the fold
-    materializes once, downstream columns read it)."""
+def _ft_score_cols(
+    docs: DataFrame,
+    weights: list[int],
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """(doc_id, lang, n_feats, score_micro[, extra...]) under a dense
+    weight vector — the shared zero-shuffle scoring projection (one array
+    literal, one fold; the two-step select is the interpreted-HOF CSE
+    lesson: the fold materializes once, downstream columns read it).
+    ``extra`` columns (e.g. the weak label, also a pure function of text)
+    ride the SAME projection so consumers never pay a doc_id self-join."""
     w_arr = F.lit(weights)
     feats = _ft_feats(F.col("text"))
     score = F.aggregate(
@@ -1284,6 +1290,7 @@ def _ft_score_cols(docs: DataFrame, weights: list[int]) -> DataFrame:
         "lang",
         F.size(feats).cast("bigint").alias("n_feats"),
         score.alias("score_micro"),
+        *[c.alias(n) for n, c in (extra or {}).items()],
     )
 
 
@@ -1317,15 +1324,12 @@ def fit_model(docs: DataFrame, cache_key: tuple = ()) -> tuple[list[int], int]:
         dense = [default] * FT_BUCKETS
         for r in rows:
             dense[r.bucket] = r.w_micro
-        # Calibration pass: per-class mean of per-doc mean-feature scores.
+        # Calibration pass: per-class mean of per-doc mean-feature scores
+        # (the weak label rides the scoring projection — no self-join).
         per_class = {
             r.pos: (r.s, r.c)
-            for r in _ft_score_cols(docs, dense)
-            .join(
-                docs.select(
-                    "doc_id", _gopher_pass(F.col("text")).alias("pos")
-                ),
-                "doc_id",
+            for r in _ft_score_cols(
+                docs, dense, extra={"pos": _gopher_pass(F.col("text"))}
             )
             .filter(F.col("n_feats") > 0)
             .select(
@@ -1379,6 +1383,192 @@ def fasttext_score_trained(
         (F.col("score_micro") > F.lit(bias) * F.col("n_feats"))
         .cast("int")
         .alias("label_keep"),
+    )
+
+
+def fasttext_calibration(
+    docs: DataFrame, model: tuple[list[int], int] | None = None
+) -> DataFrame:
+    """Per-language calibration table for the trained classifier: how
+    often the learned label agrees with the Gopher weak label it was
+    trained on, sliced by ``lang`` — the drift/QA report a team keeps
+    next to any weak-supervision classifier (a language whose agreement
+    sags is where the rules and the model disagree and a human looks).
+
+    Both the prediction and the weak label are pure functions of text,
+    so the whole table is ONE scoring projection + one |langs|-row agg —
+    no self-join, no second corpus scan."""
+    if model is None:
+        model = fit_model(docs)
+    weights, bias = model
+    scored = _ft_score_cols(
+        docs, weights, extra={"pos": _gopher_pass(F.col("text"))}
+    ).select(
+        "lang",
+        (F.col("score_micro") > F.lit(bias) * F.col("n_feats"))
+        .cast("int")
+        .alias("pred"),
+        F.col("pos").cast("int").alias("weak"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("pred").cast("bigint").alias("n_pred_keep"),
+            F.sum("weak").cast("bigint").alias("n_weak_pass"),
+            F.sum((F.col("pred") == F.col("weak")).cast("int"))
+            .cast("bigint")
+            .alias("n_agree"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_pred_keep",
+            "n_weak_pass",
+            "n_agree",
+            F.expr("n_agree * 1000000 DIV n_docs").alias("agree_ppm"),
+        )
+    )
+
+
+OOV_VOCAB_K = 200
+
+
+def oov_rate(corpus: DataFrame, v: int = OOV_VOCAB_K) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus's own top-``v``
+    vocabulary — the tokenizer-coverage diagnostic run before committing
+    a vocab (docs with high OOV ppm are the ones a tokenizer will
+    shred into bytes).
+
+    The vocabulary is the bounded artifact (``v`` rows, the vocab_topk
+    cut), broadcast into a left join against the exploded tokens; one
+    shuffle for the per-doc re-agg. Docs with zero tokens have no rows to
+    aggregate and drop out — same on both engines."""
+    vocab = vocab_topk(corpus, v).select(
+        "token", F.lit(1).alias("__in_vocab")
+    )
+    tok = corpus.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 DIV n_tokens").alias("oov_ppm"),
+        )
+    )
+
+
+def packing_stats(corpus: DataFrame, budget: int = SHARD_BUDGET) -> DataFrame:
+    """Per-shard packing efficiency over :func:`shard_pack`'s assignment:
+    docs, tokens, and fill ppm against the token budget — the report that
+    tells a training run how much sequence padding it is about to pay.
+    A doc is charged to the shard its FIRST token lands in (the greedy
+    packer's rule), so interior shards can exceed budget by at most one
+    doc's tail; the fill column makes that overhang visible.
+
+    One bounded re-agg over the packing output: |shards| rows."""
+    return (
+        shard_pack(corpus, budget)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            F.expr(f"n_tokens * 1000000 DIV {budget}").alias("fill_ppm"),
+        )
+    )
+
+
+MIX_PLAN_BUDGET_TENTHS = 5  # plan for a corpus half the current token count
+
+
+def mix_planner(docs: DataFrame) -> DataFrame:
+    """Quality-greedy domain mix planner (the budget-allocation half of a
+    DoReMi-style mixing pass, with measured quality standing in for the
+    learned domain weights): rank sources by mean quality, walk the
+    ranking granting each source its full token count until the global
+    budget (half the corpus) runs out, give the marginal source the
+    remainder, and emit per-source sampling ppm.
+
+    Every step is integer arithmetic over the |sources|-row frame: the
+    corpus is touched by exactly one scan + one per-source agg; ranking,
+    cumulative grant and ppm are windows over sources. The multiplies
+    run in decimal(38,0) (the source_stats overflow posture)."""
+    c = quality_counts(F.col("text"))
+    # round BEFORE the bigint cast: Spark's double->bigint cast truncates
+    # while DuckDB's rounds, so the explicit round (positive scores:
+    # HALF_UP == half-away-from-zero) is what makes the micro value
+    # engine-identical.
+    q_micro = F.coalesce(
+        F.round(quality_score_col(c) * 1e6).cast("bigint"), F.lit(-1)
+    )
+    per = (
+        docs.select(
+            "source",
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+            q_micro.alias("q_micro"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("q_micro").cast("bigint").alias("q_sum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("q_sum DIV n_docs").cast("bigint").alias("q_micro_avg"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("q_micro_avg").desc(), "source")
+    w_all = Window.partitionBy()
+    ranked = per.select(
+        "*",
+        F.row_number().over(w_rank).alias("rank"),
+        F.sum("n_tokens").over(w_all).alias("__total"),
+        F.coalesce(
+            F.sum("n_tokens").over(
+                Window.orderBy(F.col("q_micro_avg").desc(), "source").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__cum_before"),
+    )
+    budget = F.expr(
+        f"CAST(__total AS DECIMAL(38,0)) * {MIX_PLAN_BUDGET_TENTHS} DIV 10"
+    )
+    take = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("n_tokens"), (budget - F.col("__cum_before")).cast("bigint")),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "q_micro_avg",
+        "rank",
+        take.alias("take_tokens"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST(take_tokens AS DECIMAL(38,0)) * 1000000 DIV n_tokens"
+        ).alias("sample_ppm"),
     )
 
 

@@ -1047,3 +1047,51 @@ def contamination_by_source(corpus: DataFrame, n: int = DECON_N) -> DataFrame:
         .cast("bigint")
         .alias("total_overlaps"),
     )
+
+
+def cluster_keep_quality(corpus: DataFrame) -> DataFrame:
+    """Quality-aware canonical selection over exact-text clusters: for
+    every text duplicated >= 2 times, keep the HIGHEST-quality copy
+    (micro-unit quality score, doc_id tiebreak) instead of the arbitrary
+    min-id — the dedup policy a curation pass actually wants when clones
+    differ in surrounding metadata — and account the tokens the drop
+    saves.
+
+    Hash-before-group: the shuffle payload is (md5, q_micro, n_toks),
+    never the text. One window per cluster + one |clusters|-row agg —
+    cluster size bounds the window frame, not the corpus."""
+    from .text_analysis import quality_counts, quality_score_col
+
+    c = quality_counts(F.col("text"))
+    # round-then-cast: Spark's double->bigint cast truncates, DuckDB's
+    # rounds; the explicit round makes the micro value engine-identical
+    # (positive scores: HALF_UP == half-away-from-zero).
+    q_micro = F.coalesce(
+        F.round(quality_score_col(c) * 1e6).cast("bigint"), F.lit(-1)
+    )
+    per = corpus.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_hash"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+        q_micro.alias("q_micro"),
+    )
+    w = Window.partitionBy("text_hash").orderBy(
+        F.col("q_micro").desc(), "doc_id"
+    )
+    ranked = per.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("text_hash")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("keep_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("q_micro")))
+            .cast("bigint")
+            .alias("keep_q_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_toks")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_saved"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

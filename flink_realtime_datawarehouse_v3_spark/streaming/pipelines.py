@@ -1248,6 +1248,28 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(ta.quality_gate(s))
 
 
+def stream_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-offline / apply-online classifier split: the model is
+    fit ONCE on the static corpus (the bounded (weights, bias) artifact —
+    exactly what a production scorer loads at job start) and each
+    micro-batch of the replayed document stream is scored by the same
+    zero-shuffle projection as the batch entry. Stateless append; stream
+    == batch == oracle because the model literal and the scoring
+    expression are shared verbatim."""
+    from ..operators import text_analysis as ta
+    from ..sources import tables
+
+    docs = tables.load(spark, sf_dir, "documents")
+    model = ta.fit_model(docs)  # offline fit, bounded artifact
+    with TempStreamDir() as d:
+        _write_replay(
+            docs.select("doc_id", "text", "lang"), d.sub("in"),
+            order_by=["doc_id"],
+        )
+        s = read_stream(spark, d.sub("in"))
+        return run_to_memory(ta.fasttext_score_trained(s, model))
+
+
 def stream_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-health monitoring at INGESTION: the per-label squared-
     norm min/mean/max report maintained live over the replayed embedding

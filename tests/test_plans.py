@@ -41,6 +41,7 @@ SMJ_WHITELIST = {
     "simsearch_ivf_topk",            # candidate x query bucket join
     "simsearch_ivfpq_topk",          # probed-cell bucket join (IVF x PQ)
     "simsearch_hard_negatives_ivf",  # same probed-cell bucket join
+    "simsearch_range_search",        # same probed-cell bucket join
     # LSH bucket SELF-join of the full embedding table feeding the CC
     # closure — both sides are the corpus (not broadcastable at 100 TB);
     # the sign-bit bucket key is what bounds the join, not a broadcast.

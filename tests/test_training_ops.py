@@ -97,6 +97,11 @@ ORACLED = [
     "events_time_to_convert",
     "text_fasttext_fit",
     "text_fasttext_score_trained",
+    "text_fasttext_calibration",
+    "text_oov_rate",
+    "corpus_packing_stats",
+    "corpus_mix_planner",
+    "dedup_cluster_keep_quality",
 ]
 
 
@@ -1507,3 +1512,62 @@ def test_fasttext_trained_classifier(spark):
     assert dense[unseen] == default  # smoothed prior on unseen buckets
     # memo: second call returns the SAME artifact object (no re-fit)
     assert ta.fit_weights_dense(docs) is dense
+
+
+def test_ivf_cell_stats_invariants(spark):
+    """Index health report: populations sum to N, cell count is bounded
+    by the quantizer size, shares sum to ~1e6, and balance_ppm is the
+    size/fair-share ratio."""
+    from flink_realtime_datawarehouse_v3_spark.operators import simsearch
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    emb = tables.load(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    rows = api.QUERIES["embedding_ivf_cell_stats"](spark, SF_SMOKE).collect()
+    assert rows
+    assert sum(r.n_vecs for r in rows) == n
+    assert len(rows) <= simsearch.derived_centroids(emb, None)
+    assert len({r.cell_id for r in rows}) == len(rows)
+    share = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000  # DIV floors
+    k = len(rows)
+    for r in rows:
+        assert abs(r.balance_ppm - r.n_vecs * k * 1_000_000 // n) <= 1
+
+
+def test_range_search_recall_and_plan(spark):
+    """Range search must (a) carry no cartesian (the candidate pass is
+    the IVF probed-cell equi-join) and (b) recover the exact cosine ball
+    at the same tau, computed here via the pytest-only flat scan."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.operators import simsearch
+    from flink_realtime_datawarehouse_v3_spark.sources import corpus as corpus_mod
+
+    df = api.QUERIES["simsearch_range_search"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r.q_id, r.neighbor_id) for r in df.collect()}
+    ec = corpus_mod.emb_corpus(spark, SF_SMOKE)
+    q = simsearch._queries(ec, 100)
+    v = ec.select(
+        F.col("vec_id").alias("neighbor_id"),
+        simsearch._dvec(F.col("embedding")).alias("v_vec"),
+    )
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in q.crossJoin(v)
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(
+                simsearch.cosine(F.col("q_vec"), F.col("v_vec")), 4
+            ).alias("s"),
+        )
+        .filter(F.col("s") >= simsearch.RANGE_TAU)
+        .collect()
+    }
+    assert exact, "clone corpus must contain in-ball pairs"
+    assert got <= exact  # every reported pair is truly in the ball
+    assert len(got & exact) / len(exact) >= 0.5

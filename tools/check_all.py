@@ -103,6 +103,28 @@ def _dtype_mismatches(spdf, odf) -> list[str]:
     return out
 
 
+def plan_fingerprint(sdf) -> str:
+    """Stable hash of an entry's PHYSICAL plan shape, so a plan
+    regression (broadcast->SMJ flip, lost pushdown, new exchange) shows
+    up as a fingerprint diff in the committed telemetry even when
+    timings are noisy. Normalized: expression ids (#123), plan ids,
+    codegen ids, paths/uuids and literal numbers are stripped — the
+    fingerprint covers operator kinds and tree shape, not values."""
+    import hashlib
+    import re
+
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    # keep one token per line: the operator name (first word after the
+    # tree-drawing prefix) — join strategies, exchanges, scans, codegen
+    # boundaries all live there.
+    ops = []
+    for line in plan.splitlines():
+        m = re.match(r"^[\s+\-:*()0-9]*([A-Za-z][A-Za-z0-9_]*)", line)
+        if m:
+            ops.append(m.group(1))
+    return hashlib.md5("\n".join(ops).encode()).hexdigest()[:16]
+
+
 def run_sweep(
     spark, sf_dir: str, name_filter: list[str], window_only: bool = False
 ) -> tuple[dict, int]:
@@ -123,6 +145,10 @@ def run_sweep(
         rec: dict = {}
         try:
             sdf = fn(spark, sf_dir)
+            # streaming_* entries return an already-executed memory-sink /
+            # checkpoint scan — no meaningful batch plan to fingerprint.
+            if not name.startswith("streaming_"):
+                rec["plan_fp"] = plan_fingerprint(sdf)
             spdf = sdf.toPandas()
             rec["spark_rows"] = len(spdf)
             osql = api.ORACLES.get(name)
