@@ -1235,9 +1235,17 @@ def fasttext_fit(docs: DataFrame) -> DataFrame:
     feature explode + one hash agg to <= FT_BUCKETS rows; the totals
     window runs over that bounded frame, never the corpus.
     """
-    fe = docs.select(
-        _gopher_pass(F.col("text")).alias("pos"),
-        F.explode(_ft_feats(F.col("text"))).alias("t"),
+    # Two-step select (the interpreted-HOF lesson, explode edition):
+    # ExtractGenerator hoists sibling expressions ABOVE the Generate, so
+    # a gopher fold written next to explode() would re-evaluate per
+    # FEATURE INSTANCE (measured 44 s at sf0.1). Materialize the weak
+    # label as a plain column first; the upper project then carries a
+    # cheap reference per exploded row (0.9 s).
+    labeled = docs.select(
+        _gopher_pass(F.col("text")).alias("pos"), "text"
+    )
+    fe = labeled.select(
+        "pos", F.explode(_ft_feats(F.col("text"))).alias("t")
     ).select(
         "pos", (hash40(F.col("t")) % FT_BUCKETS).alias("bucket")
     )
