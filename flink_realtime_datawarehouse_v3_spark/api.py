@@ -1425,6 +1425,62 @@ register(
        GROUP BY p_brand""",
 )
 
+from .plans import olap as olap_plan  # noqa: E402
+
+# Classic OLAP shapes on the TPC-H-ish tables (plans/olap.py): the
+# scale-canonical scan/agg, fact-fact join + top-k, and star join. Money
+# terms are integer CENTS (round before sum) so the hash crosses engines.
+register(
+    "tpch_q1_pricing_summary",
+    olap_plan.pricing_summary,
+    f"""SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(CAST(round(((l_extendedprice * (1 - l_discount))
+                            * (1 + l_tax)) * 100) AS BIGINT)) AS BIGINT)
+         AS sum_charge_cents,
+       CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) * 1000000
+            // count(*) AS BIGINT) AS avg_qty_micro,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // count(*)
+            AS BIGINT) AS avg_price_cents,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '{olap_plan.Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus""",
+)
+
+register(
+    "tpch_q3_shipping_priority",
+    olap_plan.shipping_priority,
+    f"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '{olap_plan.Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{olap_plan.Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+)
+
+register(
+    "tpch_q5_local_supplier_volume",
+    olap_plan.local_supplier_volume,
+    """SELECT r_name, n_name,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""",
+)
+
 from .sources import bucketed as bucketed_mod  # noqa: E402
 
 register(
@@ -4101,6 +4157,12 @@ def _register_streaming() -> None:
         fn = getattr(_sp, fn_name)
         register(name, fn, ORACLES.get(batch_name))
 
+    # Online ANN serving: static IVF index probed per query micro-batch
+    # (stream-static bucket equi-join inside foreachBatch). Rows-only:
+    # approximate by construction; stream == batch ivf_topk pinned in
+    # test_streaming.
+    register("streaming_ivf_search", _sp.stream_ivf_search)
+
     # J10/K5 config-routed DIM layer under streaming: the full topic_db
     # replay routed per micro-batch by the broadcast config, MERGEd into
     # per-dim tables; the user_info dim is checked against the batch dim
@@ -4243,6 +4305,9 @@ _DRIVER_WINDOW = [
     "corpus_packing_stats",
     "corpus_mix_planner",
     "dedup_cluster_keep_quality",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "embedding_ivf_cell_stats",
     "simsearch_range_search",
@@ -4290,14 +4355,14 @@ _DRIVER_WINDOW = [
     "events_running_total",
     "events_value_histogram",
     "events_view_no_purchase",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "session_funnel",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "session_funnel",
     "sink_corpus_shards_roundtrip",
     "text_bm25_topk",
     "corpus_perplexity_buckets",
@@ -4434,6 +4499,7 @@ _DRIVER_TAIL = [
     "events_profile_stats_approx",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
+    "streaming_ivf_search",
 ]
 
 # Dataflow definition order (DWD -> DWS -> ops), captured before the driver

@@ -217,8 +217,18 @@ def _ivf_scored(
         "c_id int, c_vec array<double>",
     )
     assigned = _ivf_assignments(embeddings, cen)
-    # probe: nprobe nearest centroids per query.
     q = _queries(embeddings, every)
+    return _ivf_candidates(q, cen, assigned, nprobe)
+
+
+def _ivf_candidates(
+    q: DataFrame, cen: DataFrame, assigned: DataFrame, nprobe: int = 8
+) -> DataFrame:
+    """(q_id, neighbor_id, cosine_sim) for a QUERY SET against a built
+    index (centroids + assignments) — the serving-side half of the IVF
+    search, shared by the batch entries and the online (stream-static)
+    serving pipeline, where ``q`` is one micro-batch of queries."""
+    # probe: nprobe nearest centroids per query.
     qc = q.crossJoin(F.broadcast(cen)).select(
         "q_id", "q_vec", "c_id",
         F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
@@ -238,6 +248,20 @@ def _ivf_scored(
         )
         .distinct()
     )
+
+
+def ivf_index(
+    embeddings: DataFrame, n_centroids: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments): the built IVF index as two DataFrames —
+    what an online serving job materializes once at start-up and then
+    probes per incoming query batch."""
+    spark = embeddings.sparkSession
+    cen = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(kmeans_centroids(embeddings, n_centroids))],
+        "c_id int, c_vec array<double>",
+    )
+    return cen, _ivf_assignments(embeddings, cen)
 
 
 def ivf_topk(

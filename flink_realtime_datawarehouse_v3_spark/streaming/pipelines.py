@@ -1248,6 +1248,50 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(ta.quality_gate(s))
 
 
+def stream_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online ANN SERVING: the IVF index (centroids + assignments) is
+    built ONCE at job start from the static corpus and persisted; the
+    query stream replays file-per-micro-batch and each batch probes the
+    index via the stream-static bucket equi-join + per-query rank
+    (foreachBatch, because rank windows are batch-semantics per request
+    set — the request/response shape of a vector-search service). Each
+    query id arrives exactly once, so appending per-batch results is
+    exact: the final table must equal the batch ivf_topk output
+    row-for-row (pinned in test_streaming; registry rows-only)."""
+    from pyspark.sql import Window
+
+    from ..operators import simsearch
+    from ..sources import tables
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cen, assigned = simsearch.ivf_index(emb)
+    assigned = assigned.persist()  # the served index, materialized once
+    try:
+        queries = simsearch._queries(emb, 100)
+        with TempStreamDir() as d:
+            _write_replay(queries, d.sub("in"), order_by=["q_id"])
+            s = read_stream(spark, d.sub("in"))
+            out = d.sub("results")
+
+            def serve(batch: DataFrame, batch_id: int) -> None:
+                scored = simsearch._ivf_candidates(batch, cen, assigned)
+                w = Window.partitionBy("q_id").orderBy(
+                    F.col("cosine_sim").desc(), F.col("neighbor_id")
+                )
+                (
+                    scored.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= 10)
+                    .select("q_id", "neighbor_id", "rank", "cosine_sim")
+                    .write.mode("append")
+                    .parquet(out)
+                )
+
+            run_foreach_batch(s, serve)
+            return spark.read.parquet(out).localCheckpoint()
+    finally:
+        assigned.unpersist()
+
+
 def stream_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The train-offline / apply-online classifier split: the model is
     fit ONCE on the static corpus (the bounded (weights, bias) artifact —

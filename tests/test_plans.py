@@ -42,6 +42,12 @@ SMJ_WHITELIST = {
     "simsearch_ivfpq_topk",          # probed-cell bucket join (IVF x PQ)
     "simsearch_hard_negatives_ivf",  # same probed-cell bucket join
     "simsearch_range_search",        # same probed-cell bucket join
+    # TPC-H shapes: lineitem x orders is THE canonical fact-fact join
+    # (neither side broadcastable at scale; AQE broadcasts at test SF);
+    # q5's customer/supplier hops also scale with SF (15e9/1e9 rows at
+    # the 100 TB point) so they stay equi-shuffles by design.
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     # LSH bucket SELF-join of the full embedding table feeding the CC
     # closure — both sides are the corpus (not broadcastable at 100 TB);
     # the sign-bit bucket key is what bounds the join, not a broadcast.
@@ -281,6 +287,7 @@ GLOBAL_TOPK_ENTRIES = [
     "events_path_transitions_topk",  # analytics.path_transitions_topk
     "corpus_span_hotlist",         # text_dedup.span_hotlist
     "events_type_counts_top",      # analytics.type_counts_top
+    "tpch_q3_shipping_priority",   # olap.shipping_priority top-10
 ]
 
 

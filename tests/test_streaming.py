@@ -621,3 +621,15 @@ def test_rocksdb_state_store_active(spark, tmp_path):
     rocks = [k for k in metrics if k.lower().startswith("rocksdb")]
     assert rocks, f"no rocksdb state-store metrics in {sorted(metrics)[:8]}"
     assert spark.table("rocksdb_gate").count() > 0
+
+
+def test_stream_ivf_search(spark):
+    """Online ANN serving == batch index scan: the per-micro-batch
+    probed results appended by the serving loop must equal the batch
+    ivf_topk output row-for-row (same index artifact, same rank cut)."""
+    from flink_realtime_datawarehouse_v3_spark.operators import simsearch
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    stream = sp.stream_ivf_search(spark, SF_SMOKE)
+    batch = simsearch.ivf_topk(tables.load(spark, SF_SMOKE, "embeddings"))
+    _same(stream, batch, "ivf_search_serving")

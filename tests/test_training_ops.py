@@ -102,6 +102,9 @@ ORACLED = [
     "corpus_packing_stats",
     "corpus_mix_planner",
     "dedup_cluster_keep_quality",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
 ]
 
 
