@@ -1481,6 +1481,25 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name""",
 )
 
+# TPC-H Q18 shape (large-volume customers): pre-aggregate lineitem to
+# per-order quantity, HAVING-filter to the heavy tail, join back to
+# orders, top-20 by price — the agg-then-join pattern that keeps the
+# join input at |orders| rows instead of |lineitem|.
+register(
+    "tpch_q18_large_orders",
+    olap_plan.large_orders,
+    f"""SELECT o_orderkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+       sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+             AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > {olap_plan.Q18_MIN_QTY})
+  ON l_orderkey = o_orderkey
+ORDER BY total_cents DESC, o_orderkey LIMIT 20""",
+)
+
 from .sources import bucketed as bucketed_mod  # noqa: E402
 
 register(
@@ -2943,6 +2962,50 @@ register(
     lambda spark, sf: simsearch.range_search(_emb_corpus(spark, sf)),
 )
 
+# Content-keyed held-out split: exact clones share a split by
+# construction (the leakage-safe twin of corpus_train_val_test_split).
+register(
+    "corpus_split_leakage_safe",
+    lambda spark, sf: text_analysis.leakage_safe_split(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""SELECT doc_id, text_hash, split_key,
+       CASE WHEN split_key < {text_analysis.SPLIT_TEST_PPM} THEN 'test'
+            WHEN split_key < {text_analysis.SPLIT_TEST_PPM
+                              + text_analysis.SPLIT_VAL_PPM} THEN 'val'
+            ELSE 'train' END AS split
+FROM (SELECT doc_id, md5(text) AS text_hash,
+             CAST(CAST(concat('0x', substr(md5(concat('split_', md5(text))), 1, 10)) AS UBIGINT) AS BIGINT) % 1000000 AS split_key
+      FROM documents)""",
+)
+
+# EWMA-smoothed per-minute value series per event type: the constant-
+# fanout integer form (weights = powers of two over a bounded trailing
+# window; gaps decay instead of zero-filling).
+register(
+    "events_value_ewma",
+    lambda spark, sf: analytics_op.value_ewma(
+        tables.load(spark, sf, "events")
+    ),
+    f"""WITH base AS (
+  SELECT event_type, epoch_ms(ts) // 60000 AS bucket,
+         CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+           // count(*) AS mean_micro
+  FROM events GROUP BY 1, 2),
+contrib AS (
+  SELECT event_type, bucket + d AS bucket,
+         mean_micro * (1 << ({analytics_op.EWMA_WINDOW} - 1 - d)) AS w_val,
+         (1 << ({analytics_op.EWMA_WINDOW} - 1 - d)) AS w
+  FROM base, UNNEST(range(0, {analytics_op.EWMA_WINDOW})) AS t(d)),
+sm AS (SELECT event_type, bucket,
+              CAST(sum(w_val) AS BIGINT) AS wv, CAST(sum(w) AS BIGINT) AS ww
+       FROM contrib GROUP BY 1, 2)
+SELECT base.event_type, CAST(base.bucket AS BIGINT) AS bucket,
+       CAST(mean_micro AS BIGINT) AS mean_micro,
+       CAST(wv // ww AS BIGINT) AS ewma_micro
+FROM base JOIN sm USING (event_type, bucket)""",
+)
+
 # Per-source corpus health report: docs / distinct texts / exact-dup
 # ppm / token budget share — the per-domain accounting pass of a crawl
 # curation pipeline. Two-level agg; the share window runs over the
@@ -4308,6 +4371,9 @@ _DRIVER_WINDOW = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_orders",
+    "corpus_split_leakage_safe",
+    "events_value_ewma",
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "embedding_ivf_cell_stats",
     "simsearch_range_search",
@@ -4352,14 +4418,14 @@ _DRIVER_WINDOW = [
     "dim_user_info_schema_evolve",
     "dws_trade_province_source_rollup",
     "events_profile_stats",
-    "events_running_total",
-    "events_value_histogram",
-    "events_view_no_purchase",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "events_running_total",
+    "events_value_histogram",
+    "events_view_no_purchase",
     "multimodal_frame_sample",
     "multimodal_resize",
     "session_funnel",

@@ -472,3 +472,62 @@ def time_to_convert(events: DataFrame) -> DataFrame:
         F.round(F.expr("percentile(ms, 0.5)"), 6).alias("median_ms"),
         F.max("ms").cast("bigint").alias("max_ms"),
     )
+
+
+EWMA_WINDOW = 8  # trailing minute-buckets; weight of lag d = 2^(EWMA_WINDOW-1-d)
+
+
+def value_ewma(events: DataFrame, window: int = EWMA_WINDOW) -> DataFrame:
+    """Exponentially-weighted moving average of per-minute mean value,
+    per event type — the smoothed operational series a drift monitor
+    alerts on. Weights are exact powers of two over a bounded trailing
+    window (lag d gets 2^(w-1-d)), so the whole computation is integer
+    arithmetic and engine-identical; the normalizer sums only the
+    weights of buckets that EXIST, which is how a gap in the series
+    decays the average instead of zero-filling it.
+
+    Scale shape: the constant-fanout pattern (events_rolling_wau) — each
+    minute bucket explodes its ``window`` forward contributions (8x a
+    |types x minutes|-row aggregate, never the event rows), hash-aggs on
+    the target bucket, and inner-joins back to real buckets. No window
+    function, no per-series sort, no driver state."""
+    base = (
+        events.select(
+            "event_type",
+            (F.unix_millis(F.col("ts")) / 60_000).cast("bigint").alias("bucket"),
+            F.round(F.col("value") * 1e6).cast("bigint").alias("v_micro"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("v_micro").cast("bigint").alias("sum_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.expr("sum_micro DIV n").alias("mean_micro"),
+        )
+    )
+    contrib = base.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("d"),
+        F.col("bucket"),
+        "mean_micro",
+    ).select(
+        "event_type",
+        (F.col("bucket") + F.col("d")).alias("bucket"),
+        (F.col("mean_micro") * F.expr(f"shiftleft(1, {window - 1} - d)"))
+        .cast("bigint")
+        .alias("w_val"),
+        F.expr(f"shiftleft(1, {window - 1} - d)").cast("bigint").alias("w"),
+    )
+    smoothed = contrib.groupBy("event_type", "bucket").agg(
+        F.sum("w_val").cast("bigint").alias("wv"),
+        F.sum("w").cast("bigint").alias("ww"),
+    )
+    return base.join(smoothed, ["event_type", "bucket"]).select(
+        "event_type",
+        "bucket",
+        "mean_micro",
+        F.expr("wv DIV ww").alias("ewma_micro"),
+    )

@@ -1642,6 +1642,30 @@ SPLIT_TEST_PPM = 10_000  # 1%
 SPLIT_VAL_PPM = 10_000  # 1%
 
 
+def leakage_safe_split(docs: DataFrame) -> DataFrame:
+    """Held-out split keyed on the CONTENT hash, not the doc id: exact
+    clones land in the same split by construction, so an eval set can
+    never contain a verbatim copy of a training document — the
+    train/test-leakage failure mode a doc_id-keyed split
+    (:func:`train_val_test_split`) cannot prevent on a deduplicated-late
+    corpus. Same thresholds as the id-keyed split; still one projection,
+    zero shuffle, membership a pure function of text."""
+    key = (
+        hash40(F.concat(F.lit("split_"), F.md5(F.col("text")))) % 1_000_000
+    )
+    split = (
+        F.when(key < SPLIT_TEST_PPM, F.lit("test"))
+        .when(key < SPLIT_TEST_PPM + SPLIT_VAL_PPM, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_hash"),
+        key.alias("split_key"),
+        split.alias("split"),
+    )
+
+
 def train_val_test_split(docs: DataFrame) -> DataFrame:
     """Per-doc split assignment — one projection, zero shuffle. The key
     is salted ('split_' prefix) so it is independent of every other

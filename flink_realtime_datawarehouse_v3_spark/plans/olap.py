@@ -134,3 +134,32 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+Q18_MIN_QTY = 250  # ~99th percentile of per-order quantity
+
+
+def large_orders(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate lineitem to
+    per-order quantity FIRST, HAVING-filter to the heavy tail, then join
+    back to orders — the agg-then-join pattern that presents |orders|
+    rows to the join instead of |lineitem|, with the top-20 price cut
+    compiling to TakeOrderedAndProject."""
+    heavy = (
+        tables.load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    o = tables.load(spark, sf_dir, "orders")
+    return (
+        o.join(heavy, o.o_orderkey == heavy.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            _cents(F.col("o_totalprice")).alias("total_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.col("total_cents").desc(), "o_orderkey")
+        .limit(k)
+    )

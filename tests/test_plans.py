@@ -48,6 +48,7 @@ SMJ_WHITELIST = {
     # the 100 TB point) so they stay equi-shuffles by design.
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_orders",
     # LSH bucket SELF-join of the full embedding table feeding the CC
     # closure — both sides are the corpus (not broadcastable at 100 TB);
     # the sign-bit bucket key is what bounds the join, not a broadcast.
@@ -288,6 +289,7 @@ GLOBAL_TOPK_ENTRIES = [
     "corpus_span_hotlist",         # text_dedup.span_hotlist
     "events_type_counts_top",      # analytics.type_counts_top
     "tpch_q3_shipping_priority",   # olap.shipping_priority top-10
+    "tpch_q18_large_orders",       # olap.large_orders top-20
 ]
 
 

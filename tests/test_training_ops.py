@@ -105,6 +105,9 @@ ORACLED = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_orders",
+    "corpus_split_leakage_safe",
+    "events_value_ewma",
 ]
 
 
@@ -1574,3 +1577,24 @@ def test_range_search_recall_and_plan(spark):
     assert exact, "clone corpus must contain in-ball pairs"
     assert got <= exact  # every reported pair is truly in the ball
     assert len(got & exact) / len(exact) >= 0.5
+
+
+def test_leakage_safe_split_clones_agree(spark):
+    """Exact clones must land in the same split (the property the
+    content-keyed split exists for; the id-keyed split cannot give it)."""
+    from flink_realtime_datawarehouse_v3_spark.operators import text_analysis as ta
+    from flink_realtime_datawarehouse_v3_spark.sources import corpus as corpus_mod
+
+    rows = ta.leakage_safe_split(
+        corpus_mod.corpus(spark, SF_SMOKE)  # clone-expanded: exact dups exist
+    ).collect()
+    by_hash: dict = {}
+    for r in rows:
+        by_hash.setdefault(r.text_hash, set()).add(r.split)
+    assert any(len(v) for v in by_hash.values())
+    dup_hashes = [h for h, v in by_hash.items() if len(v) > 1]
+    assert not dup_hashes, f"clones split across partitions: {dup_hashes[:3]}"
+    # and the clone-expanded corpus really contains duplicated texts
+    from collections import Counter
+    c = Counter(r.text_hash for r in rows)
+    assert any(n >= 2 for n in c.values())
