@@ -2236,6 +2236,69 @@ register(
     "SELECT doc_id, text, lang, source, n_chars FROM documents",
 )
 
+
+# ORC roundtrip: the other columnar format Spark ships natively (a
+# warehouse migrating from Hive serves ORC). Same content contract as
+# the parquet/JSONL sinks; zstd like a production table. Explicit
+# read-side schema (no inference pass over the files).
+def _sink_corpus_orc(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    base = _tmp_sink_path("corpus_orc_rt", sf)
+    docs = tables.load(spark, sf, "documents")
+    (
+        docs.repartition(F.col("lang"))
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("lang")
+        .orc(base)
+    )
+    return spark.read.schema(
+        "doc_id bigint, text string, source string, n_chars bigint, lang string"
+    ).orc(base).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+register(
+    "sink_corpus_orc_roundtrip",
+    _sink_corpus_orc,
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+
+
+# CSV roundtrip: the interchange format data actually arrives in —
+# documents carry embedded quotes/newlines-free synthetic text, but the
+# writer still quotes and escapes so the contract (escaped header-ful
+# multiline-safe CSV) is exercised; explicit schema + mode FAILFAST so a
+# malformed row is an error, never a silent null row.
+def _sink_corpus_csv(spark: SparkSession, sf: str) -> DataFrame:
+    base = _tmp_sink_path("corpus_csv_rt", sf)
+    docs = tables.load(spark, sf, "documents")
+    (
+        docs.coalesce(8)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(base)
+    )
+    return (
+        spark.read.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("header", "true")
+        .option("escape", '"')
+        .option("mode", "FAILFAST")
+        .csv(base)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+register(
+    "sink_corpus_csv_roundtrip",
+    _sink_corpus_csv,
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+
 # Table maintenance: size-targeted small-file compaction. Fragmented
 # ingest (64 files) compacted to ceil(bytes/target) files; content must
 # round-trip exactly.
@@ -4374,6 +4437,8 @@ _DRIVER_WINDOW = [
     "tpch_q18_large_orders",
     "corpus_split_leakage_safe",
     "events_value_ewma",
+    "sink_corpus_orc_roundtrip",
+    "sink_corpus_csv_roundtrip",
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "embedding_ivf_cell_stats",
     "simsearch_range_search",
@@ -4416,13 +4481,13 @@ _DRIVER_WINDOW = [
     "corpus_lang_pivot",
     "corpus_mix_report",
     "dim_user_info_schema_evolve",
-    "dws_trade_province_source_rollup",
-    "events_profile_stats",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "dws_trade_province_source_rollup",
+    "events_profile_stats",
     "events_running_total",
     "events_value_histogram",
     "events_view_no_purchase",

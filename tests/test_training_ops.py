@@ -108,6 +108,8 @@ ORACLED = [
     "tpch_q18_large_orders",
     "corpus_split_leakage_safe",
     "events_value_ewma",
+    "sink_corpus_orc_roundtrip",
+    "sink_corpus_csv_roundtrip",
 ]
 
 
