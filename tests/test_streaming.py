@@ -580,6 +580,21 @@ def test_upsert_sink_untouched_buckets_byte_identical(spark, tmp_path):
     missed = next(i for i in range(64) if i not in upd_ids)
     assert rows[missed] == (f"v{missed}", 10)
 
+    # READ-side pruning: the merge's current-table read (bucket filter on
+    # the partition column) must touch only files under the touched
+    # bucket dir — partition pruning, not a post-scan filter.
+    from pyspark.sql import functions as F
+
+    files = {
+        r[0]
+        for r in spark.read.parquet(path)
+        .filter(F.col("__bucket").isin([target]))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert files and all(touched_dir in f for f in files), files
+
 
 def test_rocksdb_state_store_active(spark, tmp_path):
     """The production state-store posture: every stateful streaming query
