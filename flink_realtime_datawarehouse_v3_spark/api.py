@@ -1500,6 +1500,57 @@ JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
 ORDER BY total_cents DESC, o_orderkey LIMIT 20""",
 )
 
+# TPC-H Q4 shape: EXISTS -> LEFT SEMI join (equi key + lateness
+# predicate as the join condition); the probe side never duplicates
+# orders however many lineitems match.
+register(
+    "tpch_q4_order_priority",
+    olap_plan.order_priority_check,
+    f"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{olap_plan.Q4_START}'
+  AND o_orderdate < TIMESTAMP '{olap_plan.Q4_END}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                    + INTERVAL {olap_plan.Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority""",
+)
+
+# Per-column data-quality profile (Deequ/GE-style acceptance report):
+# null ppm, exact distinct count, modal value per events column — one
+# stack() unpivot + one (column, value) hash agg; the modal pick runs
+# over the bounded (column, value, count) table.
+register(
+    "events_column_profile",
+    lambda spark, sf: profiling_op.column_profile(
+        tables.load(spark, sf, "events")
+    ),
+    """WITH unp AS (
+  SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS val FROM events
+  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL SELECT 'event_type', event_type FROM events
+  UNION ALL SELECT 'value',
+    CAST(CAST(round(value * 1e6) AS BIGINT) AS VARCHAR) FROM events
+  UNION ALL SELECT 'props', props FROM events
+  UNION ALL SELECT 'ts', CAST(epoch_ms(ts) AS VARCHAR) FROM events),
+counts AS (SELECT col_name, val, CAST(count(*) AS BIGINT) AS c
+           FROM unp GROUP BY 1, 2),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY col_name
+                ORDER BY c DESC, val ASC NULLS LAST) AS rn
+           FROM counts)
+SELECT col_name,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(CAST(sum(CASE WHEN val IS NULL THEN c ELSE 0 END) AS BIGINT)
+            * 1000000 // sum(c) AS BIGINT) AS null_ppm,
+       CAST(count(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_distinct,
+       max(CASE WHEN rn = 1 AND val IS NOT NULL THEN val END) AS top_value,
+       CAST(max(CASE WHEN rn = 1 AND val IS NOT NULL THEN c END) AS BIGINT)
+         AS top_count
+FROM ranked GROUP BY col_name""",
+)
+
 from .sources import bucketed as bucketed_mod  # noqa: E402
 
 register(
@@ -4439,6 +4490,8 @@ _DRIVER_WINDOW = [
     "events_value_ewma",
     "sink_corpus_orc_roundtrip",
     "sink_corpus_csv_roundtrip",
+    "tpch_q4_order_priority",
+    "events_column_profile",
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "embedding_ivf_cell_stats",
     "simsearch_range_search",
@@ -4479,13 +4532,13 @@ _DRIVER_WINDOW = [
     "dws_traffic_vc_ch_ar_is_new_page_view_window",
     "asof_join_events",
     "corpus_lang_pivot",
-    "corpus_mix_report",
-    "dim_user_info_schema_evolve",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "corpus_mix_report",
+    "dim_user_info_schema_evolve",
     "dws_trade_province_source_rollup",
     "events_profile_stats",
     "events_running_total",

@@ -83,3 +83,66 @@ def value_histogram(events: DataFrame, bin_width: int = BIN_WIDTH) -> DataFrame:
         .groupBy("event_type", "bin_lo")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+PROFILE_COLS = [  # (name, engine-identical canonical string expression)
+    ("event_id", "CAST(event_id AS STRING)"),
+    ("user_id", "CAST(user_id AS STRING)"),
+    ("event_type", "event_type"),
+    # doubles and timestamps stringify differently across engines, so
+    # they canonicalize through integers first (micro-units / epoch-ms).
+    ("value", "CAST(CAST(round(value * 1e6) AS BIGINT) AS STRING)"),
+    ("props", "props"),
+    ("ts", "CAST(unix_millis(ts) AS STRING)"),
+]
+
+
+def column_profile(events: DataFrame) -> DataFrame:
+    """Per-column data-quality profile of the events table — null rate,
+    exact distinct count, and the modal value — the table a data-quality
+    monitor (Deequ/GE-style) computes before accepting a batch.
+
+    Plan: one stack() unpivot (|cols| x fanout of a projection, no
+    Python), ONE hash agg on (column, value), then per-column rollup +
+    modal pick over the (column, value, count) table — the second pass
+    is bounded by per-column cardinality, never the raw rows. Values
+    canonicalize to engine-identical strings (ints as digits, doubles as
+    micro-units, timestamps as epoch-ms)."""
+    from pyspark.sql import Window
+
+    pairs = ", ".join(f"'{n}', {e}" for n, e in PROFILE_COLS)
+    unp = events.select(
+        F.expr(f"stack({len(PROFILE_COLS)}, {pairs}) AS (col_name, val)")
+    )
+    counts = unp.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("c").desc(), F.col("val").asc_nulls_last()
+    )
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("col_name")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("val").isNull(), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.count(F.when(F.col("val").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_distinct"),
+            F.max(F.when((F.col("rn") == 1) & F.col("val").isNotNull(), F.col("val")))
+            .alias("top_value"),
+            F.max(F.when((F.col("rn") == 1) & F.col("val").isNotNull(), F.col("c")))
+            .cast("bigint")
+            .alias("top_count"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            F.expr("n_null * 1000000 DIV n_rows").alias("null_ppm"),
+            "n_distinct",
+            "top_value",
+            "top_count",
+        )
+    )

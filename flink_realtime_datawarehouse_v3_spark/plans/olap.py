@@ -163,3 +163,30 @@ def large_orders(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         .orderBy(F.col("total_cents").desc(), "o_orderkey")
         .limit(k)
     )
+
+
+Q4_START, Q4_END = "1995-01-01", "1995-04-01"
+Q4_LATE_DAYS = 60
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in one quarter
+    with AT LEAST ONE late lineitem (shipped > 60 days after the order
+    date), counted per priority. The EXISTS compiles to a LEFT SEMI join
+    on the equi key with the lateness predicate as the join condition —
+    the probe side never duplicates orders however many lineitems match,
+    and the date filter prunes the orders scan before the shuffle."""
+    o = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp"))
+    )
+    l = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, Q4_LATE_DAYS)),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )

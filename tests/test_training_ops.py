@@ -110,6 +110,8 @@ ORACLED = [
     "events_value_ewma",
     "sink_corpus_orc_roundtrip",
     "sink_corpus_csv_roundtrip",
+    "tpch_q4_order_priority",
+    "events_column_profile",
 ]
 
 
