@@ -198,6 +198,12 @@ def test_filter_pushdown_reaches_parquet(plans):
     assert re.search(
         r"PushedFilters: \[[^\]]*EqualTo\(l_linenumber", plans["dwd_trade_cart_add"]
     ), "cart_add: l_linenumber filter not pushed to parquet scan"
+    # TPC-H Q1: the shipdate cutoff must reach the lineitem scan — at
+    # 100 TB the pushed range predicate is what skips row groups.
+    assert re.search(
+        r"PushedFilters: \[[^\]]*LessThan\(l_shipdate",
+        plans["tpch_q1_pricing_summary"],
+    ), "q1: l_shipdate cutoff not pushed to parquet scan"
 
 
 def test_column_pruning_reaches_parquet(plans):
