@@ -4166,6 +4166,27 @@ register(
     ),
 )
 
+# Exact content dedup of media payloads: Catalyst md5 over the BINARY
+# column (no Python, no codec — detection must never decode); one scan +
+# one hash agg. Clone-expanded corpus guarantees true positives.
+register(
+    "multimodal_dedup_exact",
+    lambda spark, sf: multimodal.dedup_binary_exact(
+        multimodal.with_binary_payload(_corpus(spark, sf))
+    ),
+    _csql(
+        """SELECT md5(text) AS checksum,
+                  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'wav' ELSE 'mp4' END AS fmt,
+                  CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+                  CAST(count(*) AS BIGINT) AS n_copies,
+                  CAST((count(*) - 1) * max(strlen(text)) AS BIGINT)
+                    AS bytes_reclaimable
+           FROM corpus
+           GROUP BY 1, 2 HAVING count(*) >= 2"""
+    ),
+)
+
 register(
     "multimodal_resize",
     lambda spark, sf: multimodal.resize_stub(
@@ -4492,6 +4513,7 @@ _DRIVER_WINDOW = [
     "sink_corpus_csv_roundtrip",
     "tpch_q4_order_priority",
     "events_column_profile",
+    "multimodal_dedup_exact",
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "embedding_ivf_cell_stats",
     "simsearch_range_search",
@@ -4531,12 +4553,12 @@ _DRIVER_WINDOW = [
     "dws_traffic_source_keyword_page_view_window",
     "dws_traffic_vc_ch_ar_is_new_page_view_window",
     "asof_join_events",
-    "corpus_lang_pivot",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "corpus_lang_pivot",
     "corpus_mix_report",
     "dim_user_info_schema_evolve",
     "dws_trade_province_source_rollup",

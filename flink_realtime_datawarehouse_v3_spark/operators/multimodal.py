@@ -143,3 +143,37 @@ def resize_stub(media: DataFrame, target_w: int = 224, target_h: int = 224) -> D
 
     images = media.filter(F.col("meta.fmt").isin("png", "jpeg"))
     return images.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def dedup_binary_exact(media: DataFrame) -> DataFrame:
+    """Exact content dedup of media payloads — the first curation pass a
+    multimodal corpus runs, and the one that must NEVER decode: the
+    content hash is a Catalyst ``md5`` over the binary column, so
+    detection costs one scan + one hash agg with no Python and no codec.
+    Output: one row per duplicated (checksum, fmt) cluster with the kept
+    doc (min id), duplicate count, and bytes reclaimable by dropping the
+    copies."""
+    per = media.select(
+        "doc_id",
+        F.md5(F.col("payload")).alias("checksum"),
+        F.col("meta.fmt").alias("fmt"),
+        F.length(F.col("payload")).cast("bigint").alias("byte_len"),
+    )
+    return (
+        per.groupBy("checksum", "fmt")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.max("byte_len").alias("byte_len"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select(
+            "checksum",
+            "fmt",
+            "keep_doc_id",
+            "n_copies",
+            ((F.col("n_copies") - 1) * F.col("byte_len"))
+            .cast("bigint")
+            .alias("bytes_reclaimable"),
+        )
+    )

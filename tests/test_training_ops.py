@@ -112,6 +112,7 @@ ORACLED = [
     "sink_corpus_csv_roundtrip",
     "tpch_q4_order_priority",
     "events_column_profile",
+    "multimodal_dedup_exact",
 ]
 
 
