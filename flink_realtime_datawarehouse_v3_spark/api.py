@@ -4350,6 +4350,13 @@ def _register_streaming() -> None:
             "stream_fasttext_score",
             "text_fasttext_score_trained",
         ),
+        # Multimodal decode at ingestion: the Arrow mapInPandas feature
+        # stage per micro-batch (stateless append; binary + metadata
+        # columns ride the replay files).
+        "streaming_multimodal_decode": (
+            "stream_multimodal_decode",
+            "multimodal_decode",
+        ),
     }
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
@@ -4514,6 +4521,7 @@ _DRIVER_WINDOW = [
     "tpch_q4_order_priority",
     "events_column_profile",
     "multimodal_dedup_exact",
+    "streaming_multimodal_decode",
     # rows-only rotations (_WINDOW_ROWS_ONLY above).
     "embedding_ivf_cell_stats",
     "simsearch_range_search",
@@ -4552,12 +4560,12 @@ _DRIVER_WINDOW = [
     "dwd_traffic_user_jump_detail",
     "dws_traffic_source_keyword_page_view_window",
     "dws_traffic_vc_ch_ar_is_new_page_view_window",
-    "asof_join_events",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "asof_join_events",
     "corpus_lang_pivot",
     "corpus_mix_report",
     "dim_user_info_schema_evolve",

@@ -1248,6 +1248,24 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(ta.quality_gate(s))
 
 
+def stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode at INGESTION: the Arrow-batched mapInPandas
+    feature stage applied to each micro-batch of the replayed media
+    stream (binary payload + metadata struct). Stateless append — the
+    Python stage sees the same Arrow record-batch contract per
+    micro-batch as in batch mode, so stream == batch == oracle by
+    construction; metadata-only predicates stay Catalyst-side ahead of
+    Python exactly as in the batch plan."""
+    from ..operators import multimodal
+    from ..sources import corpus as corpus_mod
+
+    media = multimodal.with_binary_payload(corpus_mod.corpus(spark, sf_dir))
+    with TempStreamDir() as d:
+        _write_replay(media, d.sub("in"), order_by=["doc_id"])
+        s = read_stream(spark, d.sub("in"))
+        return run_to_memory(multimodal.decode_features(s))
+
+
 def stream_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online ANN SERVING: the IVF index (centroids + assignments) is
     built ONCE at job start from the static corpus and persisted; the
