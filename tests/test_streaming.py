@@ -676,3 +676,11 @@ def test_upsert_sink_redelivery_idempotent(spark, tmp_path):
         tuple(r) for r in stateful.read_upsert_table(spark, path).collect()
     )
     assert before == after
+
+
+def test_stream_multimodal_decode(spark):
+    """The Arrow mapInPandas feature stage under streaming must equal the
+    batch decode row-for-row (same record-batch contract per micro-batch)."""
+    stream = sp.stream_multimodal_decode(spark, SF_SMOKE)
+    batch = api.QUERIES["multimodal_decode"](spark, SF_SMOKE)
+    _same(stream, batch, "multimodal_decode")
