@@ -12,6 +12,8 @@ from hypothesis import strategies as st
 
 from flink_realtime_datawarehouse_v3_spark.functions import tokenize as tk
 
+from .conftest import SF_SMOKE
+
 
 # --- FMM segmenter ----------------------------------------------------------
 
@@ -118,3 +120,74 @@ def test_cluster_closure_matches_union_find(spark, seed):
         for r in text_dedup.dedup_clusters(corpus, pairs).collect()
     }
     assert got == expected
+
+
+def test_bucket_of_deterministic_and_ranged(spark):
+    """Upsert bucketing invariants: every bucket id lands in [0, N), the
+    assignment is a pure function of the key (stable across partitionings
+    and repeated evaluation), and keys spread over more than one bucket."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import stateful
+
+    df = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    a = {r.k: r.b for r in df.select("k", stateful.bucket_of(["k"]).alias("b")).collect()}
+    b = {
+        r.k: r.b
+        for r in df.repartition(7)
+        .select("k", stateful.bucket_of(["k"]).alias("b"))
+        .collect()
+    }
+    assert a == b
+    assert all(0 <= v < stateful.N_UPSERT_BUCKETS for v in a.values())
+    assert len(set(a.values())) > 1
+
+
+def test_mix_planner_budget_invariants(spark):
+    """Allocation invariants of the quality-greedy planner: grants are
+    within [0, n_tokens], the total grant equals min(budget, corpus),
+    and grants are monotone down the quality ranking (a lower-ranked
+    source can only be granted if every better-ranked one got its full
+    ask)."""
+    from flink_realtime_datawarehouse_v3_spark.operators import text_analysis as ta
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    rows = sorted(ta.mix_planner(docs).collect(), key=lambda r: r.rank)
+    total = sum(r.n_tokens for r in rows)
+    budget = total * ta.MIX_PLAN_BUDGET_TENTHS // 10
+    assert all(0 <= r.take_tokens <= r.n_tokens for r in rows)
+    assert sum(r.take_tokens for r in rows) == min(budget, total)
+    partial_seen = False
+    for r in rows:
+        if partial_seen:
+            assert r.take_tokens == 0, r
+        if r.take_tokens < r.n_tokens:
+            partial_seen = True
+        assert 0 <= r.sample_ppm <= 1_000_000
+
+
+def test_value_ewma_bounds(spark):
+    """EWMA convexity: every smoothed value lies within the [min, max] of
+    the bucket means that contributed to it (a weighted average cannot
+    leave the hull); buckets with no history equal their own mean."""
+    from flink_realtime_datawarehouse_v3_spark.operators import analytics
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    events = tables.load(spark, SF_SMOKE, "events")
+    rows = analytics.value_ewma(events).collect()
+    assert rows
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r.event_type, {})[r.bucket] = r.mean_micro
+    w = analytics.EWMA_WINDOW
+    for r in rows:
+        hist = [
+            series[r.event_type][b]
+            for b in range(r.bucket - w + 1, r.bucket + 1)
+            if b in series[r.event_type]
+        ]
+        # +/-1 micro of integer-division slack per contributing term
+        assert min(hist) - w <= r.ewma_micro <= max(hist) + w, (r, hist)
+        if len(hist) == 1:
+            assert r.ewma_micro == r.mean_micro
