@@ -1517,6 +1517,91 @@ WHERE o_orderdate >= TIMESTAMP '{olap_plan.Q4_START}'
 GROUP BY o_orderpriority""",
 )
 
+# TPC-H Q17 shape: correlated scalar subquery (per-part avg quantity)
+# decorrelated to agg-then-BROADCAST-join — the oracle keeps the
+# correlated form so the driver proves the decorrelation is exact.
+# Threshold in exact integers (5*qty*cnt < sum), never float division.
+register(
+    "tpch_q17_small_qty_revenue",
+    olap_plan.small_quantity_revenue,
+    f"""SELECT CAST(sum(rc) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_small_lineitems,
+       CAST(sum(rc) // 7 AS BIGINT) AS avg_yearly_cents
+FROM (SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT) AS rc
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = '{olap_plan.Q17_BRAND}'
+        AND p.p_type = '{olap_plan.Q17_TYPE}'
+        AND CAST(l.l_quantity AS BIGINT) * 5 *
+            (SELECT count(*) FROM lineitem l2
+             WHERE l2.l_partkey = p.p_partkey)
+          < (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+             WHERE l2.l_partkey = p.p_partkey)) t""",
+)
+
+# TPC-H Q20 shape: nested semi chain with a groupwise threshold —
+# dominant suppliers (shipped > half a part's 1996 volume) left-semi
+# into supplier. The oracle states the threshold as a window over the
+# same pair agg; the plan side is one lineitem shuffle + a broadcast of
+# the |parts|-row totals + a LEFT SEMI probe.
+register(
+    "tpch_q20_dominant_suppliers",
+    olap_plan.dominant_part_suppliers,
+    f"""WITH pq AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '{olap_plan.Q20_NAME_PREFIX}%'
+    AND l_shipdate >= TIMESTAMP '{olap_plan.Q20_YEAR_START}'
+    AND l_shipdate < TIMESTAMP '{olap_plan.Q20_YEAR_END}'
+  GROUP BY l_partkey, l_suppkey),
+dom AS (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey, pair_qty,
+           sum(pair_qty) OVER (PARTITION BY l_partkey) AS part_total
+    FROM pq) w
+  WHERE pair_qty * 2 > part_total)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM dom)""",
+)
+
+# TPC-H Q22 shape: uncorrelated scalar subquery (global avg positive
+# balance, a 1-row broadcast) + NOT EXISTS -> LEFT ANTI join. Exact
+# integers: acctbal*n_pos > sum_pos instead of a float average.
+register(
+    "tpch_q22_idle_rich_customers",
+    olap_plan.idle_rich_customers,
+    """WITH c AS (SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+            FROM customer)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(acctbal_cents) AS BIGINT) AS total_cents
+FROM c
+WHERE acctbal_cents * (SELECT count(*) FROM c WHERE acctbal_cents > 0)
+      > (SELECT sum(acctbal_cents) FROM c WHERE acctbal_cents > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+GROUP BY c_nationkey""",
+)
+
+# TPC-H Q14 shape: conditional aggregation (CASE inside sum) over the
+# lineitem x part equi join; share reported in integer ppm.
+register(
+    "tpch_q14_promo_revenue",
+    olap_plan.promo_revenue_share,
+    f"""SELECT
+  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END) AS BIGINT)
+    AS promo_cents,
+  CAST(sum(rc) AS BIGINT) AS total_cents,
+  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END) * 1000000
+       // sum(rc) AS BIGINT) AS promo_share_ppm
+FROM (SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT) AS rc, p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '{olap_plan.Q14_MONTH_START}'
+        AND l_shipdate < TIMESTAMP '{olap_plan.Q14_MONTH_END}') t""",
+)
+
 # Per-column data-quality profile (Deequ/GE-style acceptance report):
 # null ppm, exact distinct count, modal value per events column — one
 # stack() unpivot + one (column, value) hash agg; the modal pick runs
@@ -4187,6 +4272,19 @@ register(
     ),
 )
 
+# Perceptual near-dup image pairs: dHash over the deterministic fake
+# decode (Arrow stage), then Hamming-band LSH candidates verified by
+# bit_count(xor) — the banded join from text_dedup.simhash_pairs reused
+# on the image plane. Rows-only by design (the fingerprint is Python-side
+# byte sampling with no single-SQL DuckDB twin); correctness is pinned by
+# the planted-near-duplicate recall gate in tests/test_multimodal.py.
+register(
+    "multimodal_dedup_perceptual",
+    lambda spark, sf: multimodal.dedup_perceptual(
+        multimodal.with_binary_payload(_corpus(spark, sf))
+    ),
+)
+
 register(
     "multimodal_resize",
     lambda spark, sf: multimodal.resize_stub(
@@ -4480,28 +4578,77 @@ _register_streaming()
 # rounds STRICTLY OLDER than this, so the gate stays green when THIS
 # round's record lands (the r04 lesson: a gate keyed on "all records" fails
 # on schedule the moment the round it shaped gets recorded).
-_WINDOW_ROUND = 8
+_WINDOW_ROUND = 9
 
-# Rows-only entries DELIBERATELY placed inside the checked window this
-# round: the two NEW rows-only entries (IVF health report, range search),
-# plus the two rows-only entries whose implementation changed in r8
-# (simsearch_ivf_topk rides the refactored shared _ivf_assignments;
-# text_bpe_tokenize's encode split gained the control-char regex routing).
-# An oracle-less slot buys error-surface + row-count telemetry under the
-# driver's real session — exactly where a new/changed implementation is
-# most likely to break (the r5 ANSI lesson). Gates in
-# tests/test_driver_order.py carve these out by exact name.
+# Rows-only entries deliberately inside the checked window this round
+# (never-driver-executed first, then new/changed, then the stalest
+# rotations) — an oracle-less slot buys error-surface + row-count
+# telemetry under the driver's real session. Generated by
+# tools/rebuild_window.py; do not hand-edit.
 _WINDOW_ROWS_ONLY = {
-    "embedding_ivf_cell_stats",
-    "simsearch_range_search",
-    "simsearch_ivf_topk",
-    "text_bpe_tokenize",
+    "decontaminate_bloom",
+    "dws_trade_province_order_window_approx",
+    "events_profile_stats_approx",
+    "multimodal_dedup_perceptual",
+    "streaming_ivf_search",
 }
 
 _DRIVER_WINDOW = [
-    # unproven first (no hash-green row in any round < _WINDOW_ROUND):
-    # the eight new r8 oracled entries — trained-classifier family,
-    # vocab coverage, packing report, mix planner, quality-aware dedup.
+    "streaming_ivf_search",
+    "multimodal_dedup_perceptual",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q22_idle_rich_customers",
+    "tpch_q14_promo_revenue",
+    "dws_trade_province_order_window_approx",
+    "decontaminate_bloom",
+    "events_profile_stats_approx",
+    "dim_user_info",
+    "dwd_trade_order_detail",
+    "dwd_traffic_page_log",
+    "dws_trade_province_order_window",
+    "asof_join_events",
+    "corpus_lang_pivot",
+    "corpus_mix_report",
+    "dim_user_info_schema_evolve",
+    "dws_trade_province_source_rollup",
+    "events_profile_stats",
+    "events_running_total",
+    "events_value_histogram",
+    "events_view_no_purchase",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "session_funnel",
+    "text_repetition_stats",
+    "skew_heavy_hitters",
+    "temporal_join_coupon_asof",
+    "streaming_keyword_window",
+    "streaming_sessionize",
+    "streaming_favor_add",
+    "streaming_base_log",
+    "streaming_jump_detail",
+    "streaming_keyword_window_late",
+    "streaming_order_pre_process",
+    "streaming_activity_coupon_full_outer",
+    "streaming_traffic_union_window",
+    "streaming_pay_detail_suc",
+    "sink_checkpoint_recovery",
+    "text_vocab_topk",
+    "text_tfidf_topk",
+    "streaming_time_rollup",
+    "streaming_hop_window",
+    "text_quality_top_fraction",
+    "text_unigram_lm_score",
+    "streaming_value_histogram",
+    "text_chunk_tokens",
+    "text_pii_scrub",
+    "join_bucketed_colocated",
+    "dwd_interaction_comment",
+]
+
+# Proven in earlier rounds; rotated past the cutoff. The
+# rows-only-by-design entries (no oracle possible) sit strictly last.
+_DRIVER_TAIL = [
     "text_fasttext_fit",
     "text_fasttext_score_trained",
     "text_fasttext_calibration",
@@ -4522,15 +4669,6 @@ _DRIVER_WINDOW = [
     "events_column_profile",
     "multimodal_dedup_exact",
     "streaming_multimodal_decode",
-    # rows-only rotations (_WINDOW_ROWS_ONLY above).
-    "embedding_ivf_cell_stats",
-    "simsearch_range_search",
-    "simsearch_ivf_topk",
-    "text_bpe_tokenize",
-    # re-prove: implementation changed this round (decimal token share;
-    # hybrid query-vector guard; _ft_feats refactor under the structural
-    # scorer; the BUCKETED upsert/dim/scd2 sinks — the r8 headline — and
-    # the RocksDB state store under the stateful replays).
     "corpus_source_stats",
     "retrieval_hybrid_topk",
     "text_fasttext_score",
@@ -4540,9 +4678,6 @@ _DRIVER_WINDOW = [
     "streaming_dim_coupon_scd2",
     "streaming_unique_visitor",
     "streaming_order_info_debounce",
-    # stalest proven entries (r3/r4-green, longest since last driver
-    # re-proof): the dwd/dws log-and-coupon family, the r4 events
-    # profile/histogram block, multimodal, session funnel.
     "text_token_stats",
     "dwd_user_register",
     "dws_user_user_register_window",
@@ -4560,23 +4695,6 @@ _DRIVER_WINDOW = [
     "dwd_traffic_user_jump_detail",
     "dws_traffic_source_keyword_page_view_window",
     "dws_traffic_vc_ch_ar_is_new_page_view_window",
-]
-
-# Proven in earlier rounds; rotated past the cutoff. The
-# rows-only-by-design entries (no oracle possible) sit strictly last.
-_DRIVER_TAIL = [
-    "asof_join_events",
-    "corpus_lang_pivot",
-    "corpus_mix_report",
-    "dim_user_info_schema_evolve",
-    "dws_trade_province_source_rollup",
-    "events_profile_stats",
-    "events_running_total",
-    "events_value_histogram",
-    "events_view_no_purchase",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "session_funnel",
     "sink_corpus_shards_roundtrip",
     "text_bm25_topk",
     "corpus_perplexity_buckets",
@@ -4621,16 +4739,9 @@ _DRIVER_TAIL = [
     "dws_trade_trademark_category_user_refund_window",
     "dws_trade_payment_suc_window",
     "dws_trade_cart_add_uu_window",
-    "text_repetition_stats",
     "dedup_edit_distance",
     "dedup_incremental",
     "dedup_cluster_keep",
-    "dim_user_info",
-    "dwd_trade_order_detail",
-    "dwd_traffic_page_log",
-    "dws_trade_province_order_window",
-    "skew_heavy_hitters",
-    "temporal_join_coupon_asof",
     "dedup_embedding_cluster_keep",
     "streaming_dedup_incremental",
     "dedup_substring_spans",
@@ -4658,13 +4769,9 @@ _DRIVER_TAIL = [
     "sink_dws_partitioned_roundtrip",
     "sessionize_events",
     "dedup_exact",
-    "join_bucketed_colocated",
-    "dwd_interaction_comment",
     "dwd_trade_refund_pay_suc",
     "dws_user_user_login_window",
     "dim_coupon_use",
-    "streaming_keyword_window",
-    "streaming_sessionize",
     "events_viewers_and_buyers",
     "join_activity_coupon_right_outer",
     "dws_traffic_keyword_cjk_window",
@@ -4686,34 +4793,15 @@ _DRIVER_TAIL = [
     "events_time_rollup",
     "events_hop_window",
     "dwd_trade_order_pre_process",
-    "streaming_favor_add",
-    "streaming_base_log",
-    "streaming_jump_detail",
-    "streaming_keyword_window_late",
-    "streaming_order_pre_process",
-    "streaming_activity_coupon_full_outer",
-    "streaming_traffic_union_window",
-    "streaming_pay_detail_suc",
-    "sink_checkpoint_recovery",
-    "text_vocab_topk",
-    "text_tfidf_topk",
-    "streaming_time_rollup",
-    "streaming_hop_window",
-    "text_quality_top_fraction",
-    "text_unigram_lm_score",
-    "streaming_value_histogram",
-    "text_chunk_tokens",
-    "text_pii_scrub",
-    # rows-only by design, strictly last:
+    "embedding_ivf_cell_stats",
+    "simsearch_range_search",
+    "simsearch_ivf_topk",
+    "text_bpe_tokenize",
     "simsearch_hard_negatives_ivf",
     "dedup_embedding_semdedup",
     "embedding_pca_project",
-    "decontaminate_bloom",
-    "dws_trade_province_order_window_approx",
-    "events_profile_stats_approx",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
-    "streaming_ivf_search",
 ]
 
 # Dataflow definition order (DWD -> DWS -> ops), captured before the driver

@@ -145,6 +145,99 @@ def resize_stub(media: DataFrame, target_w: int = 224, target_h: int = 224) -> D
     return images.mapInPandas(batches, RESIZE_SCHEMA)
 
 
+DHASH_W, DHASH_H = 9, 8  # 9x8 sample grid -> 64 horizontal-difference bits
+DHASH_SCHEMA = "doc_id bigint, fmt string, dhash bigint"
+
+
+def dhash_fingerprints(media: DataFrame) -> DataFrame:
+    """Perceptual fingerprints (dHash) for IMAGE rows: each payload is
+    'decoded' by the deterministic fake (payload bytes as a grayscale
+    sample stream — a real decoder plugs in at :func:`decode_image_real`),
+    resampled onto a 9x8 grid at positions ``i*len//72``, and hashed as
+    the 64 horizontal brightness-difference bits — the classic dHash.
+
+    A small local edit perturbs at most one grid sample (two difference
+    bits), so near-identical payloads land within a few Hamming bits;
+    the format predicate is a Catalyst METADATA filter, so non-image rows
+    never reach Python, and the Arrow stage emits 12 bytes/row — the
+    fingerprint table that downstream banding shuffles is ~1e-5 of the
+    media bytes at 100 TB.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n_samples = DHASH_W * DHASH_H
+        pos = np.arange(n_samples, dtype=np.int64)
+        for pdf in it:
+            if pdf.empty:
+                continue
+            hashes = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if arr.size == 0:
+                    hashes.append(0)
+                    continue
+                grid = arr[pos * arr.size // n_samples].reshape(DHASH_H, DHASH_W)
+                bits = (grid[:, :-1].astype(np.int16) > grid[:, 1:]).ravel()
+                hashes.append(
+                    int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": pdf["meta"].map(lambda m: m["fmt"]),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    images = media.filter(F.col("meta.fmt").isin("png", "jpeg"))
+    return images.mapInPandas(batches, DHASH_SCHEMA)
+
+
+def dedup_perceptual(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-dup image pairs: dHash fingerprints, then the
+    Hamming-band LSH from the text plane (same recipe as
+    ``text_dedup.simhash_pairs``): 4 bands of 16 bits — any pair within
+    ``max_hamming`` <= 6 bits collides on at least one band by
+    pigeonhole, so candidate generation is a bucketed equi-join on
+    (band, band_value), NEVER all-pairs; the exact ``bit_count(xor)``
+    verify runs only on band collisions.
+
+    At 100 TB the banded index is 4 rows x 20 bytes per image and the
+    join fan-in per bucket is bounded by band-value cardinality (2^16
+    per band over a 64-bit near-uniform hash); detection never touches
+    the payload bytes after the one fingerprint pass."""
+    sig = dhash_fingerprints(media).select("doc_id", "dhash")
+    band_exprs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.shiftright(F.col("dhash"), 16 * j)
+            .bitwiseAND(F.lit(65535))
+            .alias("v"),
+        )
+        for j in range(4)
+    ]
+    banded = sig.select(
+        "doc_id", "dhash", F.explode(F.array(*band_exprs)).alias("bv")
+    ).select(
+        "doc_id", "dhash", F.col("bv.band").alias("band"), F.col("bv.v").alias("v")
+    )
+    a = banded.select(F.col("doc_id").alias("a"), F.col("dhash").alias("ha"), "band", "v")
+    b = banded.select(F.col("doc_id").alias("b"), F.col("dhash").alias("hb"), "band", "v")
+    cands = (
+        a.join(b, ["band", "v"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def dedup_binary_exact(media: DataFrame) -> DataFrame:
     """Exact content dedup of media payloads — the first curation pass a
     multimodal corpus runs, and the one that must NEVER decode: the

@@ -169,6 +169,198 @@ Q4_START, Q4_END = "1995-01-01", "1995-04-01"
 Q4_LATE_DAYS = 60
 
 
+Q17_BRAND, Q17_TYPE = "Brand#23", "MEDIUM"
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue lost to
+    orders below 20 % of a part's average order quantity, for one
+    brand/type slice.
+
+    The correlated scalar subquery (``l_quantity < 0.2 * avg(l_quantity)
+    per part``) is decorrelated by hand into the plan Catalyst would pick
+    anyway — and the plan a 100 TB run needs:
+
+    1. filter ``part`` first (brand+type selects ~0.6 % of parts) and
+       BROADCAST it into lineitem — the big scan is pruned to the slice
+       before anything else happens;
+    2. aggregate the restricted lineitems per part (the avg subquery is
+       correlated only on ``p_partkey`` and its population is invariant
+       under the part-attribute filter, so restricting first is exact);
+       the result is ≤ |filtered parts| rows, so it also rides a
+       BROADCAST back onto the restricted scan — never a per-row
+       subquery, never a shuffle join (both joins plan-gated);
+    3. the threshold compares exact integers: ``l_quantity`` is integral
+       by construction, so ``qty < 0.2 * sum/cnt  ⇔  5*qty*cnt < sum``
+       — no float division crosses the comparison, and the same rows
+       qualify in every engine and every row order.
+
+    One output row: total qualifying revenue in integer cents and the
+    qualifying lineitem count (``avg_yearly`` in spec units is
+    ``revenue/7``; kept as cents DIV 7 to stay in exact integers).
+    """
+    p = (
+        tables.load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == Q17_BRAND) & (F.col("p_type") == Q17_TYPE))
+        .select("p_partkey")
+    )
+    lp = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            _cents(F.col("l_extendedprice")).alias("price_cents"),
+        )
+    )
+    per_part = lp.groupBy("l_partkey").agg(
+        F.sum("qty").alias("part_sum_qty"),
+        F.count(F.lit(1)).alias("part_cnt"),
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    return (
+        lp.join(F.broadcast(per_part), lp.l_partkey == F.col("t_partkey"))
+        .filter(F.col("qty") * 5 * F.col("part_cnt") < F.col("part_sum_qty"))
+        .agg(
+            F.sum("price_cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_small_lineitems"),
+            F.expr("sum(price_cents) DIV 7").alias("avg_yearly_cents"),
+        )
+    )
+
+
+Q20_NAME_PREFIX = "small"
+Q20_YEAR_START, Q20_YEAR_END = "1996-01-01", "1997-01-01"
+
+
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi chain with a groupwise threshold),
+    adapted to this schema (no ``partsupp``/``ps_availqty``): suppliers
+    who DOMINATED at least one 'small%' part in 1996 — shipped more than
+    half of that part's total 1996 quantity.
+
+    The reference query's nested ``IN (... WHERE qty > (SELECT 0.5 *
+    sum(..) correlated))`` decorrelates to an agg-then-join-then-semi
+    chain, each hop presenting the smallest possible side:
+
+    1. ``part`` name-prefix filter (~13 % of parts) broadcasts into the
+       1996 lineitem slice — scan pruned before the shuffle;
+    2. ONE hash agg per (part, supplier) pair; the per-part total is a
+       SECOND agg over those pair rows (|parts| rows, never re-scanning
+       lineitem) and broadcasts back onto the pairs — the groupwise
+       threshold costs one lineitem shuffle total;
+    3. ``2*pair_qty > part_total`` in exact integers, then the
+       qualifying supplier ids LEFT-SEMI into ``supplier`` — the probe
+       never duplicates suppliers however many parts they dominate.
+
+    Output: (s_suppkey, s_name, n_name) of dominating suppliers, nation
+    attached via a forced 25-row broadcast.
+    """
+    p = (
+        tables.load(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    pairs = (
+        tables.load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q20_YEAR_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q20_YEAR_END).cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("qty"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("pair_qty"))
+    )
+    totals = pairs.groupBy("l_partkey").agg(
+        F.sum("pair_qty").alias("part_total")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    dominating = (
+        pairs.join(F.broadcast(totals), pairs.l_partkey == F.col("t_partkey"))
+        .filter(F.col("pair_qty") * 2 > F.col("part_total"))
+        .select("l_suppkey")
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(dominating, s.s_suppkey == dominating.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-avg scalar subquery + anti join):
+    customers whose balance beats the average POSITIVE balance but who
+    never placed an order, counted per nation.
+
+    Two decorrelation flavors in one plan: the uncorrelated scalar
+    subquery (global avg) is a 1-row aggregate that rides the plan as a
+    broadcast-nested-loop of exactly one row — constant-size, legal at
+    any SF — and the ``NOT EXISTS`` compiles to a LEFT ANTI join on the
+    equi key, probing orders once. Threshold in exact integers:
+    ``acctbal_cents * n_pos > sum_pos_cents`` avoids cross-engine float
+    division.
+    """
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        _cents(F.col("c_acctbal")).alias("acctbal_cents"),
+    )
+    pos = c.filter(F.col("acctbal_cents") > 0).agg(
+        F.sum("acctbal_cents").alias("sum_pos_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    o = tables.load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(F.broadcast(pos))
+        .filter(F.col("acctbal_cents") * F.col("n_pos") > F.col("sum_pos_cents"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("acctbal_cents").alias("total_cents"),
+        )
+    )
+
+
+Q14_MONTH_START, Q14_MONTH_END = "1995-09-01", "1995-10-01"
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): fraction of one
+    month's revenue from PROMO-type parts, in parts-per-million.
+    Conditional aggregation (CASE inside sum) over a lineitem x part
+    equi join; part carries only (key, is_promo flag) into the join.
+    At 100 TB part scales with SF so the join is an equi-shuffle AQE may
+    demote to broadcast — same honest sizing as Q5. The ppm share uses
+    integer DIV so no float division crosses engines."""
+    l = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_MONTH_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_MONTH_END).cast("timestamp"))
+    )
+    p = tables.load(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("is_promo"), rev).otherwise(F.lit(0))).alias(
+                "promo_cents"
+            ),
+            F.sum(rev).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            F.expr("promo_cents * 1000000 DIV total_cents").alias(
+                "promo_share_ppm"
+            ),
+        )
+    )
+
+
 def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order-priority checking): orders in one quarter
     with AT LEAST ONE late lineitem (shipped > 60 days after the order

@@ -53,6 +53,9 @@ SMJ_WHITELIST = {
     # closure — both sides are the corpus (not broadcastable at 100 TB);
     # the sign-bit bucket key is what bounds the join, not a broadcast.
     "dedup_embedding_cluster_keep",
+    # Hamming-band SELF-join of the dHash fingerprint table (r9): both
+    # sides are the image corpus; the 16-bit band value bounds the join.
+    "multimodal_dedup_perceptual",
     # order_detail x order_info (J1) is fact-fact (lineitem x orders
     # scale): order_info is NOT broadcastable at 100 TB, so SMJ on the
     # equi key is the plan we want; AQE converts to broadcast at small SF.
@@ -103,6 +106,9 @@ PANDAS_WHITELIST = {
     # work) and SemDeDup's within-cluster greedy pass (sequential keep).
     "text_bpe_tokenize",
     "dedup_embedding_semdedup",
+    # r9: the dHash fingerprint pass (byte-grid sampling is the decode
+    # stand-in); banding/verify after it are pure Catalyst.
+    "multimodal_dedup_perceptual",
 }
 
 # Star-join pipelines and their minimum broadcast-join counts (dim hops +
@@ -297,6 +303,35 @@ GLOBAL_TOPK_ENTRIES = [
     "tpch_q3_shipping_priority",   # olap.shipping_priority top-10
     "tpch_q18_large_orders",       # olap.large_orders top-20
 ]
+
+
+def test_decorrelated_subquery_shapes(plans):
+    """The round-9 correlated-subquery OLAP shapes stay decorrelated —
+    the optimizer behavior a 100 TB warehouse leans on:
+
+    - Q17: the per-part avg-quantity scalar subquery must ride as an
+      agg-then-BROADCAST-join (two BroadcastHashJoins: the filtered part
+      slice into lineitem, the per-part totals back onto the slice) —
+      never a per-row subquery, never a shuffle;
+    - Q20: the groupwise threshold joins back via broadcast and the
+      supplier probe is a LEFT SEMI (no duplicate suppliers however many
+      parts they dominate);
+    - Q22: the global-average scalar subquery is a one-row
+      BroadcastNestedLoopJoin and the NOT EXISTS compiles to LEFT ANTI.
+
+    No plan may contain a per-row subquery artifact (Subquery inside a
+    Filter executing per input row shows up as InSubqueryExec /
+    ScalarSubquery nodes repeated under a FilterExec) or a cartesian."""
+    q17 = plans["tpch_q17_small_qty_revenue"]
+    assert len(re.findall(r"BroadcastHashJoin", q17)) >= 2, q17
+    assert "CartesianProduct" not in q17 and "SortMergeJoin" not in q17
+    q20 = plans["tpch_q20_dominant_suppliers"]
+    assert "LeftSemi" in q20, q20
+    assert "CartesianProduct" not in q20
+    q22 = plans["tpch_q22_idle_rich_customers"]
+    assert "LeftAnti" in q22, q22
+    assert "BroadcastNestedLoopJoin" in q22, q22  # the 1-row scalar
+    assert "CartesianProduct" not in q22
 
 
 def test_global_topk_kcut_pushed(plans):

@@ -1603,3 +1603,49 @@ def test_leakage_safe_split_clones_agree(spark):
     from collections import Counter
     c = Counter(r.text_hash for r in rows)
     assert any(n >= 2 for n in c.values())
+
+
+def test_perceptual_dedup_planted_recall(spark):
+    """Planted-near-duplicate gate for the dHash pipeline: every payload
+    pair differing by a single local byte edit must be reported (a one-
+    sample perturbation flips at most two difference bits, and any pair
+    within 6 Hamming bits shares at least one 16-bit band by pigeonhole
+    — recall is structural, not probabilistic); unrelated payloads must
+    NOT pair up (64 near-uniform bits make a <=6-bit collision
+    vanishingly unlikely at this n)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.operators import multimodal
+
+    rng = random.Random(42)
+    rows = []
+    planted = set()
+    for i in range(40):
+        base = bytes(rng.randrange(256) for _ in range(500 + 7 * i))
+        rows.append((2 * i, base))
+        # copy with ONE byte nudged mid-payload -> near-dup of base
+        j = len(base) // 2
+        copy = base[:j] + bytes([(base[j] + 3) % 256]) + base[j + 1:]
+        rows.append((2 * i + 1, copy))
+        planted.add((2 * i, 2 * i + 1))
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary").select(
+        "doc_id",
+        "payload",
+        F.struct(F.lit("png").alias("fmt"), F.length("payload").alias("claimed_len")).alias("meta"),
+    )
+    got = {(r.a, r.b) for r in multimodal.dedup_perceptual(media).collect()}
+    missed = planted - got
+    assert not missed, f"planted near-dups missed: {sorted(missed)[:5]}"
+    false_pairs = got - planted
+    assert not false_pairs, f"unrelated payloads paired: {sorted(false_pairs)[:5]}"
+
+
+def test_perceptual_dedup_registry_smoke(spark):
+    """Registry entry runs on the clone-expanded corpus: exact clones are
+    Hamming-0 pairs, so the result must be non-empty with every reported
+    pair within the 6-bit verify bound and a < b canonical ordering."""
+    rows = api.QUERIES["multimodal_dedup_perceptual"](spark, SF_SMOKE).collect()
+    assert rows, "clone-expanded corpus must yield perceptual pairs"
+    assert all(r.hamming <= 6 and r.a < r.b for r in rows)
