@@ -104,25 +104,13 @@ def _dtype_mismatches(spdf, odf) -> list[str]:
 
 
 def plan_fingerprint(sdf) -> str:
-    """Stable hash of an entry's PHYSICAL plan shape, so a plan
-    regression (broadcast->SMJ flip, lost pushdown, new exchange) shows
-    up as a fingerprint diff in the committed telemetry even when
-    timings are noisy. Normalized: expression ids (#123), plan ids,
-    codegen ids, paths/uuids and literal numbers are stripped — the
-    fingerprint covers operator kinds and tree shape, not values."""
-    import hashlib
-    import re
+    """Stable hash of an entry's PHYSICAL plan shape (see
+    flink_realtime_datawarehouse_v3_spark/planfp.py — shared with the
+    in-suite regression gate so the committed telemetry and pytest agree
+    byte-for-byte)."""
+    from flink_realtime_datawarehouse_v3_spark import planfp
 
-    plan = sdf._jdf.queryExecution().executedPlan().toString()
-    # keep one token per line: the operator name (first word after the
-    # tree-drawing prefix) — join strategies, exchanges, scans, codegen
-    # boundaries all live there.
-    ops = []
-    for line in plan.splitlines():
-        m = re.match(r"^[\s+\-:*()0-9]*([A-Za-z][A-Za-z0-9_]*)", line)
-        if m:
-            ops.append(m.group(1))
-    return hashlib.md5("\n".join(ops).encode()).hexdigest()[:16]
+    return planfp.fingerprint(sdf)
 
 
 def run_sweep(
