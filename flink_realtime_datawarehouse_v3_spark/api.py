@@ -1584,6 +1584,110 @@ WHERE acctbal_cents * (SELECT count(*) FROM c WHERE acctbal_cents > 0)
 GROUP BY c_nationkey""",
 )
 
+# TPC-H Q6 shape: pure scan-filter-agg — every predicate must reach the
+# parquet footer (plan-gated below).
+register(
+    "tpch_q6_forecast_revenue",
+    olap_plan.forecast_revenue_change,
+    f"""SELECT
+  CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+       AS BIGINT) AS revenue_cents,
+  CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{olap_plan.Q6_START}'
+  AND l_shipdate < TIMESTAMP '{olap_plan.Q6_END}'
+  AND l_discount BETWEEN {olap_plan.Q6_DISC_LO} AND {olap_plan.Q6_DISC_HI}
+  AND l_quantity < {olap_plan.Q6_MAX_QTY}""",
+)
+
+# TPC-H Q7 shape: two-role nation broadcast + disjunctive nation-pair
+# predicate over the Q5-style star.
+register(
+    "tpch_q7_volume_shipping",
+    olap_plan.volume_shipping,
+    f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{olap_plan.Q7_START}'
+  AND l_shipdate < TIMESTAMP '{olap_plan.Q7_END}'
+  AND ((n1.n_name = '{olap_plan.Q7_NATION_A}'
+        AND n2.n_name = '{olap_plan.Q7_NATION_B}')
+    OR (n1.n_name = '{olap_plan.Q7_NATION_B}'
+        AND n2.n_name = '{olap_plan.Q7_NATION_A}'))
+GROUP BY 1, 2, 3""",
+)
+
+# TPC-H Q10 shape: returned-item revenue per customer, global top-20.
+register(
+    "tpch_q10_returned_items",
+    olap_plan.returned_item_reporting,
+    f"""SELECT c_custkey, c_name, c_nationkey,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_returns
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{olap_plan.Q10_START}'
+  AND o_orderdate < TIMESTAMP '{olap_plan.Q10_END}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
+)
+
+# TPC-H Q19 shape: OR-of-ANDs disjunction across joined columns.
+_Q19_ARM_SQL = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+    f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in olap_plan.Q19_ARMS
+)
+register(
+    "tpch_q19_discounted_revenue",
+    olap_plan.discounted_revenue,
+    f"""SELECT
+  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+  CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_Q19_ARM_SQL}""",
+)
+
+# TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins of the fact —
+# decorrelated to LEFT SEMI + LEFT ANTI in the Spark plan; the oracle
+# keeps the correlated form so the driver proves the rewrite exact.
+register(
+    "tpch_q21_waiting_suppliers",
+    olap_plan.waiting_orders_suppliers,
+    f"""WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {olap_plan.Q21_LATE_DAYS} DAY
+           AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT l1.l_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lo l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{olap_plan.Q21_NATION}'
+  AND l1.is_late
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late)
+GROUP BY 1, 2
+ORDER BY numwait DESC, l1.l_suppkey LIMIT 50""",
+)
+
 # TPC-H Q14 shape: conditional aggregation (CASE inside sum) over the
 # lineitem x part equi join; share reported in integer ppm.
 register(
@@ -4600,6 +4704,11 @@ _DRIVER_WINDOW = [
     "tpch_q20_dominant_suppliers",
     "tpch_q22_idle_rich_customers",
     "tpch_q14_promo_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_suppliers",
     "dws_trade_province_order_window_approx",
     "decontaminate_bloom",
     "events_profile_stats_approx",
@@ -4639,16 +4748,16 @@ _DRIVER_WINDOW = [
     "streaming_hop_window",
     "text_quality_top_fraction",
     "text_unigram_lm_score",
-    "streaming_value_histogram",
-    "text_chunk_tokens",
-    "text_pii_scrub",
-    "join_bucketed_colocated",
-    "dwd_interaction_comment",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "streaming_value_histogram",
+    "text_chunk_tokens",
+    "text_pii_scrub",
+    "join_bucketed_colocated",
+    "dwd_interaction_comment",
     "text_fasttext_fit",
     "text_fasttext_score_trained",
     "text_fasttext_calibration",

@@ -324,6 +324,243 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q6_START, Q6_END = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_MAX_QTY = 24
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure scan-filter-agg —
+    every predicate (date range, discount band, quantity cap) must reach
+    the parquet footer (plan-gated), so at 100 TB the scan skips row
+    groups on statistics and reads 4 columns. No join, no shuffle beyond
+    the single partial-agg exchange."""
+    l = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q6_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q6_END).cast("timestamp"))
+        & (F.col("l_discount") >= Q6_DISC_LO)
+        & (F.col("l_discount") <= Q6_DISC_HI)
+        & (F.col("l_quantity") < Q6_MAX_QTY)
+    )
+    return l.agg(
+        F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "revenue_cents"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+Q7_NATION_A, Q7_NATION_B = "NATION_3", "NATION_7"
+Q7_START, Q7_END = "1995-01-01", "1997-01-01"
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations, grouped by (supplier nation, customer nation, ship year).
+    The disjunctive nation-pair predicate ((A,B) or (B,A)) applies AFTER
+    both nation hops resolve; nation is a forced 25-row broadcast twice
+    (two roles), customer/supplier scale with SF and stay honest
+    equi-shuffles, lineitem x orders is the whitelisted fact-fact SMJ —
+    the same sizing discipline as Q5."""
+    l = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q7_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_END).cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_cents"
+        ),
+    )
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = tables.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A)
+        & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B)
+        & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum("rev_cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q10_START, Q10_END = "1995-10-01", "1996-01-01"
+
+
+def returned_item_reporting(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-k customers by
+    revenue lost to returns in one quarter. The returnflag filter prunes
+    lineitem at the scan; orders' date filter prunes before the
+    fact-fact join; the customer join presents the |quarter's customers|
+    aggregate, and the k-cut compiles to TakeOrderedAndProject
+    (plan-gated with the other global top-ks)."""
+    l = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_cents"
+        ),
+    )
+    o = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    per_cust = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("rev_cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_returns"),
+        )
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "c_nationkey", "revenue_cents", "n_returns")
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(k)
+    )
+
+
+# Q19-style disjunctive pushdown: three (brand, size-band, quantity-band)
+# arms OR-ed together, adapted to this schema (no p_container).
+Q19_ARMS = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30),
+)
+
+
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, OR-of-ANDs): the classic
+    disjunctive predicate across joined columns. The join itself is the
+    equi key; each arm's part-side conjuncts (brand, size band) and
+    lineitem-side conjuncts (quantity band) sit inside the OR, so the
+    optimizer must (a) keep the equi join out of the disjunction and
+    (b) push the derivable per-side bounds (size/quantity envelopes) to
+    the scans. One aggregate row out."""
+    l = tables.load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_cents"
+        ),
+    )
+    p = tables.load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arms = None
+    for brand, size_lo, size_hi, qty_lo, qty_hi in Q19_ARMS:
+        arm = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(size_lo, size_hi))
+            & (F.col("l_quantity").between(qty_lo, qty_hi))
+        )
+        arms = arm if arms is None else arms | arm
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(arms)
+        .agg(
+            F.sum("rev_cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q21_LATE_DAYS = 90
+Q21_NATION = "NATION_5"
+
+
+def waiting_orders_suppliers(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema (lateness = shipped > 90 days after the order date, no
+    receipt/commit dates): for one nation's suppliers, count multi-
+    supplier orders where THIS supplier shipped late and NO OTHER
+    supplier on the order did.
+
+    The two correlated EXISTS / NOT EXISTS over the same fact
+    decorrelate into a LEFT SEMI and a LEFT ANTI self-join of lineitem
+    on the order key (suppkey inequality as the join condition) — the
+    one classic shape where the fact self-joins twice; both hops are
+    equi-shuffles on l_orderkey (whitelisted SMJ: no side of a
+    fact-fact self-join is broadcastable at 100 TB). The one-nation
+    supplier slice (~4 % of rows) is written as the first join, but
+    Catalyst hoists the broadcast above the semi/anti hops at plan
+    time; with runtime stats (CBO/AQE at scale) the slice lands below
+    the shuffles — either way it rides as a broadcast, never a
+    shuffle."""
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo = (
+        tables.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), Q21_LATE_DAYS))
+            .alias("is_late"),
+        )
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation").filter(F.col("n_name") == Q21_NATION)
+    nation_supps = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", "s_name")
+    l1 = (
+        lo.filter(F.col("is_late"))
+        .join(
+            F.broadcast(nation_supps),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = lo.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = lo.filter(F.col("is_late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        l1.join(  # EXISTS: another supplier on the same order
+            l2,
+            (l1.l_orderkey == F.col("o2")) & (l1.l_suppkey != F.col("sk2")),
+            "left_semi",
+        )
+        .join(  # NOT EXISTS: no OTHER supplier shipped late on it
+            l3,
+            (l1.l_orderkey == F.col("o3")) & (l1.l_suppkey != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.groupBy("l_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "l_suppkey")
+        .limit(k)
+    )
+
+
 Q14_MONTH_START, Q14_MONTH_END = "1995-09-01", "1995-10-01"
 
 

@@ -39,12 +39,28 @@ def write_stream_input(
     into time-contiguous files, so replaying file-per-batch preserves
     coarse event-time order across batches — the Kafka-ish arrival pattern
     the reference's state TTLs assume.
+
+    The file-stream source orders files by MODIFICATION TIME, which for a
+    parallel parquet write is task-completion order — effectively random
+    (caught in round 9: a 4-file replay fed batches last-range-first, so
+    a day-ordered stateful op saw day regressions at every boundary).
+    Each part file's mtime is therefore re-stamped strictly increasing in
+    range order, pinning batch order == event-time order.
     """
     if order_by:
         df = df.repartitionByRange(n_files, *[F.col(c) for c in order_by])
     else:
         df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(path)
+    import time as _time
+
+    base = _time.time()
+    parts = sorted(
+        f for f in os.listdir(path) if f.startswith("part-") and "parquet" in f
+    )
+    for i, f in enumerate(parts):
+        ts = base + 10 * i  # 10 s apart: unambiguous at ms granularity
+        os.utime(os.path.join(path, f), (ts, ts))
     return path
 
 

@@ -393,6 +393,19 @@ def upsert_sink(
     bucketed Delta ``MERGE INTO`` (reference sink contract: primary-keyed
     upsert, RT/app/dwd/DwdTradeOrderPreProcess.java:200-250;
     RT/utils/MyKafkaUtil.java:112-121).
+
+    **Read isolation (the documented gap):** plain parquet has no
+    snapshot isolation, so a reader that lists a touched bucket DURING
+    the dynamic-overwrite commit window can observe a partially-rewritten
+    directory — missing, duplicated, or mixed-generation rows for that
+    bucket (untouched buckets are never perturbed; the torn window is
+    per-touched-bucket and lasts only the directory swap).
+    ``test_upsert_reader_during_inflight_rewrite`` pins the failure mode:
+    the read is torn, not an error. The contract is single-writer +
+    read-between-commits; at 100 TB you swap this sink for Delta/Iceberg
+    ``MERGE INTO`` keeping the same ``__bucket`` layout and get MVCC
+    snapshot reads with an identical plan shape (the bucket pruning and
+    O(touched) merge carry over — only the commit protocol changes).
     """
 
     def fn(batch: DataFrame, batch_id: int) -> None:

@@ -49,6 +49,14 @@ SMJ_WHITELIST = {
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_orders",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    # q21: LEFT SEMI + LEFT ANTI SELF-joins of lineitem on l_orderkey —
+    # neither side of a fact self-join is broadcastable at 100 TB.
+    "tpch_q21_waiting_suppliers",
+    # q14: lineitem x part — part scales with SF (same honest sizing as
+    # q5's customer/supplier hops).
+    "tpch_q14_promo_revenue",
     # LSH bucket SELF-join of the full embedding table feeding the CC
     # closure — both sides are the corpus (not broadcastable at 100 TB);
     # the sign-bit bucket key is what bounds the join, not a broadcast.
@@ -212,6 +220,32 @@ def test_filter_pushdown_reaches_parquet(plans):
     ), "q1: l_shipdate cutoff not pushed to parquet scan"
 
 
+def test_q6_all_predicates_pushed(spark):
+    """TPC-H Q6 is NOTHING BUT pushdown: all three predicate families
+    (date range, discount band, quantity cap) must reach the parquet
+    footer. Checked via formatted explain — the plan's one-line
+    rendering truncates PushedFilters past ~8 entries."""
+    import contextlib
+    import io
+
+    df = api.QUERIES["tpch_q6_forecast_revenue"](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    txt = buf.getvalue()
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", txt)
+    assert m, txt
+    pushed = m.group(1)
+    for want in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert want in pushed, f"q6: {want} not pushed; got [{pushed}]"
+
+
 def test_column_pruning_reaches_parquet(plans):
     # text_token_stats needs only (doc_id, text) of documents' 5 columns;
     # the pruned projection must reach the scan — reading lang/source/
@@ -302,6 +336,8 @@ GLOBAL_TOPK_ENTRIES = [
     "events_type_counts_top",      # analytics.type_counts_top
     "tpch_q3_shipping_priority",   # olap.shipping_priority top-10
     "tpch_q18_large_orders",       # olap.large_orders top-20
+    "tpch_q10_returned_items",     # olap.returned_item_reporting top-20
+    "tpch_q21_waiting_suppliers",  # olap.waiting_orders_suppliers top-50
 ]
 
 
@@ -361,6 +397,13 @@ def test_decorrelated_subquery_shapes(plans):
     assert "LeftAnti" in q22, q22
     assert "BroadcastNestedLoopJoin" in q22, q22  # the 1-row scalar
     assert "CartesianProduct" not in q22
+    # Q21: EXISTS + NOT EXISTS over the same fact must decorrelate to a
+    # LEFT SEMI and a LEFT ANTI self-join on the equi key (l_orderkey),
+    # with the suppkey inequality as the join condition — never a
+    # per-row subquery, never a cartesian.
+    q21 = plans["tpch_q21_waiting_suppliers"]
+    assert "LeftSemi" in q21 and "LeftAnti" in q21, q21
+    assert "CartesianProduct" not in q21
 
 
 def test_global_topk_kcut_pushed(plans):

@@ -684,3 +684,108 @@ def test_stream_multimodal_decode(spark):
     stream = sp.stream_multimodal_decode(spark, SF_SMOKE)
     batch = api.QUERIES["multimodal_decode"](spark, SF_SMOKE)
     _same(stream, batch, "multimodal_decode")
+
+
+def test_upsert_reader_during_inflight_rewrite(spark, tmp_path):
+    """Pins the documented read-isolation gap of the bucketed overwrite
+    (see upsert_sink docstring): a reader that catches a touched bucket
+    mid-commit sees a TORN read — that bucket's rows missing — never an
+    error and never damage to other buckets. Simulated by emptying one
+    bucket dir (the delete-before-swap instant of the dynamic
+    overwrite); the contract at 100 TB is single-writer +
+    read-between-commits, or Delta/Iceberg MERGE INTO for MVCC reads
+    over the same __bucket layout."""
+    import glob
+    import os
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import stateful
+
+    path = str(tmp_path / "upsert_tbl")
+    fn = stateful.upsert_sink(["id"], "ts", path)
+    df1 = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(64)], "id int, val string, ts long"
+    )
+    fn(df1, 0)
+    full = stateful.read_upsert_table(spark, path)
+    assert full.count() == 64
+
+    # simulate the in-flight commit instant: one touched bucket dir has
+    # been cleared but its replacement files are not visible yet
+    victim = sorted(glob.glob(os.path.join(path, "__bucket=*")))[0]
+    n_victim = spark.read.parquet(victim).count()
+    assert n_victim > 0
+    for f in glob.glob(os.path.join(victim, "*")):
+        os.remove(f)
+
+    torn = stateful.read_upsert_table(spark, path)
+    rows = torn.collect()  # must not raise
+    assert len(rows) == 64 - n_victim  # torn: victim bucket absent
+    # other buckets unperturbed: every surviving id reads back intact
+    assert all(r.val == f"v{r.id}" for r in rows)
+
+
+def test_stateful_hot_key_bounded_state(spark, tmp_path):
+    """Streaming skew posture: one mid carries ~30% of all events through
+    first_per_day_stream (multi-batch replay on RocksDB). Asserts the
+    three things a planted hot key must not break:
+
+    - completion: the replay drains within the timeout (the hot key costs
+      one task's CPU for its event share, never a wedged query);
+    - bounded state: keyed state is one row per DISTINCT KEY — the
+      state-operator row count equals |keys| regardless of how many
+      events the hot key contributes (O(1) state per key is what makes
+      this operator class skew-tolerant at 100 TB; see SCALE.md
+      'Streaming skew posture' for the salting recipe for operators
+      whose state grows with events);
+    - correctness: output equals the batch first-per-(key, day) answer.
+    """
+    import itertools
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import core, stateful
+
+    n = 12_000
+    hot = int(n * 0.3)
+    rows = []
+    # dt monotone with ts (the operator's day-ordered arrival contract —
+    # state is the last seen day, the reference's Kafka-time assumption)
+    for i in range(hot):  # one hot mid: 30% of all events
+        rows.append(
+            ("mid_hot", f"2024-01-{1 + i * 9 // hot:02d}", 1_000_000 + i, f"h{i}")
+        )
+    for i in range(n - hot):  # 200 cold keys share the rest
+        rows.append(
+            (
+                f"mid_{i % 200}",
+                f"2024-01-{1 + i * 9 // (n - hot):02d}",
+                1_000_000 + i,
+                f"c{i}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "mid string, dt string, ts long, event_id string"
+    )
+    core.write_stream_input(df, str(tmp_path / "in"), n_files=4, order_by=["ts"])
+    s = core.read_stream(spark, str(tmp_path / "in"))
+    q = (
+        stateful.first_per_day_stream(s)
+        .writeStream.format("memory")
+        .queryName("hot_key_gate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300), "hot-key replay did not drain"
+        lp = q.lastProgress
+    finally:
+        q.stop()
+    n_keys = 201  # mid_hot + mid_0..mid_199
+    assert lp["stateOperators"][0]["numRowsTotal"] == n_keys
+    got = {
+        (r.mid, r.dt)
+        for r in spark.table("hot_key_gate").collect()
+    }
+    want = {(r.mid, r.dt) for r in df.groupBy("mid", "dt").count().collect()}
+    assert got == want  # exactly one emission per (key, day)
+    assert spark.table("hot_key_gate").count() == len(want)

@@ -113,6 +113,16 @@ ORACLED = [
     "tpch_q4_order_priority",
     "events_column_profile",
     "multimodal_dedup_exact",
+    # r9 decorrelation + remaining classic OLAP shapes
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q22_idle_rich_customers",
+    "tpch_q14_promo_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_suppliers",
 ]
 
 
