@@ -1688,6 +1688,65 @@ GROUP BY 1, 2
 ORDER BY numwait DESC, l1.l_suppkey LIMIT 50""",
 )
 
+# TPC-H Q8 shape: conditional-aggregation-as-ratio (market share) over
+# the full star; share in integer ppm.
+register(
+    "tpch_q8_market_share",
+    olap_plan.national_market_share,
+    f"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = '{olap_plan.Q8_NATION}'
+                     THEN CAST(round((l_extendedprice * (1 - l_discount))
+                                     * 100) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS nation_cents,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                     AS BIGINT)) AS BIGINT) AS region_cents,
+       CAST(sum(CASE WHEN n2.n_name = '{olap_plan.Q8_NATION}'
+                     THEN CAST(round((l_extendedprice * (1 - l_discount))
+                                     * 100) AS BIGINT) ELSE 0 END) * 1000000
+            // sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                        AS BIGINT)) AS BIGINT) AS share_ppm
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = '{olap_plan.Q8_TYPE}'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = '{olap_plan.Q8_REGION}'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{olap_plan.Q8_START}'
+  AND o_orderdate < TIMESTAMP '{olap_plan.Q8_END}'
+GROUP BY 1""",
+)
+
+# TPC-H Q13 shape: left-outer fact join + double aggregation (zero-order
+# customers included).
+register(
+    "tpch_q13_customer_distribution",
+    olap_plan.customer_order_distribution,
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1) t
+GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+)
+
+# TPC-H Q15 shape: view + scalar-max subquery -> 1-row broadcast join.
+register(
+    "tpch_q15_top_supplier",
+    olap_plan.top_supplier,
+    f"""WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{olap_plan.Q15_START}'
+    AND l_shipdate < TIMESTAMP '{olap_plan.Q15_END}'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_rev_cents
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)""",
+)
+
 # TPC-H Q14 shape: conditional aggregation (CASE inside sum) over the
 # lineitem x part equi join; share reported in integer ppm.
 register(
@@ -4709,6 +4768,9 @@ _DRIVER_WINDOW = [
     "tpch_q10_returned_items",
     "tpch_q19_discounted_revenue",
     "tpch_q21_waiting_suppliers",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
     "dws_trade_province_order_window_approx",
     "decontaminate_bloom",
     "events_profile_stats_approx",
@@ -4745,14 +4807,14 @@ _DRIVER_WINDOW = [
     "text_vocab_topk",
     "text_tfidf_topk",
     "streaming_time_rollup",
-    "streaming_hop_window",
-    "text_quality_top_fraction",
-    "text_unigram_lm_score",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "streaming_hop_window",
+    "text_quality_top_fraction",
+    "text_unigram_lm_score",
     "streaming_value_histogram",
     "text_chunk_tokens",
     "text_pii_scrub",

@@ -561,6 +561,124 @@ def waiting_orders_suppliers(spark: SparkSession, sf_dir: str, k: int = 50) -> D
     )
 
 
+Q8_REGION, Q8_NATION, Q8_TYPE = "ASIA", "NATION_7", "STANDARD"
+Q8_START, Q8_END = "1995-01-01", "1997-01-01"
+
+
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of a
+    region's revenue for one part type, per order year — the
+    conditional-aggregation-as-ratio pattern (numerator = CASE inside
+    sum) over the full star. Sizing: part's type filter broadcasts the
+    surviving keys into lineitem first (scan pruned before any
+    shuffle); nation/region are forced broadcasts, customer/supplier
+    honest equi-shuffles, lineitem x orders the whitelisted fact-fact
+    SMJ. Share in integer ppm via DIV."""
+    p = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_type") == Q8_TYPE
+    ).select("p_partkey")
+    l = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_cents"
+        ),
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    o = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q8_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q8_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    c = tables.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_cust = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_supp = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = tables.load(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_REGION
+    ).select("r_regionkey")
+    num = F.when(F.col("supp_nation") == Q8_NATION, F.col("rev_cents")).otherwise(
+        F.lit(0)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(num).alias("nation_cents"),
+            F.sum("rev_cents").alias("region_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "region_cents",
+            F.expr("nation_cents * 1000000 DIV region_cents").alias("share_ppm"),
+        )
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): histogram of customers
+    by their order count, INCLUDING zero-order customers — the
+    left-outer fact join + double aggregation. The outer join keeps
+    every customer (count(o_orderkey) counts matches only, never
+    NULLs); the first agg collapses to |customers| rows before the
+    tiny histogram agg. customer x orders is fact-fact at 100 TB —
+    whitelisted SMJ posture, AQE broadcast at test SF."""
+    c = tables.load(spark, sf_dir, "customer").select("c_custkey")
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): suppliers whose quarterly revenue
+    equals the maximum — the view + scalar-max subquery. Decorrelated:
+    the per-supplier revenue agg feeds a 1-row max that rides back as a
+    BroadcastNestedLoopJoin (constant size at any SF; the Q22 posture),
+    then the winners join supplier for names. Exact integers end to
+    end, so 'equals the max' is engine-stable."""
+    rev = (
+        tables.load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("total_rev_cents")
+        )
+    )
+    mx = rev.agg(F.max("total_rev_cents").alias("max_rev_cents"))
+    s = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev_cents") == F.col("max_rev_cents"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_cents")
+    )
+
+
 Q14_MONTH_START, Q14_MONTH_END = "1995-09-01", "1995-10-01"
 
 

@@ -51,6 +51,9 @@ SMJ_WHITELIST = {
     "tpch_q18_large_orders",
     "tpch_q7_volume_shipping",
     "tpch_q10_returned_items",
+    "tpch_q8_market_share",
+    # q13: customer LEFT OUTER orders — fact-fact at 100 TB.
+    "tpch_q13_customer_distribution",
     # q21: LEFT SEMI + LEFT ANTI SELF-joins of lineitem on l_orderkey —
     # neither side of a fact self-join is broadcastable at 100 TB.
     "tpch_q21_waiting_suppliers",
@@ -404,6 +407,15 @@ def test_decorrelated_subquery_shapes(plans):
     q21 = plans["tpch_q21_waiting_suppliers"]
     assert "LeftSemi" in q21 and "LeftAnti" in q21, q21
     assert "CartesianProduct" not in q21
+    # Q15: the scalar-max subquery must ride as a 1-row broadcast (an
+    # equi BroadcastHashJoin on the equality or a BNLJ) — never a
+    # cartesian, never a per-row subquery.
+    q15 = plans["tpch_q15_top_supplier"]
+    assert "CartesianProduct" not in q15
+    assert "BroadcastHashJoin" in q15 or "BroadcastNestedLoopJoin" in q15, q15
+    # Q13: NOT EXISTS-free outer-join form — LeftOuter preserved (zero-
+    # order customers must survive to the histogram).
+    assert "LeftOuter" in plans["tpch_q13_customer_distribution"]
 
 
 def test_global_topk_kcut_pushed(plans):

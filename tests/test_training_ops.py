@@ -123,6 +123,9 @@ ORACLED = [
     "tpch_q10_returned_items",
     "tpch_q19_discounted_revenue",
     "tpch_q21_waiting_suppliers",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
 ]
 
 
