@@ -4270,6 +4270,26 @@ register(
     ),
 )
 
+# Fixed-SIZE per-group sample (the reservoir primitive next to the
+# fixed-RATE stratified filter): exactly min(k, |group|) docs per
+# source via rank over a content-independent hash — engine-
+# reproducible, stable under other groups' growth, WindowGroupLimit
+# plan (never a whole-group sort). Over the raw documents table.
+register(
+    "corpus_sample_fixed_per_source",
+    lambda spark, sf: text_analysis.sample_fixed_per_group(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY {text_analysis.hash40_sql("'res_' || CAST(doc_id AS VARCHAR)")},
+                    doc_id) AS INT) AS sample_rank
+  FROM documents) t
+WHERE sample_rank <= {text_analysis.SAMPLE_K_PER_GROUP}""",
+)
+
 # EXACT flat-scan baseline: pytest-only recall fixture since r8 (the
 # |Q| x |V| crossJoin is the one shape that can never survive a 100x
 # scale-up); the registered ANN shapes are simsearch_ivf_topk /
@@ -4771,6 +4791,7 @@ _DRIVER_WINDOW = [
     "tpch_q8_market_share",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
+    "corpus_sample_fixed_per_source",
     "dws_trade_province_order_window_approx",
     "decontaminate_bloom",
     "events_profile_stats_approx",
@@ -4806,12 +4827,12 @@ _DRIVER_WINDOW = [
     "sink_checkpoint_recovery",
     "text_vocab_topk",
     "text_tfidf_topk",
-    "streaming_time_rollup",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "streaming_time_rollup",
     "streaming_hop_window",
     "text_quality_top_fraction",
     "text_unigram_lm_score",

@@ -520,6 +520,36 @@ def sample_stratified(
     )
 
 
+SAMPLE_K_PER_GROUP = 25
+
+
+def sample_fixed_per_group(
+    documents: DataFrame, k: int = SAMPLE_K_PER_GROUP, group: str = "source"
+) -> DataFrame:
+    """Deterministic fixed-SIZE per-group sample — the reservoir-sampling
+    primitive next to :func:`sample_stratified`'s fixed-RATE filter:
+    exactly ``min(k, |group|)`` docs per group, chosen by rank over a
+    content-independent hash key, so the sample is uniform-ish,
+    engine-reproducible, and STABLE under corpus growth in other groups
+    (a classic reservoir reshuffles on every insert; the hash-rank
+    sample of a group changes only when that group changes).
+
+    Scale: one shuffle on the group key; the ``row_number() <= k``
+    filter compiles to WindowGroupLimit (Spark >= 3.5 pushes per-
+    partition top-k heaps map-side), so a 100 TB corpus never sorts a
+    whole group — plan-gated with the other rank-k cuts."""
+    from pyspark.sql.window import Window
+
+    key = hash40(F.concat(F.lit("res_"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(group).orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        documents.select("doc_id", group, key.alias("rk"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select("doc_id", group, "sample_rank")
+    )
+
+
 def corpus_mix_report(documents: DataFrame) -> DataFrame:
     """Corpus-mix report over the raw documents table: doc counts, char
     volume, and mean doc length at (source, lang), per-source, and

@@ -418,6 +418,15 @@ def test_decorrelated_subquery_shapes(plans):
     assert "LeftOuter" in plans["tpch_q13_customer_distribution"]
 
 
+def test_fixed_sample_groupwise_kcut_pushed(plans):
+    """The fixed-size per-group sampler's rank<=k must compile to
+    WindowGroupLimit (per-partition top-k heaps before the group
+    shuffle) — without the rewrite a 100 TB group funnels through a full
+    sort in one task."""
+    p = plans["corpus_sample_fixed_per_source"]
+    assert "WindowGroupLimit" in p, p
+
+
 def test_global_topk_kcut_pushed(plans):
     offenders = [
         n

@@ -126,6 +126,7 @@ ORACLED = [
     "tpch_q8_market_share",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
+    "corpus_sample_fixed_per_source",
 ]
 
 
@@ -1662,3 +1663,40 @@ def test_perceptual_dedup_registry_smoke(spark):
     rows = api.QUERIES["multimodal_dedup_perceptual"](spark, SF_SMOKE).collect()
     assert rows, "clone-expanded corpus must yield perceptual pairs"
     assert all(r.hamming <= 6 and r.a < r.b for r in rows)
+
+
+def test_fixed_sample_invariants(spark):
+    """Fixed-size per-group sample: exactly min(k, |group|) rows per
+    group with contiguous ranks, and — the property a hash-rank sample
+    has that a classic reservoir does not — a group's picks are STABLE
+    when OTHER groups grow."""
+    import pyspark.sql.functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.operators import text_analysis as ta
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    k = ta.SAMPLE_K_PER_GROUP
+    got = ta.sample_fixed_per_group(docs).collect()
+    sizes = {r.source: r.cnt for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    by_src: dict = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r.sample_rank)
+    assert set(by_src) == set(sizes)
+    for src, ranks in by_src.items():
+        want = min(k, sizes[src])
+        assert sorted(ranks) == list(range(1, want + 1)), src
+    # stability: add a brand-new source; every existing pick unchanged
+    extra = docs.limit(40).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.lit("__new_source").alias("source"),
+        "lang", "text", "n_chars",
+    ).select(*docs.columns)
+    grown = docs.unionByName(extra)
+    got2 = {
+        (r.source, r.doc_id, r.sample_rank)
+        for r in ta.sample_fixed_per_group(grown).collect()
+        if r.source != "__new_source"
+    }
+    assert got2 == {(r.source, r.doc_id, r.sample_rank) for r in got}
