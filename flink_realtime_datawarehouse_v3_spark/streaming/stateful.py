@@ -402,10 +402,11 @@ def upsert_sink(
     per-touched-bucket and lasts only the directory swap).
     ``test_upsert_reader_during_inflight_rewrite`` pins the failure mode:
     the read is torn, not an error. The contract is single-writer +
-    read-between-commits; at 100 TB you swap this sink for Delta/Iceberg
-    ``MERGE INTO`` keeping the same ``__bucket`` layout and get MVCC
-    snapshot reads with an identical plan shape (the bucket pruning and
-    O(touched) merge carry over — only the commit protocol changes).
+    read-between-commits. :func:`upsert_sink_snapshot` is the
+    snapshot-isolated twin (atomic manifest swap over immutable
+    generation dirs — the commit protocol a Delta/Iceberg ``MERGE
+    INTO`` would provide on the same ``__bucket`` layout); use it when
+    concurrent readers must never observe a mid-commit state.
     """
 
     def fn(batch: DataFrame, batch_id: int) -> None:
@@ -449,3 +450,144 @@ def upsert_sink(
         )
 
     return fn
+
+
+# --- snapshot-isolated upsert (manifest-swap commit protocol) ---------------
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _read_manifest(path: str) -> dict:
+    import json
+
+    mpath = os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(mpath):
+        return {}
+    with open(mpath) as f:
+        return {int(k): v for k, v in json.load(f)["buckets"].items()}
+
+
+def _read_buckets(spark, path: str, manifest: dict, buckets) -> DataFrame | None:
+    """Union of the manifest-resolved per-bucket dirs for ``buckets``,
+    grouped per generation dir so partition inference sees a clean
+    ``basePath/gen/__bucket=N`` layout (``__bucket`` column preserved).
+    Bounded work: <= n_buckets path groups, schema merged across
+    generations (the ALTER-then-UPSERT evolution shape)."""
+    by_gen: dict[str, list[int]] = {}
+    for b in buckets:
+        if b in manifest:
+            by_gen.setdefault(manifest[b], []).append(b)
+    out = None
+    for gen, bs in sorted(by_gen.items()):
+        base = os.path.join(path, gen)
+        part = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", base)
+            .parquet(*[os.path.join(base, f"__bucket={b}") for b in sorted(bs)])
+        )
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    return out
+
+
+def read_upsert_snapshot(spark, path: str) -> DataFrame | None:
+    """MVCC reader for :func:`upsert_sink_snapshot` tables: resolves the
+    manifest ONCE, then reads exactly the generation directories it
+    names — a commit that lands after the manifest read is invisible,
+    so every read is a consistent snapshot (the property the plain
+    dynamic-overwrite sink documents away)."""
+    manifest = _read_manifest(path)
+    if not manifest:
+        return None
+    df = _read_buckets(spark, path, manifest, sorted(manifest))
+    return None if df is None else df.drop("__bucket")
+
+
+def upsert_sink_snapshot(
+    keys: list[str],
+    order_col: str,
+    path: str,
+    n_buckets: int = N_UPSERT_BUCKETS,
+):
+    """Snapshot-isolated twin of :func:`upsert_sink` — same bucketed
+    O(touched) MERGE, but committed via an ATOMIC MANIFEST SWAP instead
+    of overwriting partition directories in place (the mini-Delta commit
+    protocol; at 100 TB you'd swap this file for a Delta/Iceberg commit
+    log, keeping the identical layout):
+
+    - data lives in immutable generation dirs
+      ``gen-<batch>/__bucket=N/``; a batch WRITES new dirs for its
+      touched buckets and never mutates existing files;
+    - ``_MANIFEST.json`` maps bucket -> generation dir; the commit is
+      one ``os.replace`` (atomic on POSIX; an HDFS rename or an S3
+      conditional put in production), so a reader resolves either the
+      whole old snapshot or the whole new one — NEVER the torn
+      mid-overwrite state ``test_upsert_reader_during_inflight_rewrite``
+      pins for the plain sink;
+    - untouched buckets keep their manifest pointer: zero IO, and old
+      generations stay on disk serving in-flight readers until
+      :func:`vacuum_upsert_snapshot` drops the unreferenced ones.
+
+    Single-writer remains the contract (two concurrent writers would
+    race the manifest swap; a real table format arbitrates with
+    optimistic concurrency on the commit log).
+    """
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        import json
+        import tempfile
+
+        spark = batch.sparkSession
+        from ..operators.dedup import keep_latest
+
+        incoming = batch.withColumn("__gen", F.lit(batch_id + 1)).withColumn(
+            "__bucket", bucket_of(keys, n_buckets)
+        )
+        manifest = _read_manifest(path)
+        touched = [r[0] for r in incoming.select("__bucket").distinct().collect()]
+        if not touched:
+            return
+        current = _read_buckets(spark, path, manifest, touched)
+        if current is not None:
+            merged = keep_latest(
+                current.withColumn("__gen", F.lit(0)).unionByName(
+                    incoming, allowMissingColumns=True
+                ),
+                keys,
+                [order_col, "__gen"],
+            )
+        else:
+            merged = keep_latest(incoming, keys, [order_col, "__gen"])
+        gen_dir = f"gen-{batch_id}"
+        (
+            merged.drop("__gen")
+            .localCheckpoint()
+            .repartition(F.col("__bucket"))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(os.path.join(path, gen_dir))
+        )
+        for b in touched:
+            manifest[b] = gen_dir
+        fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"buckets": {str(k): v for k, v in manifest.items()}}, f)
+        os.replace(tmp, os.path.join(path, MANIFEST_NAME))  # THE commit
+
+    return fn
+
+
+def vacuum_upsert_snapshot(path: str) -> list[str]:
+    """Drop generation dirs no manifest pointer references (safe once
+    in-flight readers of older snapshots have drained — the Delta
+    VACUUM retention contract). Returns the removed dir names."""
+    import shutil
+
+    live = set(_read_manifest(path).values())
+    removed = []
+    for d in sorted(os.listdir(path)):
+        if d.startswith("gen-") and d not in live:
+            shutil.rmtree(os.path.join(path, d))
+            removed.append(d)
+    return removed

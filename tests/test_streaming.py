@@ -789,3 +789,72 @@ def test_stateful_hot_key_bounded_state(spark, tmp_path):
     want = {(r.mid, r.dt) for r in df.groupBy("mid", "dt").count().collect()}
     assert got == want  # exactly one emission per (key, day)
     assert spark.table("hot_key_gate").count() == len(want)
+
+
+def test_upsert_snapshot_sink_mvcc(spark, tmp_path):
+    """The manifest-swap upsert closes the read-isolation gap the plain
+    dynamic-overwrite sink documents: commits are one atomic manifest
+    replace over immutable generation dirs, so a reader resolves either
+    the whole old snapshot or the whole new one — never the torn state.
+    Pins: (1) merge correctness across batches, (2) a pre-commit reader
+    (old manifest) sees the prior snapshot exactly even after the new
+    generation's files land, (3) untouched buckets keep their manifest
+    pointer (zero IO), (4) vacuum drops only unreferenced generations."""
+    import json
+    import os
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import stateful
+
+    path = str(tmp_path / "snap_tbl")
+    os.makedirs(path)
+    fn = stateful.upsert_sink_snapshot(["id"], "ts", path)
+
+    df1 = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(64)], "id int, val string, ts long"
+    )
+    fn(df1, 0)
+    snap1 = {(r.id, r.val, r.ts) for r in
+             stateful.read_upsert_snapshot(spark, path).collect()}
+    assert snap1 == {(i, f"v{i}", 10) for i in range(64)}
+    manifest_v1 = open(os.path.join(path, stateful.MANIFEST_NAME)).read()
+
+    # batch 2: update 3 keys (newer ts) + one stale row that must lose
+    df2 = spark.createDataFrame(
+        [(1, "new1", 20), (2, "new2", 20), (3, "new3", 20), (4, "stale", 5)],
+        "id int, val string, ts long",
+    )
+    fn(df2, 1)
+    snap2 = {(r.id, r.val, r.ts) for r in
+             stateful.read_upsert_snapshot(spark, path).collect()}
+    want2 = {(i, f"v{i}", 10) for i in range(64) if i not in (1, 2, 3)} | {
+        (1, "new1", 20), (2, "new2", 20), (3, "new3", 20)
+    }
+    assert snap2 == want2
+
+    # untouched buckets keep their generation pointer (zero rewrite IO)
+    m1 = {int(k): v for k, v in json.loads(manifest_v1)["buckets"].items()}
+    m2 = stateful._read_manifest(path)
+    touched = {r[0] for r in df2.select(
+        stateful.bucket_of(["id"])).distinct().collect()}
+    for b, gen in m1.items():
+        if b not in touched:
+            assert m2[b] == gen, f"untouched bucket {b} repointed"
+    assert any(m2[b] != m1[b] for b in touched)
+
+    # MVCC: restore the v1 manifest (a reader that resolved it pre-commit)
+    # -> the OLD snapshot reads back exactly; gen-1 files on disk are
+    # invisible to it.
+    cur = open(os.path.join(path, stateful.MANIFEST_NAME)).read()
+    with open(os.path.join(path, stateful.MANIFEST_NAME), "w") as f:
+        f.write(manifest_v1)
+    assert {(r.id, r.val, r.ts) for r in
+            stateful.read_upsert_snapshot(spark, path).collect()} == snap1
+    with open(os.path.join(path, stateful.MANIFEST_NAME), "w") as f:
+        f.write(cur)
+
+    # vacuum: nothing referenced is dropped; the table still reads whole
+    removed = stateful.vacuum_upsert_snapshot(path)
+    live = set(stateful._read_manifest(path).values())
+    assert live & set(removed) == set()
+    assert {(r.id, r.val, r.ts) for r in
+            stateful.read_upsert_snapshot(spark, path).collect()} == snap2
