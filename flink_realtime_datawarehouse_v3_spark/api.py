@@ -4711,6 +4711,16 @@ def _register_streaming() -> None:
         ),
     )
 
+    # Same MERGE through the SNAPSHOT-ISOLATED sink (atomic manifest
+    # swap over immutable generation dirs): identical oracle — the entry
+    # proves the MVCC commit protocol preserves last-writer-wins
+    # row-for-row across a multi-batch replay.
+    register(
+        "streaming_order_info_upsert_snapshot",
+        _sp.stream_order_info_upsert_snapshot,
+        ORACLES.get("streaming_order_info_upsert"),
+    )
+
     # D4/W6 keep-latest with 5 s event-time debounce: deterministic —
     # one emission per (id, 5 s burst). In the synthesized order_info
     # stream every CDC event is its own burst (insert and update are 1 h
@@ -4792,6 +4802,7 @@ _DRIVER_WINDOW = [
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
     "corpus_sample_fixed_per_source",
+    "streaming_order_info_upsert_snapshot",
     "dws_trade_province_order_window_approx",
     "decontaminate_bloom",
     "events_profile_stats_approx",
@@ -4826,12 +4837,12 @@ _DRIVER_WINDOW = [
     "streaming_pay_detail_suc",
     "sink_checkpoint_recovery",
     "text_vocab_topk",
-    "text_tfidf_topk",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "text_tfidf_topk",
     "streaming_time_rollup",
     "streaming_hop_window",
     "text_quality_top_fraction",

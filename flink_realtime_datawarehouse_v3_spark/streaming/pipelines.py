@@ -412,6 +412,35 @@ def stream_order_info_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return stateful.read_upsert_table(spark, out_path).localCheckpoint()
 
 
+def stream_order_info_upsert_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K3 keyed upsert through the SNAPSHOT-ISOLATED sink (atomic
+    manifest-swap commit; see :func:`..streaming.stateful.
+    upsert_sink_snapshot`): same changelog, same MERGE semantics, same
+    oracle as :func:`stream_order_info_upsert` — the entry proves the
+    MVCC commit protocol preserves last-writer-wins row-for-row across
+    a multi-batch replay."""
+    import os
+
+    with TempStreamDir() as d:
+        structured = cdc.topic_db(spark, sf_dir, only=["order_info"])
+        flat = structured.select(
+            F.col("data").getItem("id").alias("id"),
+            F.col("data").getItem("order_status").alias("order_status"),
+            F.col("data").getItem("operate_time").alias("operate_time"),
+            F.col("ts").cast("long").alias("ts"),
+        )
+        _write_replay(flat, d.sub("in"), order_by=["ts"])
+        s = read_stream(spark, d.sub("in"))
+        out_path = d.sub("snap_sink")
+        os.makedirs(out_path, exist_ok=True)
+        run_foreach_batch(
+            s, stateful.upsert_sink_snapshot(["id"], "ts", out_path)
+        )
+        return stateful.read_upsert_snapshot(spark, out_path).localCheckpoint()
+
+
 _PRE_TABLES = [
     "order_detail",
     "order_info",

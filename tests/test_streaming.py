@@ -126,6 +126,20 @@ def test_stream_order_info_upsert(spark):
     _same(stream, batch, "order_info_upsert")
 
 
+def test_stream_order_info_upsert_snapshot(spark):
+    """The snapshot-isolated (manifest-swap) sink must reproduce the
+    plain upsert's last-writer-wins table row-for-row."""
+    stream = sp.stream_order_info_upsert_snapshot(spark, SF_SMOKE)
+    flat = cdc.topic_db(spark, SF_SMOKE, only=["order_info"]).select(
+        F.col("data").getItem("id").alias("id"),
+        F.col("data").getItem("order_status").alias("order_status"),
+        F.col("data").getItem("operate_time").alias("operate_time"),
+        F.col("ts").cast("long").alias("ts"),
+    )
+    batch = keep_latest(flat, ["id"], ["ts"])
+    _same(stream, batch, "order_info_upsert_snapshot")
+
+
 def test_stream_order_pre_process(spark):
     stream = sp.stream_order_pre_process(spark, SF_SMOKE)
     batch = api.QUERIES["dwd_trade_order_pre_process"](spark, SF_SMOKE)
