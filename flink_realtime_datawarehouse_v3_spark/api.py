@@ -1152,6 +1152,28 @@ register(
        FROM events""",
 )
 
+# Trailing TIME-RANGE window (RANGE frame — bounded by ORDER-BY value
+# distance, not row offsets): per event, the user's count/sum/mean over
+# the preceding hour inclusive. Peers enter the frame together by RANGE
+# semantics, so the result is row-order independent across engines.
+register(
+    "events_value_trailing_window",
+    lambda spark, sf: timeseries_op.value_trailing_window(
+        tables_mod.load(spark, sf, "events")
+    ),
+    f"""SELECT user_id, event_id, ts_s, v_micro,
+       CAST(count(*) OVER w AS BIGINT) AS trail_n,
+       CAST(sum(v_micro) OVER w AS BIGINT) AS trail_sum_micro,
+       CAST(sum(v_micro) OVER w // count(*) OVER w AS BIGINT)
+         AS trail_avg_micro
+FROM (SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_s,
+             CAST(round(value * 1e6) AS BIGINT) AS v_micro
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN {timeseries_op.TRAIL_WINDOW_SEC} PRECEDING
+                       AND CURRENT ROW)""",
+)
+
 from .operators import analytics as analytics_op  # noqa: E402
 
 # Per-group top-N: rank window + filter, rewritten by Catalyst into
@@ -4803,6 +4825,7 @@ _DRIVER_WINDOW = [
     "tpch_q15_top_supplier",
     "corpus_sample_fixed_per_source",
     "streaming_order_info_upsert_snapshot",
+    "events_value_trailing_window",
     "dws_trade_province_order_window_approx",
     "decontaminate_bloom",
     "events_profile_stats_approx",
@@ -4836,12 +4859,12 @@ _DRIVER_WINDOW = [
     "streaming_traffic_union_window",
     "streaming_pay_detail_suc",
     "sink_checkpoint_recovery",
-    "text_vocab_topk",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "text_vocab_topk",
     "text_tfidf_topk",
     "streaming_time_rollup",
     "streaming_hop_window",
@@ -5015,11 +5038,20 @@ DEFINITION_ORDER: list[str] = []
 
 
 def _apply_driver_order() -> None:
+    import os as _os
+
     assert len(_DRIVER_WINDOW) == 50, f"window is {len(_DRIVER_WINDOW)}, want 50"
     order = _DRIVER_WINDOW + _DRIVER_TAIL
     assert len(order) == len(set(order)), "duplicate names in driver order"
     missing = set(QUERIES) - set(order)
     extra = set(order) - set(QUERIES)
+    if missing and _os.environ.get("SPARK_GRAFT_ALLOW_ORDER_DRIFT") == "1":
+        # tools/rebuild_window.py sets this so it can import a registry
+        # with just-added entries and regenerate the lists; the appended
+        # placement is temporary and the tool rewrites it immediately.
+        _DRIVER_TAIL.extend(sorted(missing, key=list(QUERIES).index))
+        order = _DRIVER_WINDOW + _DRIVER_TAIL
+        missing = set()
     assert not missing and not extra, f"order drift: missing={missing} extra={extra}"
     checked = order[:50]
     stray = [n for n in checked if n not in ORACLES and n not in _WINDOW_ROWS_ONLY]

@@ -87,6 +87,52 @@ def hop_window_counts(events: DataFrame) -> DataFrame:
     )
 
 
+TRAIL_WINDOW_SEC = 3600
+
+
+def value_trailing_window(
+    events: DataFrame, window_sec: int = TRAIL_WINDOW_SEC
+) -> DataFrame:
+    """Per-event trailing TIME-RANGE aggregate: for every event, the
+    count / sum / mean of the user's values in the preceding
+    ``window_sec`` seconds INCLUSIVE — the RANGE-frame analytic window
+    (frame bounded by ORDER-BY VALUE distance, not row offsets) that
+    none of the ROWS-frame entries exercise. Peers (equal timestamps)
+    enter the frame together in every engine by RANGE semantics, so the
+    result is row-order independent.
+
+    Exact integers end to end: second-granularity epoch via integer DIV,
+    micro-unit values, truncating integer division for the mean.
+
+    Scale: one shuffle on user_id + one in-partition sort; the engine
+    computes the frame in a single forward pass holding only the events
+    inside the trailing window (memory bounded by the densest
+    window_sec span, never the partition)."""
+    from pyspark.sql import Window
+
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_millis(ts) DIV 1000").alias("ts_s"),
+        F.round(F.col("value") * 1e6).cast("bigint").alias("v_micro"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-window_sec, 0)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        "v_micro",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trail_n"),
+        F.sum("v_micro").over(w).cast("bigint").alias("trail_sum_micro"),
+    ).withColumn(  # exact integer division (truncating on both engines)
+        "trail_avg_micro", F.expr("trail_sum_micro DIV trail_n")
+    )
+
+
 def running_total(events: DataFrame) -> DataFrame:
     """Per-user running value total ordered by event time (an explicit
     ROWS UNBOUNDED PRECEDING frame — the analytic-window shape the

@@ -418,6 +418,16 @@ def test_decorrelated_subquery_shapes(plans):
     assert "LeftOuter" in plans["tpch_q13_customer_distribution"]
 
 
+def test_trailing_range_frame_shape(plans):
+    """The trailing time-window entry must run as ONE user_id shuffle +
+    an in-partition sort with a RANGE frame (specifiedwindowframe
+    RangeFrame in the Window node) — no join, no second exchange."""
+    p = plans["events_value_trailing_window"]
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+    assert "RangeFrame" in p, p
+    assert "Join" not in p
+
+
 def test_fixed_sample_groupwise_kcut_pushed(plans):
     """The fixed-size per-group sampler's rank<=k must compile to
     WindowGroupLimit (per-partition top-k heaps before the group

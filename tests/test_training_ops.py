@@ -127,6 +127,7 @@ ORACLED = [
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
     "corpus_sample_fixed_per_source",
+    "events_value_trailing_window",
 ]
 
 
