@@ -4671,6 +4671,13 @@ def _register_streaming() -> None:
     # test_streaming.
     register("streaming_ivf_search", _sp.stream_ivf_search)
 
+    # Perceptual fingerprinting at ingestion: the dHash Arrow stage per
+    # micro-batch (the online half of the near-dup pipeline; the banded
+    # pair join stays a periodic batch job). Rows-only: the byte-grid
+    # hash has no single-SQL twin; stream == batch fingerprints pinned
+    # in test_streaming.
+    register("streaming_multimodal_dhash", _sp.stream_multimodal_dhash)
+
     # J10/K5 config-routed DIM layer under streaming: the full topic_db
     # replay routed per micro-batch by the broadcast config, MERGEd into
     # per-dim tables; the user_info dim is checked against the batch dim
@@ -4806,11 +4813,13 @@ _WINDOW_ROWS_ONLY = {
     "events_profile_stats_approx",
     "multimodal_dedup_perceptual",
     "streaming_ivf_search",
+    "streaming_multimodal_dhash",
 }
 
 _DRIVER_WINDOW = [
     "streaming_ivf_search",
     "multimodal_dedup_perceptual",
+    "streaming_multimodal_dhash",
     "tpch_q17_small_qty_revenue",
     "tpch_q20_dominant_suppliers",
     "tpch_q22_idle_rich_customers",
@@ -4858,12 +4867,12 @@ _DRIVER_WINDOW = [
     "streaming_activity_coupon_full_outer",
     "streaming_traffic_union_window",
     "streaming_pay_detail_suc",
-    "sink_checkpoint_recovery",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "sink_checkpoint_recovery",
     "text_vocab_topk",
     "text_tfidf_topk",
     "streaming_time_rollup",

@@ -1295,6 +1295,26 @@ def stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(multimodal.decode_features(s))
 
 
+def stream_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual fingerprinting at INGESTION: the dHash Arrow stage
+    applied per micro-batch of the replayed image stream — the
+    fingerprint-on-arrival half of the perceptual dedup pipeline (the
+    banded pair join stays a batch/periodic job over the accumulated
+    fingerprint table, exactly how a production near-dup system splits
+    online/offline). Stateless append; the metadata format predicate
+    stays Catalyst-side ahead of Python; stream == batch fingerprints
+    row-for-row (pinned in test_streaming; registry rows-only — the
+    byte-grid hash has no single-SQL DuckDB twin)."""
+    from ..operators import multimodal
+    from ..sources import corpus as corpus_mod
+
+    media = multimodal.with_binary_payload(corpus_mod.corpus(spark, sf_dir))
+    with TempStreamDir() as d:
+        _write_replay(media, d.sub("in"), order_by=["doc_id"])
+        s = read_stream(spark, d.sub("in"))
+        return run_to_memory(multimodal.dhash_fingerprints(s))
+
+
 def stream_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online ANN SERVING: the IVF index (centroids + assignments) is
     built ONCE at job start from the static corpus and persisted; the

@@ -126,6 +126,19 @@ def test_stream_order_info_upsert(spark):
     _same(stream, batch, "order_info_upsert")
 
 
+def test_stream_multimodal_dhash(spark):
+    """Ingest-time dHash fingerprints must equal the batch stage
+    row-for-row (stream == batch; the registry entry is rows-only)."""
+    from flink_realtime_datawarehouse_v3_spark.operators import multimodal
+    from flink_realtime_datawarehouse_v3_spark.sources import corpus as corpus_mod
+
+    stream = sp.stream_multimodal_dhash(spark, SF_SMOKE)
+    batch = multimodal.dhash_fingerprints(
+        multimodal.with_binary_payload(corpus_mod.corpus(spark, SF_SMOKE))
+    )
+    _same(stream, batch, "multimodal_dhash")
+
+
 def test_stream_order_info_upsert_snapshot(spark):
     """The snapshot-isolated (manifest-swap) sink must reproduce the
     plain upsert's last-writer-wins table row-for-row."""

@@ -1701,3 +1701,55 @@ def test_fixed_sample_invariants(spark):
         if r.source != "__new_source"
     }
     assert got2 == {(r.source, r.doc_id, r.sample_rank) for r in got}
+
+
+def test_q13_distribution_reconciles(spark):
+    """Q13's histogram must account for every customer exactly once and
+    every order exactly once (the double-agg conservation laws)."""
+    import pyspark.sql.functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    rows = api.QUERIES["tpch_q13_customer_distribution"](spark, SF_SMOKE).collect()
+    n_cust = tables.load(spark, SF_SMOKE, "customer").count()
+    n_orders = tables.load(spark, SF_SMOKE, "orders").count()
+    assert sum(r.custdist for r in rows) == n_cust
+    assert sum(r.c_count * r.custdist for r in rows) == n_orders
+
+
+def test_q8_share_bounds_and_q15_max(spark):
+    """Q8: nation share is a true fraction of region revenue (0 <= share
+    <= 1e6 ppm, numerator <= denominator). Q15: every reported supplier
+    carries exactly the global max revenue."""
+    q8 = api.QUERIES["tpch_q8_market_share"](spark, SF_SMOKE).collect()
+    assert q8
+    for r in q8:
+        assert 0 <= r.nation_cents <= r.region_cents
+        assert 0 <= r.share_ppm <= 1_000_000
+    q15 = api.QUERIES["tpch_q15_top_supplier"](spark, SF_SMOKE).collect()
+    assert q15
+    assert len({r.total_rev_cents for r in q15}) == 1
+
+
+def test_trailing_window_vs_bruteforce(spark):
+    """RANGE-frame trailing window equals the per-row brute-force
+    definition (all of the user's events within the window, inclusive)
+    on a small slice — the semantic pin independent of the SQL oracle."""
+    from collections import defaultdict
+
+    from flink_realtime_datawarehouse_v3_spark.operators import timeseries
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    events = tables.load(spark, SF_SMOKE, "events").limit(400)
+    got = timeseries.value_trailing_window(events).collect()
+    by_user = defaultdict(list)
+    for r in got:
+        by_user[r.user_id].append((r.ts_s, r.v_micro))
+    for r in got:
+        in_win = [
+            v
+            for ts, v in by_user[r.user_id]
+            if r.ts_s - timeseries.TRAIL_WINDOW_SEC <= ts <= r.ts_s
+        ]
+        assert r.trail_n == len(in_win)
+        assert r.trail_sum_micro == sum(in_win)
