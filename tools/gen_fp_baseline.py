@@ -29,8 +29,14 @@ OUT = "/root/repo/PLAN_FP_BASELINE.json"
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("fp-baseline")
+    # Same state and same order as the pytest plans fixture: caches
+    # unmaterialized (estimate-based join sizing) and REGISTRATION order
+    # (construction side effects — bounded artifact fits — land on the
+    # same entries). Regenerate after any window rebuild: rotation
+    # changes registration order.
+    api.reset_session_caches()
     fps = {}
-    for name in sorted(api.QUERIES):
+    for name in api.QUERIES:
         if name.startswith("streaming_"):
             continue  # replay entries return a memory-sink scan: no plan
         fps[name] = planfp.fingerprint(api.QUERIES[name](spark, sf_dir))
