@@ -4678,6 +4678,17 @@ def _register_streaming() -> None:
     # in test_streaming.
     register("streaming_multimodal_dhash", _sp.stream_multimodal_dhash)
 
+    # Watermark-correct ONLINE trailing time-window (the feature-store
+    # "activity in the last hour" shape): emission waits for the
+    # watermark to pass each event, so every RANGE-frame member has
+    # arrived and the stream equals the batch entry exactly — shares its
+    # SQL oracle.
+    register(
+        "streaming_value_trailing_window",
+        _sp.stream_value_trailing_window,
+        ORACLES.get("events_value_trailing_window"),
+    )
+
     # J10/K5 config-routed DIM layer under streaming: the full topic_db
     # replay routed per micro-batch by the broadcast config, MERGEd into
     # per-dim tables; the user_info dim is checked against the batch dim
@@ -4835,6 +4846,7 @@ _DRIVER_WINDOW = [
     "corpus_sample_fixed_per_source",
     "streaming_order_info_upsert_snapshot",
     "events_value_trailing_window",
+    "streaming_value_trailing_window",
     "dws_trade_province_order_window_approx",
     "decontaminate_bloom",
     "events_profile_stats_approx",
@@ -4866,12 +4878,12 @@ _DRIVER_WINDOW = [
     "streaming_order_pre_process",
     "streaming_activity_coupon_full_outer",
     "streaming_traffic_union_window",
-    "streaming_pay_detail_suc",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "streaming_pay_detail_suc",
     "sink_checkpoint_recovery",
     "text_vocab_topk",
     "text_tfidf_topk",

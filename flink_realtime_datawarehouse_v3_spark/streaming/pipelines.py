@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize
+from ..operators import timeseries
 from ..operators.windows import rt_from_ms
 from ..plans import dwd_simple
 from ..sources import cdc, logs
@@ -1293,6 +1294,47 @@ def stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _write_replay(media, d.sub("in"), order_by=["doc_id"])
         s = read_stream(spark, d.sub("in"))
         return run_to_memory(multimodal.decode_features(s))
+
+
+def stream_value_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trailing-hour per-user feature ONLINE: watermark-correct
+    keyed-state trailing window (see ``stateful.trailing_window_stream``)
+    over the replayed events stream. Emission waits for the watermark to
+    pass each event's timestamp, so every RANGE-frame member (peers
+    included) has arrived and the output equals the batch
+    ``events_value_trailing_window`` row-for-row — the registry entry
+    shares the batch SQL oracle. Sentinels: two heartbeat rows 2 h / 4 h
+    past max event time flush the final frames; the synthetic user is
+    dropped from the materialized output."""
+    from ..sources import tables
+
+    e = tables.load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_millis(ts) DIV 1000").alias("ts_s"),
+        F.round(F.col("value") * 1e6).cast("bigint").alias("v_micro"),
+    )
+    with TempStreamDir() as d:
+
+        def sents(mx: int) -> list:
+            return [
+                spark.createDataFrame(
+                    [(-1, -1, mx + h * 3600, 0)],
+                    "user_id long, event_id long, ts_s long, v_micro long",
+                )
+                for h in (2, 4)
+            ]
+
+        _write_replay(
+            e, d.sub("in"), order_by=["ts_s"], sentinels=sents, max_col="ts_s"
+        )
+        s = read_stream(spark, d.sub("in")).withColumn(
+            "rt", F.timestamp_seconds(F.col("ts_s"))
+        )
+        out = stateful.trailing_window_stream(
+            s, timeseries.TRAIL_WINDOW_SEC
+        )
+        return run_to_memory(out).filter(F.col("user_id") >= 0)
 
 
 def stream_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:

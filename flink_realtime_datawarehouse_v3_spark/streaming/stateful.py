@@ -591,3 +591,114 @@ def vacuum_upsert_snapshot(path: str) -> list[str]:
             shutil.rmtree(os.path.join(path, d))
             removed.append(d)
     return removed
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Integer division truncating toward zero (Spark DIV / DuckDB //
+    semantics; Python's // floors, which differs for negative sums)."""
+    q = abs(s) // n
+    return -q if s < 0 else q
+
+
+def trailing_window_stream(
+    df: DataFrame,
+    window_sec: int,
+    key: str = "user_id",
+    ts_col: str = "ts_s",
+    val_col: str = "v_micro",
+    watermark_col: str = "rt",
+) -> DataFrame:
+    """Watermark-correct ONLINE trailing time-window aggregate — the
+    feature-store shape ("user's count/sum/mean over the last hour")
+    as a keyed-state streaming operator with EXACT batch-RANGE-frame
+    semantics:
+
+    an event is emitted only once the watermark passes its timestamp,
+    so every frame member (peers at the same second included — RANGE
+    semantics) has provably arrived; the emitted aggregate therefore
+    equals the batch ``value_trailing_window`` row-for-row, and the
+    registry entry shares the batch entry's SQL oracle.
+
+    State per key is two bounded buffers: ``hist`` — (ts, v) pairs
+    inside the trailing window of any future event (pruned to
+    ``watermark - window_sec`` on every call) — and ``pend`` — full
+    rows newer than the watermark (bounded by one batch span plus the
+    watermark delay). An event-time timeout set past the newest pending
+    ts flushes keys that receive no further batches, and a final
+    timeout at ``last_ts + window_sec`` self-cleans idle keys' state —
+    the idle-TTL a 100 TB deployment needs so state tracks the ACTIVE
+    key set, not the historical one.
+    """
+    import json as _json
+
+    out_fields = [f for f in df.schema.fields if f.name != watermark_col]
+    out_schema = StructType(
+        list(out_fields)
+        + [
+            StructField("trail_n", LongType()),
+            StructField("trail_sum_micro", LongType()),
+            StructField("trail_avg_micro", LongType()),
+        ]
+    )
+    out_cols = [f.name for f in out_fields]
+    state_schema = StructType(
+        [StructField("hist", StringType()), StructField("pend", StringType())]
+    )
+
+    def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        hist: list = []
+        pend: list = []
+        if state.exists:
+            hist_blob, pend_blob = state.get
+            hist = _json.loads(hist_blob)
+            pend = _json.loads(pend_blob)
+        if not state.hasTimedOut:
+            pdf = _sorted_concat(pdfs, [ts_col])
+            if not pdf.empty:
+                pend.extend(
+                    {
+                        k: (v.item() if hasattr(v, "item") else v)
+                        for k, v in rec.items()
+                    }
+                    for rec in pdf[out_cols].to_dict("records")
+                )
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        pend.sort(key=lambda r: (r[ts_col], str(r)))
+        ready = [r for r in pend if r[ts_col] < wm_s]
+        pend = [r for r in pend if r[ts_col] >= wm_s]
+        if ready:
+            values = hist + [[r[ts_col], r[val_col]] for r in ready]
+            out = []
+            for r in ready:
+                lo = r[ts_col] - window_sec
+                frame = [v for t, v in values if lo <= t <= r[ts_col]]
+                row = dict(r)
+                row["trail_n"] = len(frame)
+                row["trail_sum_micro"] = sum(frame)
+                row["trail_avg_micro"] = _trunc_div(sum(frame), len(frame))
+                out.append(row)
+            hist = [tv for tv in values if tv[0] >= wm_s - window_sec]
+            yield pd.DataFrame(out)[[f.name for f in out_schema.fields]]
+        else:
+            hist = [tv for tv in hist if tv[0] >= wm_s - window_sec]
+        if pend:
+            state.update((_json.dumps(hist), _json.dumps(pend)))
+            state.setTimeoutTimestamp((max(r[ts_col] for r in pend) + 1) * 1000)
+        elif hist:
+            state.update((_json.dumps(hist), "[]"))
+            # idle-TTL: one more callback once no future event can need it
+            state.setTimeoutTimestamp((max(t for t, _ in hist) + window_sec + 1) * 1000)
+        else:
+            state.remove()
+
+    return (
+        df.withWatermark(watermark_col, "2 seconds")
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -126,6 +126,15 @@ def test_stream_order_info_upsert(spark):
     _same(stream, batch, "order_info_upsert")
 
 
+def test_stream_value_trailing_window(spark):
+    """Watermark-correct online trailing window == batch RANGE frame
+    row-for-row (emission gated on watermark passage, so peers and
+    stragglers inside the frame have provably arrived)."""
+    stream = sp.stream_value_trailing_window(spark, SF_SMOKE)
+    batch = api.QUERIES["events_value_trailing_window"](spark, SF_SMOKE)
+    _same(stream, batch, "value_trailing_window")
+
+
 def test_stream_multimodal_dhash(spark):
     """Ingest-time dHash fingerprints must equal the batch stage
     row-for-row (stream == batch; the registry entry is rows-only)."""
