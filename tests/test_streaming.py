@@ -775,8 +775,6 @@ def test_stateful_hot_key_bounded_state(spark, tmp_path):
       whose state grows with events);
     - correctness: output equals the batch first-per-(key, day) answer.
     """
-    import itertools
-
     from flink_realtime_datawarehouse_v3_spark.streaming import core, stateful
 
     n = 12_000
