@@ -9,6 +9,7 @@ files, so transitively stream == batch == DuckDB).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_realtime_datawarehouse_v3_spark import api
@@ -892,3 +893,83 @@ def test_upsert_snapshot_sink_mvcc(spark, tmp_path):
     assert live & set(removed) == set()
     assert {(r.id, r.val, r.ts) for r in
             stateful.read_upsert_snapshot(spark, path).collect()} == snap2
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_trailing_window_stream_randomized(spark, tmp_path, seed):
+    """Randomized stream==batch equivalence for the watermark-gated
+    trailing window: random timestamps WITH duplicates (peer groups),
+    random values (negative included — truncating division), random
+    batch splits. The watermark gate must make arrival order invisible."""
+    import random
+
+    from flink_realtime_datawarehouse_v3_spark.operators import timeseries
+    from flink_realtime_datawarehouse_v3_spark.streaming import core, stateful
+
+    rng = random.Random(seed)
+    w = 100  # small window so frames vary
+    rows = [
+        (
+            rng.randrange(5),                      # user_id
+            i,                                     # event_id
+            1_000_000 + rng.randrange(400),        # ts_s: dense -> peers
+            rng.randrange(-500, 500),              # v_micro (negatives!)
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s long, v_micro long"
+    )
+    # batch truth: RANGE frame over ts_s
+    from pyspark.sql import Window
+
+    bw = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-w, 0)
+    batch = df.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        "v_micro",
+        F.count(F.lit(1)).over(bw).cast("bigint").alias("trail_n"),
+        F.sum("v_micro").over(bw).cast("bigint").alias("trail_sum_micro"),
+    ).withColumn("trail_avg_micro", F.expr("trail_sum_micro DIV trail_n"))
+
+    path = str(tmp_path / "in")
+    core.write_stream_input(df, path, n_files=5, order_by=["ts_s"])
+    # trailing sentinel batches flush the final frames (ts far future)
+    sent = spark.createDataFrame(
+        [(-1, -1, 1_001_000 + k * 1000, 0) for k in range(2)],
+        "user_id long, event_id long, ts_s long, v_micro long",
+    )
+    import glob
+    import os
+
+    for k, row_df in enumerate(
+        [sent.filter(F.col("ts_s") == 1_001_000 + j * 1000) for j in range(2)]
+    ):
+        tmp = str(tmp_path / f"sent{k}")
+        row_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dest = os.path.join(path, f"zzz-sentinel-{k}.parquet")
+        os.replace(src, dest)
+        ts = os.path.getmtime(sorted(glob.glob(path + "/part-*"))[-1]) + 20 * (k + 1)
+        os.utime(dest, (ts, ts))
+
+    s = core.read_stream(spark, path).withColumn(
+        "rt", F.timestamp_seconds(F.col("ts_s"))
+    )
+    q = (
+        stateful.trailing_window_stream(s, w)
+        .filter(F.col("user_id") >= 0)
+        .writeStream.format("memory")
+        .queryName(f"trail_rand_{seed}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+    stream_df = spark.table(f"trail_rand_{seed}")
+    _same(stream_df, batch, f"trailing_rand_{seed}")
