@@ -93,13 +93,22 @@ def reset_session_caches() -> None:
     from .operators import simsearch as _ss
 
     _ss._ARTIFACTS.clear()
-    # The iterative operators (cluster closure, PageRank) localCheckpoint
-    # per round; those checkpointed RDDs stay persisted until Python drops
-    # the references and the ContextCleaner runs. Force the collection so
-    # a long-lived sweep session doesn't carry them across SF dirs.
+    # The iterative operators (cluster closure, PageRank) and the
+    # foreachBatch MERGE sinks localCheckpoint per round/batch; those
+    # checkpointed RDDs stay persisted until Python drops the references
+    # AND the asynchronous ContextCleaner runs. Every session-scoped memo
+    # was just forgotten above, so anything still persisted is orphaned —
+    # unpersist it explicitly instead of hoping the cleaner races ahead
+    # (r9: a two-SF sweep showed 7 stragglers right after gc).
     import gc
 
     gc.collect()
+    from pyspark.sql import SparkSession as _S
+
+    spark = _S.getActiveSession()
+    if spark is not None:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
 
 
 # --- DWD: single-table CDC pipelines -----------------------------------------
