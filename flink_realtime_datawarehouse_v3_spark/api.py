@@ -1230,6 +1230,23 @@ register(
        FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))""",
 )
 
+# Custom GROUPING SETS {(type, dt), (dt), (type)} — the asymmetric
+# lattice neither ROLLUP nor CUBE expresses (both marginals, no grand
+# total); same one-pass Expand execution as the cube entry.
+register(
+    "events_type_day_grouping_sets",
+    lambda spark, sf: analytics_op.type_day_grouping_sets(
+        tables_mod.load(spark, sf, "events")
+    ),
+    """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+              GROUPING(event_type, CAST(ts AS DATE)) AS level,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       FROM events
+       GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+                               (CAST(ts AS DATE)), (event_type))""",
+)
+
 # Lag-frame inter-event gaps per user; exact integer microsecond sums.
 register(
     "events_user_gap_stats",
@@ -4856,6 +4873,7 @@ _DRIVER_WINDOW = [
     "streaming_order_info_upsert_snapshot",
     "events_value_trailing_window",
     "streaming_value_trailing_window",
+    "events_type_day_grouping_sets",
     "dws_trade_province_order_window_approx",
     "decontaminate_bloom",
     "events_profile_stats_approx",
@@ -4886,12 +4904,12 @@ _DRIVER_WINDOW = [
     "streaming_keyword_window_late",
     "streaming_order_pre_process",
     "streaming_activity_coupon_full_outer",
-    "streaming_traffic_union_window",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "streaming_traffic_union_window",
     "streaming_pay_detail_suc",
     "sink_checkpoint_recovery",
     "text_vocab_topk",

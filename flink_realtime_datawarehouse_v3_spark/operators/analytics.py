@@ -93,6 +93,40 @@ def type_day_cube(events: DataFrame) -> DataFrame:
     )
 
 
+def type_day_grouping_sets(events: DataFrame) -> DataFrame:
+    """Custom GROUPING SETS over (event_type, event date): exactly the
+    sets {(type, dt), (dt), (type)} — the asymmetric lattice neither
+    ROLLUP (a single drill path ending in the grand total) nor CUBE
+    (the full lattice including the grand total) can express, i.e. the
+    "both single-axis marginals, no grand total" report a dashboard
+    materializes. Same one-pass Expand + partial-combine execution as
+    the cube entry; GROUPING bits disambiguate the levels."""
+    base = events.select(
+        "event_type",
+        F.to_date("ts").alias("dt"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    return (
+        base.groupingSets(
+            [["event_type", "dt"], ["dt"], ["event_type"]],
+            "event_type",
+            "dt",
+        )
+        .agg(
+            F.grouping_id("event_type", "dt").alias("level"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("value_sum"),
+        )
+        .select(
+            "event_type",
+            F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+            "level",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def user_gap_stats(events: DataFrame) -> DataFrame:
     """Inter-event gap statistics per user (lag frame): number of events,
     max gap and mean gap in MICROSECONDS between consecutive events.

@@ -128,6 +128,7 @@ ORACLED = [
     "tpch_q15_top_supplier",
     "corpus_sample_fixed_per_source",
     "events_value_trailing_window",
+    "events_type_day_grouping_sets",
 ]
 
 
