@@ -140,14 +140,20 @@ def main() -> None:
         "dedup_simhash", "dedup_embedding_cosine", "multimodal_decode",
         "multimodal_frame_sample",
     ]
+    will_write_local = sf == 0.1 and not failures
     line = json.dumps(out)
     if len(line) > 1900:
         compact = dict(out)
         compact["queries"] = {n: timings[n] for n in headline if n in timings}
         compact["n_queries"] = len(timings)
-        compact["full"] = f"BENCH_LOCAL_r{api._WINDOW_ROUND}.json"
+        # only point at the local record when THIS run writes it — a
+        # failed/off-SF run would otherwise attribute a stale round's
+        # numbers to itself.
+        if will_write_local:
+            compact["full"] = f"BENCH_LOCAL_r{api._WINDOW_ROUND}.json"
         if failures:
             compact["failures"] = dict(list(failures.items())[:3])
+            compact["n_failures"] = len(failures)
         line = json.dumps(compact)
     # The driver preserves only the truncated TAIL of the printed line
     # (BENCH_r*.json, "parsed": null every round), which loses the head of
@@ -157,7 +163,22 @@ def main() -> None:
     # built for (api._WINDOW_ROUND). Guarded so a quick sf0.001 spot run
     # or a run with failures can never clobber the committed sf0.1
     # regression baseline.
-    if sf == 0.1 and not failures:
+    if sf == 0.1 and failures:
+        # keep the complete record of a failed run WITHOUT clobbering the
+        # committed clean baseline (review catch: previously the full map
+        # and failures beyond the first 3 were simply lost).
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    f"BENCH_LOCAL_r{api._WINDOW_ROUND}_failed.json",
+                ),
+                "w",
+            ) as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
+    if will_write_local:
         try:
             local = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),

@@ -93,22 +93,36 @@ def reset_session_caches() -> None:
     from .operators import simsearch as _ss
 
     _ss._ARTIFACTS.clear()
-    # The iterative operators (cluster closure, PageRank) and the
-    # foreachBatch MERGE sinks localCheckpoint per round/batch; those
-    # checkpointed RDDs stay persisted until Python drops the references
-    # AND the asynchronous ContextCleaner runs. Every session-scoped memo
-    # was just forgotten above, so anything still persisted is orphaned —
-    # unpersist it explicitly instead of hoping the cleaner races ahead
-    # (r9: a two-SF sweep showed 7 stragglers right after gc).
+    # The iterative operators (cluster closure, PageRank) localCheckpoint
+    # per round; those checkpointed RDDs stay persisted until Python drops
+    # the references and the ContextCleaner runs. Force the collection so
+    # a long-lived sweep session doesn't carry them across SF dirs.
     import gc
 
     gc.collect()
+
+
+def unpersist_orphans() -> int:
+    """Blanket-unpersist every RDD still cached in the active session —
+    the foreachBatch MERGE sinks localCheckpoint per micro-batch and the
+    asynchronous ContextCleaner can lag (r9: a two-SF sweep showed 7
+    stragglers right after gc). ONLY safe at a sweep boundary where the
+    caller holds no live DataFrame from a previous sweep: unpersisting a
+    locally-checkpointed RDD someone still references drops its blocks
+    with no lineage to recompute them. tools/check_all.py calls this
+    between SF dirs, right after :func:`reset_session_caches`; mid-
+    session callers (the pytest plans fixture) must NOT. Returns the
+    number of RDDs dropped."""
     from pyspark.sql import SparkSession as _S
 
     spark = _S.getActiveSession()
-    if spark is not None:
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist()
+    if spark is None:
+        return 0
+    dropped = 0
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
+        dropped += 1
+    return dropped
 
 
 # --- DWD: single-table CDC pipelines -----------------------------------------

@@ -195,14 +195,18 @@ def dhash_fingerprints(media: DataFrame) -> DataFrame:
     return images.mapInPandas(batches, DHASH_SCHEMA)
 
 
-def dedup_perceptual(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+def dedup_perceptual(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Perceptual near-dup image pairs: dHash fingerprints, then the
     Hamming-band LSH from the text plane (same recipe as
-    ``text_dedup.simhash_pairs``): 4 bands of 16 bits — any pair within
-    ``max_hamming`` <= 6 bits collides on at least one band by
-    pigeonhole, so candidate generation is a bucketed equi-join on
-    (band, band_value), NEVER all-pairs; the exact ``bit_count(xor)``
-    verify runs only on band collisions.
+    ``text_dedup.simhash_pairs``): 4 bands of 16 bits — by pigeonhole a
+    pair differing in at most 3 bits (= bands - 1) leaves one band
+    untouched, so candidate recall is STRUCTURAL for ``max_hamming``
+    <= 3; candidate generation is a bucketed equi-join on (band,
+    band_value), NEVER all-pairs, and the exact ``bit_count(xor)``
+    verify runs only on band collisions. (A looser radius needs more
+    bands: guaranteeing distance d requires d+1 bands — don't raise
+    ``max_hamming`` past bands-1 or recall silently becomes
+    probabilistic, the round-9 review catch.)
 
     At 100 TB the banded index is 4 rows x 20 bytes per image and the
     join fan-in per bucket is bounded by band-value cardinality (2^16

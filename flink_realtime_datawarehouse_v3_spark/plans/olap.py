@@ -619,7 +619,13 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_year",
             "nation_cents",
             "region_cents",
-            F.expr("nation_cents * 1000000 DIV region_cents").alias("share_ppm"),
+            # decimal(38,0) headroom: cents * 1e6 overflows int64 at the
+            # 100 TB point (~2e16 cents/group * 1e6 = 2e22); the DuckDB
+            # twin is already exact via HUGEINT (round-9 review catch).
+            F.expr(
+                "CAST(CAST(nation_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV region_cents AS BIGINT)"
+            ).alias("share_ppm"),
         )
     )
 
@@ -709,9 +715,11 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "promo_cents",
             "total_cents",
-            F.expr("promo_cents * 1000000 DIV total_cents").alias(
-                "promo_share_ppm"
-            ),
+            # decimal(38,0) headroom for the *1e6 (same posture as Q8).
+            F.expr(
+                "CAST(CAST(promo_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV total_cents AS BIGINT)"
+            ).alias("promo_share_ppm"),
         )
     )
 

@@ -52,16 +52,25 @@ def write_stream_input(
     else:
         df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(path)
-    import time as _time
-
-    base = _time.time()
-    parts = sorted(
-        f for f in os.listdir(path) if f.startswith("part-") and "parquet" in f
-    )
-    for i, f in enumerate(parts):
-        ts = base + 10 * i  # 10 s apart: unambiguous at ms granularity
-        os.utime(os.path.join(path, f), (ts, ts))
+    stamp_file_order(path)
     return path
+
+
+def stamp_file_order(path: str, extra_files: list[str] | None = None) -> None:
+    """Give the directory's part files strictly increasing mtimes in name
+    order (then ``extra_files``, e.g. sentinel batches, after them). The
+    file-stream source picks files up in (mtime, path) order and a
+    parallel write finishes tasks in RANDOM order, so without the
+    re-stamp a replay can feed batches last-range-first — the round-9
+    batch-order bug. One shared implementation: the replay harness in
+    pipelines.py and :func:`write_stream_input` both call this."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(path, "part-*.parquet")))
+    files.extend(extra_files or [])
+    base = 1_600_000_000  # fixed epoch: deterministic across runs
+    for i, f in enumerate(files):
+        os.utime(f, (base + i * 10, base + i * 10))
 
 
 def read_stream(

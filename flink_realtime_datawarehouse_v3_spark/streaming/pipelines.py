@@ -44,21 +44,21 @@ from ..operators.windows import rt_from_ms
 from ..plans import dwd_simple
 from ..sources import cdc, logs
 from . import stateful
-from .core import TempStreamDir, read_stream, run_foreach_batch, run_to_memory
+from .core import (
+    TempStreamDir,
+    read_stream,
+    run_foreach_batch,
+    run_to_memory,
+    stamp_file_order,
+)
 from .dim_app import dim_router, read_dim_table
 
 N_FILES = 4
 
 
-def _stamp_file_order(path: str, sentinels: list[str] | None = None) -> None:
-    """Give the input files strictly increasing mtimes in name order (the
-    file-stream source picks up files in (mtime, path) order; parquet part
-    numbers from repartitionByRange already follow the time ranges)."""
-    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
-    files.extend(sentinels or [])
-    base = 1_600_000_000
-    for i, f in enumerate(files):
-        os.utime(f, (base + i * 10, base + i * 10))
+# mtime-order stamping lives in core.stamp_file_order (shared with
+# write_stream_input — ONE implementation of the batch-order invariant).
+_stamp_file_order = stamp_file_order
 
 
 def _max_from_footers(path: str, col: str) -> int:

@@ -1625,9 +1625,9 @@ def test_perceptual_dedup_planted_recall(spark):
     """Planted-near-duplicate gate for the dHash pipeline: every payload
     pair differing by a single local byte edit must be reported (a one-
     sample perturbation flips at most two difference bits, and any pair
-    within 6 Hamming bits shares at least one 16-bit band by pigeonhole
-    — recall is structural, not probabilistic); unrelated payloads must
-    NOT pair up (64 near-uniform bits make a <=6-bit collision
+    within 3 Hamming bits (= bands - 1) leaves one 16-bit band untouched
+    by pigeonhole — recall is structural, not probabilistic); unrelated
+    payloads must NOT pair up (64 near-uniform bits make a <=3-bit collision
     vanishingly unlikely at this n)."""
     import random
 
@@ -1661,10 +1661,10 @@ def test_perceptual_dedup_planted_recall(spark):
 def test_perceptual_dedup_registry_smoke(spark):
     """Registry entry runs on the clone-expanded corpus: exact clones are
     Hamming-0 pairs, so the result must be non-empty with every reported
-    pair within the 6-bit verify bound and a < b canonical ordering."""
+    pair within the 3-bit verify bound and a < b canonical ordering."""
     rows = api.QUERIES["multimodal_dedup_perceptual"](spark, SF_SMOKE).collect()
     assert rows, "clone-expanded corpus must yield perceptual pairs"
-    assert all(r.hamming <= 6 and r.a < r.b for r in rows)
+    assert all(r.hamming <= 3 and r.a < r.b for r in rows)
 
 
 def test_fixed_sample_invariants(spark):

@@ -42,3 +42,18 @@ def test_reset_session_caches_unpersists_everything(spark):
 
     # And the surface still works after a reset (re-warms cleanly).
     assert api.QUERIES["dwd_trade_order_detail"](spark, SF_SMOKE).count() > 0
+
+
+def test_unpersist_orphans_boundary(spark):
+    """The sweep-boundary sweep drops every cached RDD (the per-batch
+    localCheckpoint stragglers the async ContextCleaner can lag on) and
+    the surface re-warms cleanly afterwards. Runs last by filename: at a
+    true boundary no live references exist, which is the function's
+    documented precondition."""
+    for i in range(3):
+        spark.range(50 + i).localCheckpoint().count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) >= 3
+    api.reset_session_caches()
+    api.unpersist_orphans()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert api.QUERIES["dedup_exact"](spark, SF_SMOKE).count() > 0

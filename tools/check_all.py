@@ -196,6 +196,7 @@ def main() -> int:
     for i, sf_dir in enumerate(sf_dirs):
         if i:
             api.reset_session_caches()
+            api.unpersist_orphans()  # sweep boundary: no live refs held
             n_persisted = len(spark.sparkContext._jsc.getPersistentRDDs())
             print(f"\n-- reset_session_caches(): {n_persisted} RDDs still persisted --")
             print(f"-- sweep {sf_dir} --")
