@@ -1175,6 +1175,34 @@ register(
        FROM events""",
 )
 
+# Time-weighted average per (user, day) over irregular samples — the
+# LOCF integral (duration-weighted, not count-weighted): sum(v * dt)
+# via lead(), DIV the observed span; single-point days dropped.
+register(
+    "events_value_twap",
+    lambda spark, sf: timeseries_op.value_twap(
+        tables_mod.load(spark, sf, "events")
+    ),
+    """WITH seg AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, epoch_ms(ts) // 1000 AS ts_s,
+         CAST(round(value * 1e6) AS BIGINT) AS v_micro,
+         lead(epoch_ms(ts) // 1000) OVER (
+             PARTITION BY user_id, CAST(ts AS DATE)
+             ORDER BY epoch_ms(ts) // 1000, event_id) AS next_s
+  FROM events)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS dt,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(max(ts_s) - min(ts_s) AS BIGINT) AS span_s,
+       CAST(sum(CASE WHEN next_s IS NOT NULL
+                     THEN v_micro * (next_s - ts_s) ELSE 0 END)
+            AS BIGINT) AS integral_micro_s,
+       CAST(sum(CASE WHEN next_s IS NOT NULL
+                     THEN v_micro * (next_s - ts_s) ELSE 0 END)
+            // (max(ts_s) - min(ts_s)) AS BIGINT) AS twap_micro
+FROM seg GROUP BY user_id, d
+HAVING max(ts_s) - min(ts_s) > 0""",
+)
+
 # Trailing TIME-RANGE window (RANGE frame — bounded by ORDER-BY value
 # distance, not row offsets): per event, the user's count/sum/mean over
 # the preceding hour inclusive. Peers enter the frame together by RANGE
@@ -4888,6 +4916,7 @@ _DRIVER_WINDOW = [
     "events_value_trailing_window",
     "streaming_value_trailing_window",
     "events_type_day_grouping_sets",
+    "events_value_twap",
     "dws_trade_province_order_window_approx",
     "decontaminate_bloom",
     "events_profile_stats_approx",
@@ -4917,12 +4946,12 @@ _DRIVER_WINDOW = [
     "streaming_jump_detail",
     "streaming_keyword_window_late",
     "streaming_order_pre_process",
-    "streaming_activity_coupon_full_outer",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "streaming_activity_coupon_full_outer",
     "streaming_traffic_union_window",
     "streaming_pay_detail_suc",
     "sink_checkpoint_recovery",

@@ -87,6 +87,60 @@ def hop_window_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def value_twap(events: DataFrame) -> DataFrame:
+    """Time-weighted average per (user, day) over IRREGULAR samples —
+    the TimescaleDB ``time_weight`` (LOCF) shape: each observation holds
+    until the next one, so the day's average integrates the step
+    function over the observed span instead of averaging points (a
+    sensor that reports rarely at a steady value should not be drowned
+    out by a burst of identical readings — the bias a plain AVG has on
+    irregular series, and the semantic the count-weighted trailing
+    window cannot express).
+
+    Exact integers end to end: integral = sum(v_micro * dt_sec) via a
+    lead() frame ordered by (ts, event_id) (zero-length segments from
+    duplicate timestamps contribute 0), divided by the observed span
+    with truncating DIV. Single-point days carry no span and are
+    dropped (span_s > 0). One shuffle on (user, day) + one in-partition
+    sort — lead and the aggregation share it."""
+    from pyspark.sql import Window
+
+    base = events.select(
+        "user_id",
+        F.to_date("ts").alias("dt"),
+        F.expr("unix_millis(ts) DIV 1000").alias("ts_s"),
+        F.round(F.col("value") * 1e6).cast("bigint").alias("v_micro"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "dt").orderBy("ts_s", "event_id")
+    seg = base.withColumn(
+        "dt_next", F.lead("ts_s").over(w)
+    ).withColumn(
+        "seg_micro_s",
+        F.when(
+            F.col("dt_next").isNotNull(),
+            F.col("v_micro") * (F.col("dt_next") - F.col("ts_s")),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        seg.groupBy("user_id", "dt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            (F.max("ts_s") - F.min("ts_s")).cast("bigint").alias("span_s"),
+            F.sum("seg_micro_s").cast("bigint").alias("integral_micro_s"),
+        )
+        .filter(F.col("span_s") > 0)
+        .select(
+            "user_id",
+            F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+            "n_points",
+            "span_s",
+            "integral_micro_s",
+            F.expr("integral_micro_s DIV span_s").alias("twap_micro"),
+        )
+    )
+
+
 TRAIL_WINDOW_SEC = 3600
 
 

@@ -129,6 +129,7 @@ ORACLED = [
     "corpus_sample_fixed_per_source",
     "events_value_trailing_window",
     "events_type_day_grouping_sets",
+    "events_value_twap",
 ]
 
 
