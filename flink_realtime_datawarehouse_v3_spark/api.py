@@ -2346,10 +2346,15 @@ sig AS (
 banded AS (
 {_BANDS}
 ),
+bkeep AS (
+    SELECT band, v FROM banded GROUP BY band, v
+    HAVING count(*) <= {text_dedup.MAX_BAND_BUCKET}
+),
 cands AS (
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
     FROM banded x JOIN banded y
       ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+    JOIN bkeep k ON x.band = k.band AND x.v = k.v
 )
 SELECT c.a, c.b, e.jaccard FROM cands c JOIN exact_pairs e ON c.a = e.a AND c.b = e.b""",
 )
@@ -2376,10 +2381,15 @@ banded AS (
     SELECT doc_id, simhash, g.band, (simhash >> (10 * g.band)) & 1023 AS v
     FROM sig CROSS JOIN LATERAL (SELECT UNNEST(generate_series(0, 3)) AS band) g
 ),
+bkeep AS (
+    SELECT band, v FROM banded GROUP BY band, v
+    HAVING count(*) <= {text_dedup.MAX_BAND_BUCKET}
+),
 cands AS (
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS ha, y.simhash AS hb
     FROM banded x JOIN banded y
       ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+    JOIN bkeep k ON x.band = k.band AND x.v = k.v
 )
 SELECT a, b, bit_count(xor(ha, hb)) AS hamming
 FROM cands WHERE bit_count(xor(ha, hb)) <= 3""",
@@ -4461,12 +4471,15 @@ register(
     "dedup_embedding_cosine",
     lambda spark, sf: simsearch.cosine_near_dup_pairs(_emb_corpus(spark, sf)),
     f"""WITH {_EMB_CORPUS},
-bucketed AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM emb)
+bucketed AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM emb),
+bkeep AS (SELECT bucket FROM bucketed GROUP BY bucket
+          HAVING count(*) <= {text_dedup.MAX_BAND_BUCKET})
 SELECT a, b, cosine_sim
 FROM (SELECT x.vec_id AS a, y.vec_id AS b,
              round(list_cosine_similarity(x.embedding, y.embedding), 4) AS cosine_sim
       FROM bucketed x JOIN bucketed y
-        ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      JOIN bkeep k ON x.bucket = k.bucket)
 WHERE cosine_sim >= 0.97""",
 )
 

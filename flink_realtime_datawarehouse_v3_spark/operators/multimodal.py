@@ -195,7 +195,11 @@ def dhash_fingerprints(media: DataFrame) -> DataFrame:
     return images.mapInPandas(batches, DHASH_SCHEMA)
 
 
-def dedup_perceptual(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def dedup_perceptual(
+    media: DataFrame,
+    max_hamming: int = 3,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
     """Perceptual near-dup image pairs: dHash fingerprints, then the
     Hamming-band LSH from the text plane (same recipe as
     ``text_dedup.simhash_pairs``): 4 bands of 16 bits — by pigeonhole a
@@ -210,8 +214,17 @@ def dedup_perceptual(media: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     At 100 TB the banded index is 4 rows x 20 bytes per image and the
     join fan-in per bucket is bounded by band-value cardinality (2^16
-    per band over a 64-bit near-uniform hash); detection never touches
-    the payload bytes after the one fingerprint pass."""
+    per band over a 64-bit near-uniform hash) PLUS the clone-mass cap:
+    N byte-identical images share every band value, so buckets larger
+    than ``max_band_bucket`` (default ``text_dedup.MAX_BAND_BUCKET``)
+    are dropped before the self-join — run :func:`dedup_binary_exact`
+    first, which catches byte-identical copies without decoding;
+    detection never touches the payload bytes after the one fingerprint
+    pass."""
+    from .text_dedup import MAX_BAND_BUCKET, drop_hot_buckets
+
+    if max_band_bucket is None:
+        max_band_bucket = MAX_BAND_BUCKET
     sig = dhash_fingerprints(media).select("doc_id", "dhash")
     band_exprs = [
         F.struct(
@@ -227,6 +240,7 @@ def dedup_perceptual(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).select(
         "doc_id", "dhash", F.col("bv.band").alias("band"), F.col("bv.v").alias("v")
     )
+    banded = drop_hot_buckets(banded, ("band", "v"), max_band_bucket)
     a = banded.select(F.col("doc_id").alias("a"), F.col("dhash").alias("ha"), "band", "v")
     b = banded.select(F.col("doc_id").alias("b"), F.col("dhash").alias("hb"), "band", "v")
     cands = (

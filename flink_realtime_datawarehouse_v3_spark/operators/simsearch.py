@@ -374,13 +374,26 @@ def plane_weights(n_planes: int = 12, dims: int = 64) -> list[list[float]]:
 
 
 def cosine_near_dup_pairs(
-    embeddings: DataFrame, n_planes: int = 12, threshold: float = 0.97
+    embeddings: DataFrame,
+    n_planes: int = 12,
+    threshold: float = 0.97,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: random-hyperplane sign-bit LSH bucket, then
     exact cosine verify >= threshold. Vectors agreeing on every sign bit
     land in one bucket; the bucket equi-join replaces the |V|^2 cross
     product (the 100 TB path), and only bucket-mates pay the exact cosine.
-    """
+
+    Clone-mass guard: N identical (or sign-identical) vectors share the
+    ONE bucket, so the self-join on it is O(N^2) — buckets larger than
+    ``max_band_bucket`` (default ``text_dedup.MAX_BAND_BUCKET``) are
+    dropped first via the same pre-aggregated hot-key anti-join as the
+    text band paths (run exact dedup on the vectors first; cap mirrored
+    in the DuckDB oracle)."""
+    from .text_dedup import MAX_BAND_BUCKET, drop_hot_buckets
+
+    if max_band_bucket is None:
+        max_band_bucket = MAX_BAND_BUCKET
     v = embeddings.select(F.col("vec_id"), _dvec(F.col("embedding")).alias("vec"))
     bucket = None
     for j, weights in enumerate(plane_weights(n_planes)):
@@ -389,7 +402,9 @@ def cosine_near_dup_pairs(
             0
         ) * F.lit(1 << j).cast("bigint")
         bucket = bit if bucket is None else bucket + bit
-    bucketed = v.withColumn("bucket", bucket)
+    bucketed = drop_hot_buckets(
+        v.withColumn("bucket", bucket), ("bucket",), max_band_bucket
+    )
     a = bucketed.select(F.col("vec_id").alias("a"), F.col("vec").alias("va"), "bucket")
     b = bucketed.select(F.col("vec_id").alias("b"), F.col("vec").alias("vb"), "bucket")
     return (

@@ -1755,3 +1755,70 @@ def test_trailing_window_vs_bruteforce(spark):
         ]
         assert r.trail_n == len(in_win)
         assert r.trail_sum_micro == sum(in_win)
+
+
+def test_band_bucket_clone_mass_cap(spark):
+    """Clone-mass hardening gate for ALL FOUR band-bucket LSH candidate
+    paths (minhash bands, simhash bands, hyperplane sign buckets, dHash
+    Hamming bands): N byte-identical documents — the most common
+    web-crawl pathology — share EVERY band signature, so without the cap
+    one (band, value) bucket holds all N and emits O(N^2) pairs through
+    one task. With MAX_BAND_BUCKET active the oversized buckets are
+    dropped BEFORE any per-bucket materialization: each path completes
+    quickly with ZERO pairs among the planted 5000 clones, while an
+    under-cap duplicate group in the same corpus is still fully
+    recalled (capping must not cost under-cap recall)."""
+    from flink_realtime_datawarehouse_v3_spark.operators import (
+        multimodal,
+        simsearch,
+        text_dedup,
+    )
+
+    n_clones = 5000
+    clone_text = "the same boilerplate page body repeated verbatim everywhere"
+    small = [
+        (n_clones + j, "a rare unique snowflake document body appears here")
+        for j in range(5)
+    ]
+    docs = [(i, clone_text) for i in range(n_clones)] + small
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    small_ids = sorted(d[0] for d in small)
+    want_small = {(a, b) for a in small_ids for b in small_ids if a < b}
+
+    got = {(r.a, r.b) for r in text_dedup.minhash_lsh_pairs(corpus).collect()}
+    assert got == want_small, f"minhash: {len(got)} pairs"
+
+    got = {(r.a, r.b) for r in text_dedup.simhash_pairs(corpus).collect()}
+    assert got == want_small, f"simhash: {len(got)} pairs"
+
+    media = multimodal.with_binary_payload(corpus)
+    img_small = [i for i in small_ids if i % 4 in (0, 1)]  # png/jpeg rows only
+    want_img = {(a, b) for a in img_small for b in img_small if a < b}
+    got = {(r.a, r.b) for r in multimodal.dedup_perceptual(media).collect()}
+    assert got == want_img, f"dhash: {len(got)} pairs"
+
+    clone_vec = [0.1 + 0.01 * (d % 7) for d in range(64)]
+    other_vec = [((d * 37) % 11 - 5.0) / 7.0 for d in range(64)]
+    vecs = [(i, clone_vec) for i in range(n_clones)] + [
+        (i, other_vec) for i in small_ids
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {(r.a, r.b) for r in simsearch.cosine_near_dup_pairs(emb).collect()}
+    assert got == want_small, f"cosine: {len(got)} pairs"
+
+
+def test_band_bucket_cap_off_is_quadratic(spark):
+    """Negative control for the clone-mass cap at a size where the
+    quadratic blowup is still cheap: 200 clones produce all 200*199/2
+    pairs with the cap disabled and ZERO with the default cap — pinning
+    that the guard (not some other stage) is what removes the mass."""
+    from flink_realtime_datawarehouse_v3_spark.operators import text_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, "two hundred identical boilerplate documents") for i in range(200)],
+        "doc_id long, text string",
+    )
+    uncapped = text_dedup.minhash_lsh_pairs(corpus, max_band_bucket=10**9).count()
+    assert uncapped == 200 * 199 // 2, uncapped
+    capped = text_dedup.minhash_lsh_pairs(corpus).count()
+    assert capped == 0, capped
