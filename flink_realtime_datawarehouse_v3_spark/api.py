@@ -1855,6 +1855,110 @@ FROM (SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100)
         AND l_shipdate < TIMESTAMP '{olap_plan.Q14_MONTH_END}') t""",
 )
 
+# --- TPC-H closure (r10): Q2/Q9/Q11/Q12/Q16 over the SYNTHESIZED
+# partsupp / shipping columns (sources/synth.py — pure arithmetic,
+# row-identical across engines). Oracles keep the CORRELATED textbook
+# forms, so the driver proves each decorrelation is exact.
+from .sources import synth as synth_mod  # noqa: E402
+
+register(
+    "tpch_q2_min_cost_supplier",
+    olap_plan.min_cost_supplier,
+    f"""WITH {synth_mod.PARTSUPP_CTE}
+SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+       s_name, n_name, p_partkey, p_brand, ps_supplycost_cents
+FROM part p
+JOIN partsupp ON p.p_partkey = ps_partkey
+JOIN supplier s ON ps_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE p_size = {olap_plan.Q2_SIZE} AND p_type = '{olap_plan.Q2_TYPE}'
+  AND r_name = '{olap_plan.Q2_REGION}'
+  AND ps_supplycost_cents = (
+      SELECT min(ps2.ps_supplycost_cents)
+      FROM partsupp ps2
+      JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE ps2.ps_partkey = p.p_partkey
+        AND r2.r_name = '{olap_plan.Q2_REGION}')
+ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+LIMIT 100""",
+)
+
+register(
+    "tpch_q9_product_type_profit",
+    olap_plan.product_type_profit,
+    f"""WITH {synth_mod.PARTSUPP_CTE}
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)
+                - ps_supplycost_cents * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%{olap_plan.Q9_NAME_SUB}%'
+GROUP BY 1, 2""",
+)
+
+register(
+    "tpch_q11_important_stock",
+    olap_plan.important_stock,
+    f"""WITH {synth_mod.PARTSUPP_CTE}
+SELECT ps_partkey,
+       CAST(sum(ps_supplycost_cents * CAST(ps_availqty AS BIGINT))
+            AS BIGINT) AS value_cents
+FROM partsupp
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{olap_plan.Q11_NATION}'
+GROUP BY ps_partkey
+HAVING sum(ps_supplycost_cents * CAST(ps_availqty AS BIGINT))
+         * {olap_plan.Q11_FRACTION_DEN} >
+       (SELECT sum(ps_supplycost_cents * CAST(ps_availqty AS BIGINT))
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = '{olap_plan.Q11_NATION}')""",
+)
+
+register(
+    "tpch_q12_shipmode_priority",
+    olap_plan.shipmode_priority,
+    f"""WITH {synth_mod.LINEITEM_SHIP_CTE}
+SELECT l_shipmode,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem_ship JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipmode IN ('{olap_plan.Q12_MODES[0]}', '{olap_plan.Q12_MODES[1]}')
+  AND l_commitdate < l_receiptdate
+  AND CAST(l_shipdate AS DATE) < l_commitdate
+  AND l_receiptdate >= DATE '{olap_plan.Q12_YEAR_START}'
+  AND l_receiptdate < DATE '{olap_plan.Q12_YEAR_END}'
+GROUP BY l_shipmode""",
+)
+
+register(
+    "tpch_q16_parts_supplier",
+    olap_plan.parts_supplier_relationship,
+    f"""WITH {synth_mod.PARTSUPP_CTE}
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> '{olap_plan.Q16_BRAND}'
+  AND p_type NOT LIKE '{olap_plan.Q16_TYPE_PREFIX}%'
+  AND p_size IN ({', '.join(str(s) for s in olap_plan.Q16_SIZES)})
+  AND ps_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3""",
+)
+
 # Per-column data-quality profile (Deequ/GE-style acceptance report):
 # null ppm, exact distinct count, modal value per events column — one
 # stack() unpivot + one (column, value) hash agg; the modal pick runs
@@ -4892,7 +4996,7 @@ _register_streaming()
 # rounds STRICTLY OLDER than this, so the gate stays green when THIS
 # round's record lands (the r04 lesson: a gate keyed on "all records" fails
 # on schedule the moment the round it shaped gets recorded).
-_WINDOW_ROUND = 9
+_WINDOW_ROUND = 10
 
 # Rows-only entries deliberately inside the checked window this round
 # (never-driver-executed first, then new/changed, then the stalest
@@ -4900,18 +5004,68 @@ _WINDOW_ROUND = 9
 # telemetry under the driver's real session. Generated by
 # tools/rebuild_window.py; do not hand-edit.
 _WINDOW_ROWS_ONLY = {
-    "decontaminate_bloom",
-    "dws_trade_province_order_window_approx",
-    "events_profile_stats_approx",
     "multimodal_dedup_perceptual",
-    "streaming_ivf_search",
-    "streaming_multimodal_dhash",
+    "simsearch_hard_negatives_ivf",
+    "simsearch_ivfpq_topk",
+    "tokenizer_bpe_merges",
 }
 
 _DRIVER_WINDOW = [
-    "streaming_ivf_search",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q16_parts_supplier",
     "multimodal_dedup_perceptual",
-    "streaming_multimodal_dhash",
+    "simsearch_ivfpq_topk",
+    "tokenizer_bpe_merges",
+    "simsearch_hard_negatives_ivf",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "events_user_rfm",
+    "streaming_activity_coupon_full_outer",
+    "streaming_traffic_union_window",
+    "streaming_pay_detail_suc",
+    "sink_checkpoint_recovery",
+    "text_vocab_topk",
+    "text_tfidf_topk",
+    "streaming_time_rollup",
+    "streaming_hop_window",
+    "text_quality_top_fraction",
+    "text_unigram_lm_score",
+    "streaming_value_histogram",
+    "text_chunk_tokens",
+    "text_pii_scrub",
+    "join_bucketed_colocated",
+    "dwd_interaction_comment",
+    "dwd_trade_refund_pay_suc",
+    "dws_user_user_login_window",
+    "dim_coupon_use",
+    "events_viewers_and_buyers",
+    "join_activity_coupon_right_outer",
+    "dws_traffic_keyword_cjk_window",
+    "text_quality_top_quantile",
+    "events_topn_per_group",
+    "events_retention_cohort",
+    "events_type_day_cube",
+    "events_user_gap_stats",
+    "events_props_k_stats",
+    "events_viewers_minus_buyers",
+    "streaming_keyword_cjk_window",
+    "text_bigram_lm_score",
+    "events_value_anomalies",
+    "events_value_k_corr",
+    "events_type_counts_top",
+    "streaming_type_counts_top",
+    "corpus_lang_unpivot",
+    "events_time_rollup",
+    "events_hop_window",
+]
+
+# Proven in earlier rounds; rotated past the cutoff. The
+# rows-only-by-design entries (no oracle possible) sit strictly last.
+_DRIVER_TAIL = [
     "tpch_q17_small_qty_revenue",
     "tpch_q20_dominant_suppliers",
     "tpch_q22_idle_rich_customers",
@@ -4930,9 +5084,6 @@ _DRIVER_WINDOW = [
     "streaming_value_trailing_window",
     "events_type_day_grouping_sets",
     "events_value_twap",
-    "dws_trade_province_order_window_approx",
-    "decontaminate_bloom",
-    "events_profile_stats_approx",
     "dim_user_info",
     "dwd_trade_order_detail",
     "dwd_traffic_page_log",
@@ -4959,26 +5110,6 @@ _DRIVER_WINDOW = [
     "streaming_jump_detail",
     "streaming_keyword_window_late",
     "streaming_order_pre_process",
-]
-
-# Proven in earlier rounds; rotated past the cutoff. The
-# rows-only-by-design entries (no oracle possible) sit strictly last.
-_DRIVER_TAIL = [
-    "streaming_activity_coupon_full_outer",
-    "streaming_traffic_union_window",
-    "streaming_pay_detail_suc",
-    "sink_checkpoint_recovery",
-    "text_vocab_topk",
-    "text_tfidf_topk",
-    "streaming_time_rollup",
-    "streaming_hop_window",
-    "text_quality_top_fraction",
-    "text_unigram_lm_score",
-    "streaming_value_histogram",
-    "text_chunk_tokens",
-    "text_pii_scrub",
-    "join_bucketed_colocated",
-    "dwd_interaction_comment",
     "text_fasttext_fit",
     "text_fasttext_score_trained",
     "text_fasttext_calibration",
@@ -5058,8 +5189,6 @@ _DRIVER_TAIL = [
     "dedup_containment",
     "decontaminate_ngram",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "corpus_dup_ngram_rate",
     "corpus_materialize_final",
     "graph_pagerank_neardup",
@@ -5080,7 +5209,6 @@ _DRIVER_TAIL = [
     "corpus_sample_mixture",
     "streaming_sample_mixture",
     "dws_keyword_window_udtf_sql",
-    "dedup_embedding_cosine",
     "embedding_quantize_int8",
     "text_corpus_clean",
     "text_quality_score",
@@ -5099,39 +5227,18 @@ _DRIVER_TAIL = [
     "sink_dws_partitioned_roundtrip",
     "sessionize_events",
     "dedup_exact",
-    "dwd_trade_refund_pay_suc",
-    "dws_user_user_login_window",
-    "dim_coupon_use",
-    "events_viewers_and_buyers",
-    "join_activity_coupon_right_outer",
-    "dws_traffic_keyword_cjk_window",
-    "text_quality_top_quantile",
-    "events_topn_per_group",
-    "events_retention_cohort",
-    "events_type_day_cube",
-    "events_user_gap_stats",
-    "events_props_k_stats",
-    "events_viewers_minus_buyers",
-    "streaming_keyword_cjk_window",
-    "text_bigram_lm_score",
-    "events_value_anomalies",
-    "events_value_k_corr",
-    "events_type_counts_top",
-    "streaming_type_counts_top",
-    "corpus_lang_unpivot",
-    "events_user_rfm",
-    "events_time_rollup",
-    "events_hop_window",
     "dwd_trade_order_pre_process",
+    "streaming_ivf_search",
+    "streaming_multimodal_dhash",
+    "dws_trade_province_order_window_approx",
+    "decontaminate_bloom",
+    "events_profile_stats_approx",
     "embedding_ivf_cell_stats",
     "simsearch_range_search",
     "simsearch_ivf_topk",
     "text_bpe_tokenize",
-    "simsearch_hard_negatives_ivf",
     "dedup_embedding_semdedup",
     "embedding_pca_project",
-    "simsearch_ivfpq_topk",
-    "tokenizer_bpe_merges",
 ]
 
 # Dataflow definition order (DWD -> DWS -> ops), captured before the driver

@@ -60,6 +60,11 @@ SMJ_WHITELIST = {
     # q14: lineitem x part — part scales with SF (same honest sizing as
     # q5's customer/supplier hops).
     "tpch_q14_promo_revenue",
+    # q2 (r10): partsupp x supplier is fact x SF-scaling-dim (8e9 x 1e9
+    # rows at 100 TB — neither broadcastable), and the min-per-part
+    # join-back pairs two frames both keyed on ps_partkey (partition
+    # reuse, no extra exchange). AQE broadcasts both at test SF.
+    "tpch_q2_min_cost_supplier",
     # LSH bucket SELF-join of the full embedding table feeding the CC
     # closure — both sides are the corpus (not broadcastable at 100 TB);
     # the sign-bit bucket key is what bounds the join, not a broadcast.
@@ -425,6 +430,25 @@ def test_decorrelated_subquery_shapes(plans):
     # Q13: NOT EXISTS-free outer-join form — LeftOuter preserved (zero-
     # order customers must survive to the histogram).
     assert "LeftOuter" in plans["tpch_q13_customer_distribution"]
+    # Q2 (r10): the correlated min-per-group subquery must ride as an
+    # agg-then-join-back over the ONE eligible frame — never a per-row
+    # subquery, never a cartesian; region/nation/part are broadcasts.
+    q2 = plans["tpch_q2_min_cost_supplier"]
+    assert "CartesianProduct" not in q2
+    assert len(re.findall(r"BroadcastHashJoin", q2)) >= 3, q2
+    # Q11: the global-total scalar is a ONE-ROW broadcast (BNLJ), the
+    # HAVING an integer cross-multiplication filter above it.
+    q11 = plans["tpch_q11_important_stock"]
+    assert "BroadcastNestedLoopJoin" in q11, q11
+    assert "CartesianProduct" not in q11
+    # Q16: the complaint-supplier NOT IN compiles to LEFT ANTI.
+    q16 = plans["tpch_q16_parts_supplier"]
+    assert "LeftAnti" in q16, q16
+    assert "CartesianProduct" not in q16
+    # Q9/Q12 over the synthesized columns stay cartesian-free with the
+    # derived-column filters evaluated pre-join.
+    assert "CartesianProduct" not in plans["tpch_q9_product_type_profit"]
+    assert "CartesianProduct" not in plans["tpch_q12_shipmode_priority"]
 
 
 def test_trailing_range_frame_shape(plans):

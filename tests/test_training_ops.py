@@ -126,6 +126,12 @@ ORACLED = [
     "tpch_q8_market_share",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
+    # r10 TPC-H closure over the synthesized partsupp / shipping columns
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q16_parts_supplier",
     "corpus_sample_fixed_per_source",
     "events_value_trailing_window",
     "events_type_day_grouping_sets",
