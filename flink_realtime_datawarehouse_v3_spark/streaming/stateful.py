@@ -455,16 +455,57 @@ def upsert_sink(
 # --- snapshot-isolated upsert (manifest-swap commit protocol) ---------------
 
 MANIFEST_NAME = "_MANIFEST.json"
+COMMIT_LOCK_NAME = "_COMMIT.lock"
+MAX_COMMIT_RETRIES = 3
 
 
 def _read_manifest(path: str) -> dict:
+    return _read_manifest_versioned(path)[0]
+
+
+def _read_manifest_versioned(path: str) -> tuple[dict, int]:
+    """(bucket -> generation dir, manifest version). Version 0 for a
+    missing manifest and for pre-r10 manifests written without the
+    field; every commit bumps it — the optimistic-concurrency token the
+    CAS commit section compares."""
     import json
 
     mpath = os.path.join(path, MANIFEST_NAME)
     if not os.path.exists(mpath):
-        return {}
+        return {}, 0
     with open(mpath) as f:
-        return {int(k): v for k, v in json.load(f)["buckets"].items()}
+        doc = json.load(f)
+    return (
+        {int(k): v for k, v in doc["buckets"].items()},
+        int(doc.get("version", 0)),
+    )
+
+
+def _acquire_commit_lock(path: str, timeout_s: float = 30.0) -> str:
+    """Take the table's commit lock via ``O_CREAT | O_EXCL`` — the
+    portable CAS primitive (exactly-one creator wins; NFS-safe where
+    plain flock is not). The lock guards only the SHORT commit section
+    (re-read version, swap manifest), never the merge/write work, so
+    writers stay parallel except for the few-ms critical section. A
+    production lake format does the same arbitration with a conditional
+    PUT on the object store."""
+    import time
+
+    lock = os.path.join(path, COMMIT_LOCK_NAME)
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"upsert commit lock held past {timeout_s}s: {lock} "
+                    "(crashed writer? remove the lock file after confirming)"
+                )
+            time.sleep(0.05)
 
 
 def _read_buckets(spark, path: str, manifest: dict, buckets) -> DataFrame | None:
@@ -527,11 +568,20 @@ def upsert_sink_snapshot(
       pins for the plain sink;
     - untouched buckets keep their manifest pointer: zero IO, and old
       generations stay on disk serving in-flight readers until
-      :func:`vacuum_upsert_snapshot` drops the unreferenced ones.
-
-    Single-writer remains the contract (two concurrent writers would
-    race the manifest swap; a real table format arbitrates with
-    optimistic concurrency on the commit log).
+      :func:`vacuum_upsert_snapshot` drops the unreferenced ones;
+    - CONCURRENT WRITERS are arbitrated with optimistic concurrency
+      (r10, replacing the old documented single-writer contract): the
+      manifest carries a monotonically increasing ``version``; a writer
+      merges and writes its generation dir lock-free, then enters the
+      CAS commit section (``O_CREAT|O_EXCL`` lock file,
+      :func:`_acquire_commit_lock`) where it RE-READS the version — if
+      another commit landed since its merge began, the writer LOSES,
+      releases the lock, and retries the whole merge against the fresh
+      manifest (its orphaned generation dir is unreferenced and
+      vacuumable), so a racing writer can never silently last-write-wins
+      away the other's buckets. ``MAX_COMMIT_RETRIES`` exhaustion
+      raises — never a quiet lost update. The two-writer interleave is
+      pinned by ``test_upsert_snapshot_two_writer_race``.
     """
 
     def fn(batch: DataFrame, batch_id: int) -> None:
@@ -544,36 +594,59 @@ def upsert_sink_snapshot(
         incoming = batch.withColumn("__gen", F.lit(batch_id + 1)).withColumn(
             "__bucket", bucket_of(keys, n_buckets)
         )
-        manifest = _read_manifest(path)
         touched = [r[0] for r in incoming.select("__bucket").distinct().collect()]
         if not touched:
             return
-        current = _read_buckets(spark, path, manifest, touched)
-        if current is not None:
-            merged = keep_latest(
-                current.withColumn("__gen", F.lit(0)).unionByName(
-                    incoming, allowMissingColumns=True
-                ),
-                keys,
-                [order_col, "__gen"],
+        for attempt in range(MAX_COMMIT_RETRIES):
+            manifest, version = _read_manifest_versioned(path)
+            current = _read_buckets(spark, path, manifest, touched)
+            if current is not None:
+                merged = keep_latest(
+                    current.withColumn("__gen", F.lit(0)).unionByName(
+                        incoming, allowMissingColumns=True
+                    ),
+                    keys,
+                    [order_col, "__gen"],
+                )
+            else:
+                merged = keep_latest(incoming, keys, [order_col, "__gen"])
+            gen_dir = f"gen-{batch_id}" if attempt == 0 else f"gen-{batch_id}-r{attempt}"
+            (
+                merged.drop("__gen")
+                .localCheckpoint()
+                .repartition(F.col("__bucket"))
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(os.path.join(path, gen_dir))
             )
-        else:
-            merged = keep_latest(incoming, keys, [order_col, "__gen"])
-        gen_dir = f"gen-{batch_id}"
-        (
-            merged.drop("__gen")
-            .localCheckpoint()
-            .repartition(F.col("__bucket"))
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(os.path.join(path, gen_dir))
+            lock = _acquire_commit_lock(path)
+            try:
+                _, cur_version = _read_manifest_versioned(path)
+                if cur_version != version:
+                    # another writer committed since our merge read the
+                    # manifest: our merged view may be stale — lose,
+                    # release, re-merge from the fresh snapshot.
+                    continue
+                for b in touched:
+                    manifest[b] = gen_dir
+                fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest")
+                with os.fdopen(fd, "w") as f:
+                    json.dump(
+                        {
+                            "version": version + 1,
+                            "buckets": {str(k): v for k, v in manifest.items()},
+                        },
+                        f,
+                    )
+                os.replace(tmp, os.path.join(path, MANIFEST_NAME))  # THE commit
+                return
+            finally:
+                os.unlink(lock)
+        raise RuntimeError(
+            f"upsert_sink_snapshot: lost the manifest race "
+            f"{MAX_COMMIT_RETRIES} times at {path} (batch {batch_id}) — "
+            "pathological writer contention; no partial state was committed"
         )
-        for b in touched:
-            manifest[b] = gen_dir
-        fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"buckets": {str(k): v for k, v in manifest.items()}}, f)
-        os.replace(tmp, os.path.join(path, MANIFEST_NAME))  # THE commit
 
     return fn
 

@@ -973,3 +973,74 @@ def test_trailing_window_stream_randomized(spark, tmp_path, seed):
         q.stop()
     stream_df = spark.table(f"trail_rand_{seed}")
     _same(stream_df, batch, f"trailing_rand_{seed}")
+
+
+def test_upsert_snapshot_two_writer_race(spark, tmp_path, monkeypatch):
+    """CAS arbitration on the MVCC sink (r10, replacing the documented
+    single-writer contract): writer B commits while writer A sits
+    between its merge and its commit — the exact interleave that
+    last-write-wins'd the manifest before. A must DETECT the version
+    bump inside the O_EXCL commit section, lose, and re-merge from the
+    fresh snapshot, so the final table contains BOTH writers' updates
+    (B's disjoint-bucket row survives A's commit; the key both touched
+    resolves by order_col). Also pins: the loser's abandoned generation
+    dir is unreferenced and vacuumable, the commit lock is released, and
+    the manifest version counts every commit."""
+    import os
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import stateful
+
+    path = str(tmp_path / "race_tbl")
+    os.makedirs(path)
+    fn_a = stateful.upsert_sink_snapshot(["id"], "ts", path)
+    fn_b = stateful.upsert_sink_snapshot(["id"], "ts", path)
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(64)], "id int, val string, ts long"
+    )
+    fn_a(base, 0)  # version 1
+
+    # B: update ids 1 and 5.  A: update id 1 (newer than B) and id 9.
+    df_b = spark.createDataFrame(
+        [(1, "b1", 20), (5, "b5", 20)], "id int, val string, ts long"
+    )
+    df_a = spark.createDataFrame(
+        [(1, "a1", 30), (9, "a9", 30)], "id int, val string, ts long"
+    )
+
+    real_acquire = stateful._acquire_commit_lock
+    injected = {"done": False}
+
+    def acquire_with_interleaved_commit(p, timeout_s=30.0):
+        # First acquisition = writer A's first commit attempt: let B run
+        # a FULL merge+commit first (A's merge already read the old
+        # manifest), then hand A the lock — the classic racing-writer
+        # interleave, deterministic.
+        if not injected["done"]:
+            injected["done"] = True
+            fn_b(df_b, 1)
+        return real_acquire(p, timeout_s)
+
+    monkeypatch.setattr(
+        stateful, "_acquire_commit_lock", acquire_with_interleaved_commit
+    )
+    fn_a(df_a, 2)
+
+    got = {(r.id, r.val, r.ts) for r in
+           stateful.read_upsert_snapshot(spark, path).collect()}
+    want = {(i, f"v{i}", 10) for i in range(64) if i not in (1, 5, 9)} | {
+        (1, "a1", 30),   # both touched it; A's is newer by order_col
+        (5, "b5", 20),   # B-only bucket: MUST survive A's commit
+        (9, "a9", 30),
+    }
+    assert got == want, f"lost update: {sorted(want - got)[:5]}"
+
+    _, version = stateful._read_manifest_versioned(path)
+    assert version == 3  # base + B + A's retried commit
+    assert not os.path.exists(os.path.join(path, stateful.COMMIT_LOCK_NAME))
+    # A's first (conflicted) attempt left gen-2 orphaned; vacuum drops it
+    # and only it, and the snapshot reads back identically afterwards.
+    removed = stateful.vacuum_upsert_snapshot(path)
+    assert removed == ["gen-2"], removed
+    assert {(r.id, r.val, r.ts) for r in
+            stateful.read_upsert_snapshot(spark, path).collect()} == want
