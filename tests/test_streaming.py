@@ -1044,3 +1044,88 @@ def test_upsert_snapshot_two_writer_race(spark, tmp_path, monkeypatch):
     assert removed == ["gen-2"], removed
     assert {(r.id, r.val, r.ts) for r in
             stateful.read_upsert_snapshot(spark, path).collect()} == want
+
+
+def test_stateful_restart_under_rescaled_shuffle_partitions(spark):
+    """State-rescale replay (r9 verdict stretch): kill a STATEFUL query
+    (dropDuplicates keyed state) mid-stream, restart from the same
+    checkpoint under a DIFFERENT spark.sql.shuffle.partitions — the
+    weekly operational move on a real cluster (resize, then resume from
+    checkpoint). Output must be exactly the batch answer with no
+    duplicate and no lost emission across the restart.
+
+    This also pins the MECHANISM Spark guarantees it with: the state
+    partition count is FROZEN in the checkpoint at first start (offset
+    log carries the original conf; the state/ dir keeps its partition
+    layout), so a resized session transparently keeps the old state
+    partitioning — executors rescale freely underneath because tasks >>
+    executors, but the conf change does NOT re-shard state (that needs
+    an offline state-rebalance job). If a Spark upgrade ever changed
+    this silently, the assertions below go red."""
+    import glob
+    import json
+    import os
+    import time
+
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+    from flink_realtime_datawarehouse_v3_spark.streaming import pipelines as sp_mod
+    from flink_realtime_datawarehouse_v3_spark.streaming.core import (
+        TempStreamDir,
+        _StreamShufflePartitions,
+        read_stream,
+    )
+
+    with TempStreamDir() as d:
+        ev = tables.load(spark, SF_SMOKE, "events").select(
+            "user_id", "event_type", "ts"
+        )
+        sp_mod._write_replay(ev, d.sub("in"), order_by=["ts"])
+        ckpt, sink = d.sub("ckpt"), d.sub("sink")
+
+        def start():
+            s = read_stream(spark, d.sub("in")).dropDuplicates(["user_id"])
+            return (
+                s.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        with _StreamShufflePartitions(spark, 8):
+            q = start()
+            for _ in range(200):  # kill after the first committed batch
+                time.sleep(0.25)
+                p = q.lastProgress
+                if p is not None and p["batchId"] >= 1:
+                    break
+            q.stop()
+            q.awaitTermination(60)
+
+        with _StreamShufflePartitions(spark, 3):  # the rescaled restart
+            q2 = start()
+            assert q2.awaitTermination(300), "rescaled recovery did not finish"
+
+        got = spark.read.parquet(sink)
+        assert got.count() == ev.select("user_id").distinct().count(), (
+            "duplicate or lost first-per-key emission across the rescaled restart"
+        )
+        # Mechanism: the checkpoint pinned the ORIGINAL partition count —
+        # the last offset written by the rescaled run still records 8,
+        # and the keyed-state store kept its 8-way directory layout.
+        last_off = max(
+            (f for f in glob.glob(os.path.join(ckpt, "offsets", "*"))
+             if os.path.basename(f).isdigit()),
+            key=lambda f: int(os.path.basename(f)),
+        )
+        meta = next(
+            json.loads(ln)
+            for ln in open(last_off)
+            if ln.startswith("{") and "conf" in ln
+        )
+        assert meta["conf"]["spark.sql.shuffle.partitions"] == "8", meta
+        state_parts = [
+            p for p in os.listdir(os.path.join(ckpt, "state", "0"))
+            if p.isdigit()
+        ]
+        assert len(state_parts) == 8, sorted(state_parts)
