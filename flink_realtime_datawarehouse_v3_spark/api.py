@@ -3308,6 +3308,49 @@ SELECT bucket, n_pos, n_neg,
 FROM agg""",
 )
 
+# DSIR (Xie et al. 2023): hashed-unigram importance weights of the raw
+# pool against the target-domain slice, top-quarter selection by exact
+# percentile threshold (no global sort). Every ln runs on an exact
+# integer; the per-bucket log-ratio is quantized to micro-nats BEFORE
+# the per-doc sum, so both engines sum identical integers.
+register(
+    "corpus_dsir_select",
+    lambda spark, sf: text_analysis.dsir_select(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""WITH t AS (SELECT doc_id, lang, source,
+                   CAST(lang = '{text_analysis.DSIR_TARGET_LANG}' AS INT) AS tgt,
+                   {_TOKS} AS toks
+              FROM documents),
+fe AS (SELECT doc_id, tgt,
+              {text_analysis.hash40_sql('tok')} % {text_analysis.DSIR_BUCKETS}
+                AS bucket
+       FROM (SELECT doc_id, tgt, UNNEST(toks) AS tok FROM t)),
+agg AS (SELECT bucket, CAST(sum(tgt) AS BIGINT) AS n_tgt,
+               CAST(count(*) AS BIGINT) AS n_raw
+        FROM fe GROUP BY bucket),
+lr AS (SELECT bucket,
+              CAST(round((ln(n_tgt + 1)
+                          - ln((SELECT sum(n_tgt) FROM agg)
+                               + {text_analysis.DSIR_BUCKETS})
+                          - ln(n_raw + 1)
+                          + ln((SELECT sum(n_raw) FROM agg)
+                               + {text_analysis.DSIR_BUCKETS})) * 1e6)
+                   AS BIGINT) AS lr_micro
+       FROM agg),
+w AS (SELECT t.doc_id, t.lang, t.source,
+             CAST(coalesce(s.wm, 0) AS BIGINT) AS dsir_weight_micro
+      FROM t LEFT JOIN (SELECT doc_id, sum(lr_micro) AS wm
+                        FROM fe JOIN lr USING (bucket)
+                        GROUP BY doc_id) s ON t.doc_id = s.doc_id)
+SELECT doc_id, lang, source, dsir_weight_micro,
+       CAST(dsir_weight_micro >=
+            (SELECT quantile_cont(dsir_weight_micro,
+                                  {text_analysis.DSIR_QUANTILE}) FROM w)
+            AS INT) AS selected
+FROM w""",
+)
+
 # Scoring with the trained weights: the model rides the Spark plan as one
 # dense 4096-int array literal (bounded broadcast artifact, memoized per
 # session); the oracle recomputes the same fit inline and scores via a
@@ -5016,6 +5059,7 @@ _DRIVER_WINDOW = [
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
     "tpch_q16_parts_supplier",
+    "corpus_dsir_select",
     "multimodal_dedup_perceptual",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
@@ -5060,12 +5104,12 @@ _DRIVER_WINDOW = [
     "streaming_type_counts_top",
     "corpus_lang_unpivot",
     "events_time_rollup",
-    "events_hop_window",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "events_hop_window",
     "tpch_q17_small_qty_revenue",
     "tpch_q20_dominant_suppliers",
     "tpch_q22_idle_rich_customers",

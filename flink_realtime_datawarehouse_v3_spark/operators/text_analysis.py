@@ -1807,3 +1807,103 @@ def char_entropy(docs: DataFrame) -> DataFrame:
             .alias("entropy_micro_nats"),
         )
     )
+
+
+# --- DSIR: Data Selection via Importance Resampling (Xie et al. 2023) --------
+# The domain-matching data-selection pass a pretraining pipeline runs
+# after dedup/quality: score every raw document by how much more likely
+# its hashed n-gram features are under a TARGET domain than under the
+# raw pool, then keep the top fraction. Same hashed-feature machinery
+# as fasttext_fit (per-bucket counts, every ln on an exact integer,
+# micro-nat quantization) but with an unsupervised target/raw split and
+# a per-document importance WEIGHT instead of a classifier.
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"  # the target-domain slice for the fixtures
+DSIR_QUANTILE = 0.75  # keep the top quarter by importance weight
+
+
+def dsir_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, dsir_weight_micro) — importance weight in integer
+    micro-nats: weight(d) = sum over token instances of
+    ln p_target(bucket) - ln p_raw(bucket), add-one smoothed over
+    ``DSIR_BUCKETS`` hashed unigram buckets.
+
+    Scale shape: one token explode -> one hash agg to <= DSIR_BUCKETS
+    rows; the totals are a 1-row broadcast; the per-bucket log-ratio
+    joins back as a broadcast and the per-doc sum is the ONE data-sized
+    shuffle (doc_id). The log-ratio is quantized per BUCKET (<= 4096
+    roundings), so the per-document sum is exact integer arithmetic —
+    order-independent across engines and partitionings (the LM-score
+    convention)."""
+    fe = docs.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("tgt"),
+        F.explode(tokens(F.col("text"))).alias("t"),
+    ).select(
+        "doc_id", "tgt", (hash40(F.col("t")) % DSIR_BUCKETS).alias("bucket")
+    )
+    stats = fe.groupBy("bucket").agg(
+        F.sum(F.col("tgt").cast("bigint")).alias("n_tgt"),
+        F.count(F.lit(1)).alias("n_raw"),
+    )
+    totals = stats.agg(
+        F.sum("n_tgt").alias("nt"), F.sum("n_raw").alias("nr")
+    )
+    lr = (
+        stats.crossJoin(F.broadcast(totals))  # 1-row artifact
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(F.col("n_tgt") + 1)
+                    - F.log(F.col("nt") + DSIR_BUCKETS)
+                    - F.log(F.col("n_raw") + 1)
+                    + F.log(F.col("nr") + DSIR_BUCKETS)
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        fe.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lr_micro").alias("dsir_weight_micro"))
+    )
+
+
+def dsir_select(docs: DataFrame) -> DataFrame:
+    """DSIR selection report: every document with its importance weight
+    and a ``selected`` flag for the top ``1 - DSIR_QUANTILE`` fraction.
+    The cut is the quantile-threshold pattern (exact percentile
+    aggregate -> 1-row broadcast -> one projection; Spark percentile ==
+    DuckDB quantile_cont, the pinned parity) — no global sort, no
+    unpartitioned window, same skew-immunity argument as
+    text_quality_top_quantile. Token-less documents carry weight 0 and
+    participate in the threshold like everything else."""
+    w = (
+        docs.select("doc_id", "lang", "source")
+        .join(dsir_weights(docs), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce(F.col("dsir_weight_micro"), F.lit(0))
+            .cast("bigint")
+            .alias("dsir_weight_micro"),
+        )
+    )
+    thr = w.agg(
+        F.expr(
+            f"percentile(dsir_weight_micro, {DSIR_QUANTILE})"
+        ).alias("thr")
+    )
+    return w.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "lang",
+        "source",
+        "dsir_weight_micro",
+        (F.col("dsir_weight_micro") >= F.col("thr")).cast("int").alias("selected"),
+    )

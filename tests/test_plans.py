@@ -65,6 +65,10 @@ SMJ_WHITELIST = {
     # join-back pairs two frames both keyed on ps_partkey (partition
     # reuse, no extra exchange). AQE broadcasts both at test SF.
     "tpch_q2_min_cost_supplier",
+    # DSIR (r10): documents LEFT JOIN per-doc weights on doc_id — both
+    # sides are the corpus (the join exists to keep token-less docs at
+    # weight 0), so fact-fact by design; AQE broadcasts at test SF.
+    "corpus_dsir_select",
     # LSH bucket SELF-join of the full embedding table feeding the CC
     # closure — both sides are the corpus (not broadcastable at 100 TB);
     # the sign-bit bucket key is what bounds the join, not a broadcast.

@@ -132,6 +132,7 @@ ORACLED = [
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
     "tpch_q16_parts_supplier",
+    "corpus_dsir_select",
     "corpus_sample_fixed_per_source",
     "events_value_trailing_window",
     "events_type_day_grouping_sets",
@@ -1828,3 +1829,26 @@ def test_band_bucket_cap_off_is_quadratic(spark):
     assert uncapped == 200 * 199 // 2, uncapped
     capped = text_dedup.minhash_lsh_pairs(corpus).count()
     assert capped == 0, capped
+
+
+def test_dsir_selection_semantics(spark):
+    """DSIR semantic pins (independent of the SQL oracle): the
+    importance weight must actually FAVOR the target domain (mean weight
+    of target-language docs strictly above the rest — the property the
+    operator exists for), the cut must be monotone in the weight (max
+    unselected <= min selected), and the selected fraction must sit near
+    1 - DSIR_QUANTILE."""
+    from flink_realtime_datawarehouse_v3_spark.operators import text_analysis as ta
+
+    rows = api.QUERIES["corpus_dsir_select"](spark, SF_SMOKE).collect()
+    tgt = [r.dsir_weight_micro for r in rows if r.lang == ta.DSIR_TARGET_LANG]
+    rest = [r.dsir_weight_micro for r in rows if r.lang != ta.DSIR_TARGET_LANG]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    sel = [r for r in rows if r.selected == 1]
+    uns = [r for r in rows if r.selected == 0]
+    assert max(r.dsir_weight_micro for r in uns) <= min(
+        r.dsir_weight_micro for r in sel
+    )
+    frac = len(sel) / len(rows)
+    assert 0.20 <= frac <= 0.35, frac
