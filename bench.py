@@ -141,6 +141,13 @@ def main() -> None:
         "multimodal_frame_sample",
     ]
     will_write_local = sf == 0.1 and not failures
+    _repo = os.path.dirname(os.path.abspath(__file__))
+    local_name = f"BENCH_LOCAL_r{api._WINDOW_ROUND}.json"
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_FREEZE") != "1"
+        and os.path.exists(os.path.join(_repo, local_name))
+    ):
+        local_name = f"BENCH_LOCAL_r{api._WINDOW_ROUND}_driver.json"
     line = json.dumps(out)
     if len(line) > 1900:
         compact = dict(out)
@@ -150,7 +157,7 @@ def main() -> None:
         # failed/off-SF run would otherwise attribute a stale round's
         # numbers to itself.
         if will_write_local:
-            compact["full"] = f"BENCH_LOCAL_r{api._WINDOW_ROUND}.json"
+            compact["full"] = local_name
         if failures:
             compact["failures"] = dict(list(failures.items())[:3])
             compact["n_failures"] = len(failures)
@@ -180,10 +187,15 @@ def main() -> None:
             pass
     if will_write_local:
         try:
-            local = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                f"BENCH_LOCAL_r{api._WINDOW_ROUND}.json",
-            )
+            # Freeze-record protection (r9 verdict telemetry item): the
+            # driver's post-freeze re-run used to OVERWRITE the committed
+            # quiet-machine record (r9: 288.7 s loaded clobbered 242.1 s
+            # quiet). An explicit freeze run (SPARK_GRAFT_BENCH_FREEZE=1)
+            # always writes the main record; any later unflagged run —
+            # the driver's — lands in ..._driver.json once the freeze
+            # file exists (local_name resolved above), so the committed
+            # quiet baseline survives.
+            local = os.path.join(_repo, local_name)
             with open(local, "w") as f:
                 json.dump(out, f, indent=1, sort_keys=True)
                 f.write("\n")

@@ -1778,6 +1778,37 @@ GROUP BY 1, 2
 ORDER BY numwait DESC, l1.l_suppkey LIMIT 50""",
 )
 
+# Q21 TEXTBOOK form (r10): identical semi/anti self-join shape, but
+# lateness is the spec's l_receiptdate > l_commitdate over the
+# synthesized shipping columns — the last schema adaptation retired.
+from .sources import synth as synth_mod  # noqa: E402
+
+register(
+    "tpch_q21_receipt_form",
+    lambda spark, sf: olap_plan.waiting_orders_suppliers(
+        spark, sf, lateness="receipt"
+    ),
+    f"""WITH {synth_mod.LINEITEM_SHIP_CTE},
+lo AS (
+  SELECT l_orderkey, l_suppkey, l_receiptdate > l_commitdate AS is_late
+  FROM lineitem_ship)
+SELECT l1.l_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lo l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{olap_plan.Q21_NATION}'
+  AND l1.is_late
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late)
+GROUP BY 1, 2
+ORDER BY numwait DESC, l1.l_suppkey LIMIT 50""",
+)
+
 # TPC-H Q8 shape: conditional-aggregation-as-ratio (market share) over
 # the full star; share in integer ppm.
 register(
@@ -1857,10 +1888,9 @@ FROM (SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100)
 
 # --- TPC-H closure (r10): Q2/Q9/Q11/Q12/Q16 over the SYNTHESIZED
 # partsupp / shipping columns (sources/synth.py — pure arithmetic,
-# row-identical across engines). Oracles keep the CORRELATED textbook
-# forms, so the driver proves each decorrelation is exact.
-from .sources import synth as synth_mod  # noqa: E402
-
+# row-identical across engines; synth_mod imported at the Q21
+# receipt-form registration above). Oracles keep the CORRELATED
+# textbook forms, so the driver proves each decorrelation is exact.
 register(
     "tpch_q2_min_cost_supplier",
     olap_plan.min_cost_supplier,
@@ -5060,6 +5090,7 @@ _DRIVER_WINDOW = [
     "tpch_q12_shipmode_priority",
     "tpch_q16_parts_supplier",
     "corpus_dsir_select",
+    "tpch_q21_receipt_form",
     "multimodal_dedup_perceptual",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
@@ -5103,12 +5134,12 @@ _DRIVER_WINDOW = [
     "events_type_counts_top",
     "streaming_type_counts_top",
     "corpus_lang_unpivot",
-    "events_time_rollup",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "events_time_rollup",
     "events_hop_window",
     "tpch_q17_small_qty_revenue",
     "tpch_q20_dominant_suppliers",

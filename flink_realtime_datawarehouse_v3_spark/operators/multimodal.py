@@ -225,7 +225,11 @@ def dedup_perceptual(
 
     if max_band_bucket is None:
         max_band_bucket = MAX_BAND_BUCKET
-    sig = dhash_fingerprints(media).select("doc_id", "dhash")
+    # Checkpoint the fingerprints (12 bytes/image): without it the
+    # clone-mass cap's counts branch and the pair join would EACH run
+    # the Arrow decode pass — at 100 TB that is two full passes over
+    # the media bytes instead of one.
+    sig = dhash_fingerprints(media).select("doc_id", "dhash").localCheckpoint()
     band_exprs = [
         F.struct(
             F.lit(j).alias("band"),

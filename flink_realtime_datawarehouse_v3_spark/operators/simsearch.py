@@ -402,8 +402,14 @@ def cosine_near_dup_pairs(
             0
         ) * F.lit(1 << j).cast("bigint")
         bucket = bit if bucket is None else bucket + bit
+    # Checkpoint the bucketed frame: the hot-bucket counts branch and
+    # the pair self-join would otherwise EACH recompute the 12
+    # hyperplane dot products per vector (no shuffle below this point,
+    # so Spark has no exchange to reuse across the two branches).
     bucketed = drop_hot_buckets(
-        v.withColumn("bucket", bucket), ("bucket",), max_band_bucket
+        v.withColumn("bucket", bucket).localCheckpoint(),
+        ("bucket",),
+        max_band_bucket,
     )
     a = bucketed.select(F.col("vec_id").alias("a"), F.col("vec").alias("va"), "bucket")
     b = bucketed.select(F.col("vec_id").alias("b"), F.col("vec").alias("vb"), "bucket")

@@ -283,7 +283,12 @@ def minhash_lsh_pairs(
     in the DuckDB oracle).
     """
     sh = shingles_exploded(corpus)
-    sig = _minhash_sig(sh)
+    # Materialize the signature ONCE (17 ints/doc — tiny at any scale):
+    # the clone-mass counts branch and the pair-probe branch would
+    # otherwise each recompute the 16-way minhash aggregate (the
+    # bucket-cap guard must not double the expensive stage; same
+    # bounded-artifact localCheckpoint pattern as the cluster closure).
+    sig = _minhash_sig(sh).localCheckpoint()
     rows_per_band = MINHASH_K // bands
     band_exprs = []
     for j in range(bands):
@@ -360,8 +365,10 @@ def simhash_pairs(
     """SimHash near-dup pairs: 4 bands of 10 bits for candidates, verify
     bit_count(xor) <= max_hamming. Band buckets larger than
     ``max_band_bucket`` are dropped before the self-join (clone-mass
-    guard, see MAX_BAND_BUCKET; mirrored in the DuckDB oracle)."""
-    sig = _simhash(shingles_exploded(corpus))
+    guard, see MAX_BAND_BUCKET; mirrored in the DuckDB oracle). The
+    signature frame (one int64 per doc) is checkpointed so the cap's
+    counts branch and the pair join share ONE 40-bit-sum aggregation."""
+    sig = _simhash(shingles_exploded(corpus)).localCheckpoint()
     band_exprs = [
         F.struct(
             F.lit(j).alias("band"),

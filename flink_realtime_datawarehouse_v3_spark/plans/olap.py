@@ -492,12 +492,18 @@ Q21_LATE_DAYS = 90
 Q21_NATION = "NATION_5"
 
 
-def waiting_orders_suppliers(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
-    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
-    this schema (lateness = shipped > 90 days after the order date, no
-    receipt/commit dates): for one nation's suppliers, count multi-
-    supplier orders where THIS supplier shipped late and NO OTHER
-    supplier on the order did.
+def waiting_orders_suppliers(
+    spark: SparkSession, sf_dir: str, k: int = 50, lateness: str = "shipdate"
+) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for one
+    nation's suppliers, count multi-supplier orders where THIS supplier
+    was late and NO OTHER supplier on the order was.
+
+    Two lateness forms, identical plan shape: ``shipdate`` (the original
+    r9 adaptation — shipped > 90 days after the order date, predating
+    the synthesized columns) and ``receipt`` (the TEXTBOOK predicate
+    ``l_receiptdate > l_commitdate`` over the r10 derived shipping
+    columns, registered as tpch_q21_receipt_form).
 
     The two correlated EXISTS / NOT EXISTS over the same fact
     decorrelate into a LEFT SEMI and a LEFT ANTI self-join of lineitem
@@ -510,18 +516,29 @@ def waiting_orders_suppliers(spark: SparkSession, sf_dir: str, k: int = 50) -> D
     time; with runtime stats (CBO/AQE at scale) the slice lands below
     the shuffles — either way it rides as a broadcast, never a
     shuffle."""
-    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    lo = (
-        tables.load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .select(
+    if lateness == "receipt":
+        lo = synth.lineitem_shipping(spark, sf_dir).select(
             "l_orderkey",
             "l_suppkey",
-            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), Q21_LATE_DAYS))
-            .alias("is_late"),
+            (F.col("l_receiptdate") > F.col("l_commitdate")).alias("is_late"),
         )
-    )
+    else:
+        o = tables.load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate"
+        )
+        lo = (
+            tables.load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_suppkey", "l_shipdate")
+            .join(o, F.col("l_orderkey") == o.o_orderkey)
+            .select(
+                "l_orderkey",
+                "l_suppkey",
+                (
+                    F.col("l_shipdate")
+                    > F.date_add(F.col("o_orderdate"), Q21_LATE_DAYS)
+                ).alias("is_late"),
+            )
+        )
     s = tables.load(spark, sf_dir, "supplier")
     n = tables.load(spark, sf_dir, "nation").filter(F.col("n_name") == Q21_NATION)
     nation_supps = s.join(

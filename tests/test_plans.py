@@ -57,6 +57,7 @@ SMJ_WHITELIST = {
     # q21: LEFT SEMI + LEFT ANTI SELF-joins of lineitem on l_orderkey —
     # neither side of a fact self-join is broadcastable at 100 TB.
     "tpch_q21_waiting_suppliers",
+    "tpch_q21_receipt_form",  # same self-join shape, textbook lateness
     # q14: lineitem x part — part scales with SF (same honest sizing as
     # q5's customer/supplier hops).
     "tpch_q14_promo_revenue",
@@ -425,6 +426,11 @@ def test_decorrelated_subquery_shapes(plans):
     q21 = plans["tpch_q21_waiting_suppliers"]
     assert "LeftSemi" in q21 and "LeftAnti" in q21, q21
     assert "CartesianProduct" not in q21
+    # Q21 textbook receipt form (r10): same decorrelated shape over the
+    # synthesized shipping columns.
+    q21r = plans["tpch_q21_receipt_form"]
+    assert "LeftSemi" in q21r and "LeftAnti" in q21r, q21r
+    assert "CartesianProduct" not in q21r
     # Q15: the scalar-max subquery must ride as a 1-row broadcast (an
     # equi BroadcastHashJoin on the equality or a BNLJ) — never a
     # cartesian, never a per-row subquery.

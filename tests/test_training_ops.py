@@ -132,6 +132,7 @@ ORACLED = [
     "tpch_q11_important_stock",
     "tpch_q12_shipmode_priority",
     "tpch_q16_parts_supplier",
+    "tpch_q21_receipt_form",
     "corpus_dsir_select",
     "corpus_sample_fixed_per_source",
     "events_value_trailing_window",
