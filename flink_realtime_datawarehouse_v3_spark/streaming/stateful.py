@@ -455,8 +455,10 @@ def upsert_sink(
 # --- snapshot-isolated upsert (manifest-swap commit protocol) ---------------
 
 MANIFEST_NAME = "_MANIFEST.json"
+MANIFESTS_DIR = "_manifests"  # archived per-version manifests (time travel)
 COMMIT_LOCK_NAME = "_COMMIT.lock"
 MAX_COMMIT_RETRIES = 3
+VACUUM_RETAIN_VERSIONS = 3  # snapshots a default vacuum keeps readable
 
 
 def _read_manifest(path: str) -> dict:
@@ -532,13 +534,36 @@ def _read_buckets(spark, path: str, manifest: dict, buckets) -> DataFrame | None
     return out
 
 
-def read_upsert_snapshot(spark, path: str) -> DataFrame | None:
+def read_upsert_snapshot(
+    spark, path: str, version: int | None = None
+) -> DataFrame | None:
     """MVCC reader for :func:`upsert_sink_snapshot` tables: resolves the
     manifest ONCE, then reads exactly the generation directories it
     names — a commit that lands after the manifest read is invisible,
     so every read is a consistent snapshot (the property the plain
-    dynamic-overwrite sink documents away)."""
-    manifest = _read_manifest(path)
+    dynamic-overwrite sink documents away).
+
+    TIME TRAVEL (r10): pass ``version=N`` to read the table exactly as
+    of its N-th commit — every commit archives its manifest under
+    ``_manifests/vN.json`` (generation dirs are immutable, so an old
+    manifest IS the old table). Raises if that version was never
+    written or has been vacuumed past (:func:`vacuum_upsert_snapshot`
+    retention)."""
+    if version is None:
+        manifest = _read_manifest(path)
+    else:
+        import json
+
+        vpath = os.path.join(path, MANIFESTS_DIR, f"v{version}.json")
+        if not os.path.exists(vpath):
+            raise ValueError(
+                f"snapshot version {version} not available at {path} "
+                "(never committed, or vacuumed past the retention window)"
+            )
+        with open(vpath) as f:
+            manifest = {
+                int(k): v for k, v in json.load(f)["buckets"].items()
+            }
     if not manifest:
         return None
     df = _read_buckets(spark, path, manifest, sorted(manifest))
@@ -629,15 +654,25 @@ def upsert_sink_snapshot(
                     continue
                 for b in touched:
                     manifest[b] = gen_dir
+                doc = {
+                    "version": version + 1,
+                    "buckets": {str(k): v for k, v in manifest.items()},
+                }
                 fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest")
                 with os.fdopen(fd, "w") as f:
-                    json.dump(
-                        {
-                            "version": version + 1,
-                            "buckets": {str(k): v for k, v in manifest.items()},
-                        },
-                        f,
-                    )
+                    json.dump(doc, f)
+                # Archive the per-version manifest FIRST (time travel):
+                # a crash between archive and swap leaves only an
+                # unreferenced vN file — harmless; the reverse order
+                # could commit a version that can never be time-traveled.
+                os.makedirs(os.path.join(path, MANIFESTS_DIR), exist_ok=True)
+                with open(
+                    os.path.join(
+                        path, MANIFESTS_DIR, f"v{version + 1}.json"
+                    ),
+                    "w",
+                ) as f:
+                    json.dump(doc, f)
                 os.replace(tmp, os.path.join(path, MANIFEST_NAME))  # THE commit
                 return
             finally:
@@ -651,13 +686,34 @@ def upsert_sink_snapshot(
     return fn
 
 
-def vacuum_upsert_snapshot(path: str) -> list[str]:
-    """Drop generation dirs no manifest pointer references (safe once
-    in-flight readers of older snapshots have drained — the Delta
-    VACUUM retention contract). Returns the removed dir names."""
+def vacuum_upsert_snapshot(
+    path: str, retain_versions: int = VACUUM_RETAIN_VERSIONS
+) -> list[str]:
+    """Retention-aware vacuum (the Delta VACUUM contract): keep every
+    generation dir referenced by the CURRENT manifest or by any of the
+    last ``retain_versions`` archived manifests — those snapshot
+    versions stay time-travel-readable — and drop everything older
+    (plus archived manifests past retention, so ``read_upsert_snapshot``
+    raises a clear not-available error rather than reading a
+    half-vacuumed snapshot). Safe once in-flight readers of
+    past-retention snapshots have drained. Returns the removed
+    generation dir names."""
+    import json
     import shutil
 
+    _, cur_version = _read_manifest_versioned(path)
     live = set(_read_manifest(path).values())
+    floor = cur_version - retain_versions + 1
+    mdir = os.path.join(path, MANIFESTS_DIR)
+    if os.path.isdir(mdir):
+        for m in sorted(os.listdir(mdir)):
+            v = int(m[1:-5])  # v{N}.json
+            mp = os.path.join(mdir, m)
+            if v >= floor:
+                with open(mp) as f:
+                    live |= set(json.load(f)["buckets"].values())
+            else:
+                os.unlink(mp)
     removed = []
     for d in sorted(os.listdir(path)):
         if d.startswith("gen-") and d not in live:

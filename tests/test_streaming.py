@@ -1129,3 +1129,53 @@ def test_stateful_restart_under_rescaled_shuffle_partitions(spark):
             if p.isdigit()
         ]
         assert len(state_parts) == 8, sorted(state_parts)
+
+
+def test_upsert_snapshot_time_travel_and_retention(spark, tmp_path):
+    """Time travel over the MVCC sink: every commit archives its
+    manifest (generation dirs are immutable, so an old manifest IS the
+    old table) — read_upsert_snapshot(version=N) must reproduce the
+    table exactly as of commit N. Retention: vacuum keeps the last
+    ``retain_versions`` snapshots readable, drops generations referenced
+    only by older ones, and a past-retention read raises a clear error
+    instead of returning a half-vacuumed table."""
+    import os
+
+    import pytest as _pytest
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import stateful
+
+    path = str(tmp_path / "tt_tbl")
+    os.makedirs(path)
+    fn = stateful.upsert_sink_snapshot(["id"], "ts", path)
+
+    def snap(version=None):
+        return {
+            (r.id, r.val, r.ts)
+            for r in stateful.read_upsert_snapshot(spark, path, version).collect()
+        }
+
+    base = {(i, f"v{i}", 10) for i in range(16)}
+    fn(spark.createDataFrame(list(base), "id int, val string, ts long"), 0)
+    want = {1: set(base)}
+    for commit, ts in [(2, 20), (3, 30), (4, 40)]:
+        fn(
+            spark.createDataFrame(
+                [(1, f"u{ts}", ts)], "id int, val string, ts long"
+            ),
+            commit - 1,
+        )
+        want[commit] = {r for r in want[commit - 1] if r[0] != 1} | {
+            (1, f"u{ts}", ts)
+        }
+    for v in (1, 2, 3, 4):
+        assert snap(version=v) == want[v], f"version {v} drifted"
+    assert snap() == want[4]
+
+    removed = stateful.vacuum_upsert_snapshot(path, retain_versions=2)
+    assert removed == ["gen-1"], removed  # referenced only by v2
+    assert snap(version=3) == want[3]  # retained snapshot intact
+    assert snap(version=4) == want[4]
+    assert snap() == want[4]
+    with _pytest.raises(ValueError, match="not available"):
+        snap(version=2)
