@@ -2023,6 +2023,43 @@ SELECT col_name,
 FROM ranked GROUP BY col_name""",
 )
 
+# Declarative acceptance suite (r10): the gate twin of the exploratory
+# column_profile — every rule a conditional count in ONE scan, per-rule
+# rows unpivoted from the 1-row aggregate.
+_EXPECT_RULES_SQL = f"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS event_id_not_null,
+  CAST(sum(CASE WHEN user_id IS NULL OR user_id < 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS user_id_non_negative,
+  CAST(sum(CASE WHEN event_type NOT IN
+           ({', '.join(repr(t) for t in analytics_op.EXPECTED_EVENT_TYPES)})
+           THEN 1 ELSE 0 END) AS BIGINT) AS event_type_in_vocab,
+  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS value_non_negative,
+  CAST(sum(CASE WHEN ts < TIMESTAMP '{analytics_op.EXPECT_TS_MIN}'
+                  OR ts >= TIMESTAMP '{analytics_op.EXPECT_TS_MAX}'
+           THEN 1 ELSE 0 END) AS BIGINT) AS ts_in_sanity_window
+FROM events"""
+
+register(
+    "events_expectation_check",
+    lambda spark, sf: analytics_op.expectation_check(
+        tables.load(spark, sf, "events")
+    ),
+    f"""WITH a AS ({_EXPECT_RULES_SQL}),
+u AS (
+  SELECT 'event_id_not_null' AS rule, n_rows, event_id_not_null
+    AS n_violations FROM a
+  UNION ALL SELECT 'user_id_non_negative', n_rows, user_id_non_negative FROM a
+  UNION ALL SELECT 'event_type_in_vocab', n_rows, event_type_in_vocab FROM a
+  UNION ALL SELECT 'value_non_negative', n_rows, value_non_negative FROM a
+  UNION ALL SELECT 'ts_in_sanity_window', n_rows, ts_in_sanity_window FROM a)
+SELECT rule, n_rows, n_violations,
+       CAST(n_violations * 1000000
+            <= n_rows * {analytics_op.EXPECT_MAX_BAD_PPM} AS INT) AS passed
+FROM u""",
+)
+
 from .sources import bucketed as bucketed_mod  # noqa: E402
 
 register(
@@ -3025,6 +3062,28 @@ register(
     "corpus_shard_pack",
     lambda spark, sf: text_analysis.shard_pack(_corpus(spark, sf)),
     _csql(_SHARD_PACK_SQL),
+)
+
+# Deterministic global shuffle (r10): reproducible training-order
+# permutation — shard by a salted hash, rank within shard by the hash
+# (terasort shape: one hash shuffle + in-partition sort, no global
+# sort). Same salt -> bit-identical order (resumable training); new
+# salt -> fresh epoch permutation.
+register(
+    "corpus_shuffle_shards",
+    lambda spark, sf: text_analysis.shuffle_shards(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id,
+       CAST(h % {text_analysis.SHUFFLE_N_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY h % {text_analysis.SHUFFLE_N_SHARDS}
+            ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM (SELECT doc_id,
+             {text_analysis.hash40_sql(
+                 "concat('" + text_analysis.SHUFFLE_EPOCH_SALT
+                 + ":', CAST(doc_id AS VARCHAR))")} AS h
+      FROM corpus)"""
+    ),
 )
 
 
@@ -5091,6 +5150,8 @@ _DRIVER_WINDOW = [
     "tpch_q16_parts_supplier",
     "corpus_dsir_select",
     "tpch_q21_receipt_form",
+    "events_expectation_check",
+    "corpus_shuffle_shards",
     "multimodal_dedup_perceptual",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
@@ -5132,13 +5193,13 @@ _DRIVER_WINDOW = [
     "events_value_anomalies",
     "events_value_k_corr",
     "events_type_counts_top",
-    "streaming_type_counts_top",
-    "corpus_lang_unpivot",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "streaming_type_counts_top",
+    "corpus_lang_unpivot",
     "events_time_rollup",
     "events_hop_window",
     "tpch_q17_small_qty_revenue",

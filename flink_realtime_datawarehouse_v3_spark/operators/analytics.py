@@ -627,3 +627,67 @@ def value_ewma(events: DataFrame, window: int = EWMA_WINDOW) -> DataFrame:
         "mean_micro",
         F.expr("wv DIV ww").alias("ewma_micro"),
     )
+
+
+# --- declarative expectation suite (Deequ/Great-Expectations acceptance) -----
+
+EXPECTED_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+EXPECT_TS_MIN, EXPECT_TS_MAX = "2024-01-01", "2026-01-01"
+EXPECT_MAX_BAD_PPM = 0  # acceptance threshold per rule
+
+
+def expectation_check(events: DataFrame) -> DataFrame:
+    """Declarative data-acceptance suite over the events stream: each
+    rule (non-null keys, positive ids, closed type vocabulary, value
+    range, timestamp sanity window) is a conditional count folded into
+    ONE aggregate pass — the whole suite costs a single scan with
+    map-side partials regardless of how many rules it carries (the
+    Deequ/Great-Expectations posture; the column_profile entry is the
+    exploratory twin, this is the gate a pipeline FAILS on). The
+    per-rule rows come from unpivoting the 1-row aggregate — constant
+    work after the scan."""
+    n = F.count(F.lit(1))
+    rules = {
+        "event_id_not_null": F.sum(
+            F.when(F.col("event_id").isNull(), 1).otherwise(0)
+        ),
+        "user_id_non_negative": F.sum(
+            F.when(
+                F.col("user_id").isNull() | (F.col("user_id") < 0), 1
+            ).otherwise(0)
+        ),
+        "event_type_in_vocab": F.sum(
+            F.when(~F.col("event_type").isin(*EXPECTED_EVENT_TYPES), 1).otherwise(0)
+        ),
+        "value_non_negative": F.sum(
+            F.when(F.col("value") < 0, 1).otherwise(0)
+        ),
+        "ts_in_sanity_window": F.sum(
+            F.when(
+                (F.col("ts") < F.lit(EXPECT_TS_MIN).cast("timestamp"))
+                | (F.col("ts") >= F.lit(EXPECT_TS_MAX).cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ),
+    }
+    agg = events.agg(
+        n.cast("bigint").alias("n_rows"),
+        *[v.cast("bigint").alias(k) for k, v in rules.items()],
+    )
+    stack = ", ".join(f"'{k}', {k}" for k in rules)
+    return (
+        agg.selectExpr(
+            "n_rows", f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+        )
+        .select(
+            "rule",
+            "n_rows",
+            "n_violations",
+            (
+                F.col("n_violations") * 1000000
+                <= F.col("n_rows") * EXPECT_MAX_BAD_PPM
+            )
+            .cast("int")
+            .alias("passed"),
+        )
+    )

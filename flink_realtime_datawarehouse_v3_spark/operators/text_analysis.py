@@ -1907,3 +1907,40 @@ def dsir_select(docs: DataFrame) -> DataFrame:
         "dsir_weight_micro",
         (F.col("dsir_weight_micro") >= F.col("thr")).cast("int").alias("selected"),
     )
+
+
+# --- deterministic global shuffle (training-order randomization) -------------
+
+SHUFFLE_EPOCH_SALT = "epoch-0"  # vary per epoch for a fresh permutation
+SHUFFLE_N_SHARDS = 8
+
+
+def shuffle_shards(
+    corpus: DataFrame,
+    salt: str = SHUFFLE_EPOCH_SALT,
+    n_shards: int = SHUFFLE_N_SHARDS,
+) -> DataFrame:
+    """Deterministic global shuffle into training shards — the
+    randomize-example-order pass every LLM training run needs, as a
+    reproducible permutation instead of an unseedable shuffle: each doc
+    gets a pseudo-random key h = hash40(salt || doc_id), its shard is
+    h % n_shards, and its position within the shard is the h-order rank
+    (doc_id tie-break for totality). Changing ``salt`` re-permutes the
+    whole corpus (one string per epoch); re-running with the same salt
+    reproduces the same order bit-for-bit — resumable training.
+
+    Scale shape: ONE hash-partition shuffle on the shard key + an
+    in-partition sort (the terasort recipe) — rank is a
+    Window.partitionBy(shard) row_number, never a global sort; shards
+    are statistically balanced by the uniform hash (|corpus|/n_shards
+    +- sqrt), so no shard becomes a straggler task."""
+    h = hash40(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+    keyed = corpus.select("doc_id", h.alias("h")).select(
+        "doc_id", "h", (F.col("h") % n_shards).cast("int").alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

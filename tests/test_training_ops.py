@@ -134,6 +134,8 @@ ORACLED = [
     "tpch_q16_parts_supplier",
     "tpch_q21_receipt_form",
     "corpus_dsir_select",
+    "corpus_shuffle_shards",
+    "events_expectation_check",
     "corpus_sample_fixed_per_source",
     "events_value_trailing_window",
     "events_type_day_grouping_sets",
@@ -1853,3 +1855,66 @@ def test_dsir_selection_semantics(spark):
     )
     frac = len(sel) / len(rows)
     assert 0.20 <= frac <= 0.35, frac
+
+
+def test_shuffle_shards_is_reproducible_permutation(spark):
+    """The global training shuffle must be a real PERMUTATION (every doc
+    exactly once, contiguous 1..n positions per shard), bit-identical
+    across rebuilds with the same salt (resumable training), re-ordered
+    by a different salt (fresh epoch), and hash-balanced across shards."""
+    from flink_realtime_datawarehouse_v3_spark.operators import text_analysis as ta
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+
+    docs = tables.load(spark, SF_SMOKE, "documents")
+    a = {(r.doc_id, r.shard, r.pos) for r in ta.shuffle_shards(docs).collect()}
+    b = {(r.doc_id, r.shard, r.pos) for r in ta.shuffle_shards(docs).collect()}
+    assert a == b, "same salt must reproduce the same order"
+    n_docs = docs.count()
+    assert len({d for d, _, _ in a}) == n_docs == len(a)
+    by_shard: dict = {}
+    for _, s, p in a:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    mean = n_docs / ta.SHUFFLE_N_SHARDS
+    assert all(abs(len(ps) - mean) < 4 * mean**0.5 + 5 for ps in by_shard.values())
+    c = {
+        (r.doc_id, r.shard, r.pos)
+        for r in ta.shuffle_shards(docs, salt="epoch-1").collect()
+    }
+    assert c != a, "a new salt must re-permute"
+
+
+def test_expectation_check_detects_planted_violations(spark):
+    """The acceptance suite passes the clean fixtures and FAILS exactly
+    the violated rules on a planted-dirty frame — per-rule violation
+    counts, not just a global flag."""
+    import datetime
+
+    from flink_realtime_datawarehouse_v3_spark.operators import analytics
+
+    clean = api.QUERIES["events_expectation_check"](spark, SF_SMOKE).collect()
+    assert len(clean) == 5 and all(r.passed == 1 for r in clean)
+
+    ts_ok = datetime.datetime(2024, 6, 1)
+    dirty = spark.createDataFrame(
+        [
+            (1, 10, "view", 5.0, ts_ok),           # clean
+            (2, -3, "view", 5.0, ts_ok),           # user_id_non_negative
+            (3, 11, "refund", 5.0, ts_ok),         # event_type_in_vocab
+            (4, 12, "click", -0.5, ts_ok),         # value_non_negative
+            (5, 13, "view", 5.0, datetime.datetime(2030, 1, 1)),  # ts window
+            (None, 14, "view", 5.0, ts_ok),        # event_id_not_null
+        ],
+        "event_id long, user_id long, event_type string, value double, ts timestamp",
+    )
+    got = {r.rule: r for r in analytics.expectation_check(dirty).collect()}
+    assert all(r.n_rows == 6 for r in got.values())
+    assert {k: v.n_violations for k, v in got.items()} == {
+        "event_id_not_null": 1,
+        "user_id_non_negative": 1,
+        "event_type_in_vocab": 1,
+        "value_non_negative": 1,
+        "ts_in_sanity_window": 1,
+    }
+    assert all(r.passed == 0 for r in got.values())
