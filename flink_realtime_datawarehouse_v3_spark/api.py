@@ -4963,6 +4963,13 @@ def _register_streaming() -> None:
             "stream_norm_stats",
             "embedding_norm_stats",
         ),
+        # Live acceptance gate (r10): the declarative rule suite as a
+        # COMPLETE-mode 1-group counter aggregation; the final snapshot
+        # unpivots to the batch report and shares its oracle.
+        "streaming_expectation_check": (
+            "stream_expectation_check",
+            "events_expectation_check",
+        ),
         # Train-offline / apply-online classifier: the (weights, bias)
         # artifact fit on the static corpus, each micro-batch scored by
         # the shared zero-shuffle projection. Stateless append.
@@ -5152,6 +5159,7 @@ _DRIVER_WINDOW = [
     "tpch_q21_receipt_form",
     "events_expectation_check",
     "corpus_shuffle_shards",
+    "streaming_expectation_check",
     "multimodal_dedup_perceptual",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
@@ -5192,12 +5200,12 @@ _DRIVER_WINDOW = [
     "text_bigram_lm_score",
     "events_value_anomalies",
     "events_value_k_corr",
-    "events_type_counts_top",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "events_type_counts_top",
     "streaming_type_counts_top",
     "corpus_lang_unpivot",
     "events_time_rollup",

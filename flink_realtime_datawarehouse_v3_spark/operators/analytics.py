@@ -645,7 +645,15 @@ def expectation_check(events: DataFrame) -> DataFrame:
     Deequ/Great-Expectations posture; the column_profile entry is the
     exploratory twin, this is the gate a pipeline FAILS on). The
     per-rule rows come from unpivoting the 1-row aggregate — constant
-    work after the scan."""
+    work after the scan. Split as agg + unpivot so the STREAMING twin
+    can run the agg in complete mode (state = one group) and unpivot
+    the memory-sink snapshot."""
+    return expectation_unpivot(expectation_agg(events))
+
+
+def expectation_agg(events: DataFrame) -> DataFrame:
+    """The 1-row conditional-count aggregate behind the rule suite —
+    valid as a streaming complete-mode aggregation."""
     n = F.count(F.lit(1))
     rules = {
         "event_id_not_null": F.sum(
@@ -670,14 +678,20 @@ def expectation_check(events: DataFrame) -> DataFrame:
             ).otherwise(0)
         ),
     }
-    agg = events.agg(
+    return events.agg(
         n.cast("bigint").alias("n_rows"),
         *[v.cast("bigint").alias(k) for k, v in rules.items()],
     )
-    stack = ", ".join(f"'{k}', {k}" for k in rules)
+
+
+def expectation_unpivot(agg: DataFrame) -> DataFrame:
+    """1-row rule aggregate -> per-rule (rule, n_rows, n_violations,
+    passed) report rows; constant work."""
+    rule_cols = [c for c in agg.columns if c != "n_rows"]
+    stack = ", ".join(f"'{k}', {k}" for k in rule_cols)
     return (
         agg.selectExpr(
-            "n_rows", f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+            "n_rows", f"stack({len(rule_cols)}, {stack}) AS (rule, n_violations)"
         )
         .select(
             "rule",

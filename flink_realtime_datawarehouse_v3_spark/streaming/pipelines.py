@@ -1439,3 +1439,27 @@ def stream_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       d.sub("in"), order_by=["vec_id"])
         s = read_stream(spark, d.sub("in"))
         return run_to_memory(ss.norm_stats(s), output_mode="complete")
+
+
+def stream_expectation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acceptance suite as a LIVE quality monitor: the same
+    conditional-count rule aggregate runs as a streaming COMPLETE-mode
+    aggregation (state = ONE group of counters whatever the stream
+    volume — the cheapest stateful shape there is), so each micro-batch
+    the memory sink holds the suite's cumulative verdict; after
+    availableNow the unpivoted snapshot equals the batch
+    events_expectation_check row-for-row and shares its SQL oracle. The
+    unpivot runs on the 1-row SINK table, not inside the stream
+    (Generate after a streaming aggregation is not a supported
+    streaming shape — and needn't be: the report is constant-size)."""
+    from ..operators.analytics import expectation_agg, expectation_unpivot
+    from ..sources import tables
+
+    e = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    with TempStreamDir() as d:
+        _write_replay(e, d.sub("in"), order_by=["ts"])
+        s = read_stream(spark, d.sub("in"))
+        snap = run_to_memory(expectation_agg(s), output_mode="complete")
+        return expectation_unpivot(snap)

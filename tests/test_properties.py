@@ -191,3 +191,20 @@ def test_value_ewma_bounds(spark):
         assert min(hist) - w <= r.ewma_micro <= max(hist) + w, (r, hist)
         if len(hist) == 1:
             assert r.ewma_micro == r.mean_micro
+
+
+@given(
+    s_cnt=st.integers(min_value=4, max_value=5000),
+    p=st.integers(min_value=1, max_value=10**9),
+)
+@settings(max_examples=300, deadline=None)
+def test_partsupp_stride_gives_distinct_suppliers(s_cnt, p):
+    """The synthesized partsupp assignment (sources/synth.py) must give
+    every part PS_PER_PART DISTINCT suppliers in 1..|supplier| for ANY
+    supplier count >= 4 — the invariant the docstring argues
+    (3*(S DIV 4) < S); hypothesis sweeps the argument instead of
+    trusting it. A collision would silently 4x-duplicate rows through
+    Q9's composite-key join."""
+    supps = {(p + i * (s_cnt // 4)) % s_cnt + 1 for i in range(4)}
+    assert len(supps) == 4
+    assert all(1 <= s <= s_cnt for s in supps)
