@@ -831,3 +831,62 @@ def trailing_window_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def read_upsert_snapshot_lookup(
+    spark,
+    path: str,
+    keys: list[str],
+    key_values: list,
+    n_buckets: int = N_UPSERT_BUCKETS,
+    version: int | None = None,
+) -> DataFrame | None:
+    """POINT LOOKUP on the MVCC table — the serving-path read: hash the
+    requested key to its bucket (same murmur3 ``bucket_of`` the writer
+    used, evaluated on a one-row literal frame so driver and executors
+    can never disagree on the hash), resolve the manifest pointer for
+    THAT bucket only, and scan one ``gen-*/__bucket=N`` directory —
+    O(|table| / n_buckets) IO however large the table, the key-value-
+    store access pattern on the same snapshot-isolated layout (an
+    equality filter on the key columns is still applied for hash
+    collisions within the bucket). ``version`` composes with time
+    travel. Returns None for an empty table; a key that was never
+    written yields an empty frame."""
+    import json
+
+    from pyspark.sql import Row
+
+    if version is None:
+        manifest = _read_manifest(path)
+    else:
+        vpath = os.path.join(path, MANIFESTS_DIR, f"v{version}.json")
+        if not os.path.exists(vpath):
+            raise ValueError(
+                f"snapshot version {version} not available at {path}"
+            )
+        with open(vpath) as f:
+            manifest = {int(k): v for k, v in json.load(f)["buckets"].items()}
+    if not manifest:
+        return None
+    # murmur3 is TYPE-dependent (hash(5::int) != hash(5::bigint)), and
+    # createDataFrame infers Python ints as bigint — cast the probe to
+    # the TABLE's key types (one parquet footer read) or the bucket
+    # would silently differ from the writer's.
+    any_gen = os.path.join(path, next(iter(sorted(set(manifest.values())))))
+    types = {
+        f.name: f.dataType for f in spark.read.parquet(any_gen).schema.fields
+    }
+    probe = spark.createDataFrame(
+        [Row(**dict(zip(keys, key_values)))]
+    ).select(*[F.col(k).cast(types[k]).alias(k) for k in keys])
+    bucket = probe.select(
+        bucket_of(keys, n_buckets).alias("b")
+    ).collect()[0].b
+    df = _read_buckets(spark, path, manifest, [bucket])
+    if df is None:
+        return spark.createDataFrame([], schema="__empty int").limit(0)
+    cond = None
+    for k, v in zip(keys, key_values):
+        c = F.col(k) == F.lit(v)
+        cond = c if cond is None else cond & c
+    return df.filter(cond).drop("__bucket")

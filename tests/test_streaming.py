@@ -1179,3 +1179,44 @@ def test_upsert_snapshot_time_travel_and_retention(spark, tmp_path):
     assert snap() == want[4]
     with _pytest.raises(ValueError, match="not available"):
         snap(version=2)
+
+
+def test_upsert_snapshot_point_lookup_reads_one_bucket(spark, tmp_path):
+    """Serving-path point lookup on the MVCC table: the exact row comes
+    back for a written key (current and time-traveled), an unwritten key
+    yields an empty frame, and — the property the read exists for — the
+    scan touches files from exactly ONE __bucket directory, not the
+    table (inputFiles is the IO the plan can reach)."""
+    import os
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import stateful
+
+    path = str(tmp_path / "kv_tbl")
+    os.makedirs(path)
+    fn = stateful.upsert_sink_snapshot(["id"], "ts", path)
+    fn(
+        spark.createDataFrame(
+            [(i, f"v{i}", 10) for i in range(64)], "id int, val string, ts long"
+        ),
+        0,
+    )
+    fn(
+        spark.createDataFrame([(5, "new5", 20)], "id int, val string, ts long"),
+        1,
+    )
+
+    hit = stateful.read_upsert_snapshot_lookup(spark, path, ["id"], [5])
+    assert [(r.id, r.val, r.ts) for r in hit.collect()] == [(5, "new5", 20)]
+    old = stateful.read_upsert_snapshot_lookup(spark, path, ["id"], [5], version=1)
+    assert [(r.id, r.val, r.ts) for r in old.collect()] == [(5, "v5", 10)]
+    miss = stateful.read_upsert_snapshot_lookup(spark, path, ["id"], [99999])
+    assert miss.count() == 0
+
+    buckets_touched = {
+        f.split("__bucket=")[1].split("/")[0]
+        for f in hit.inputFiles()
+        if "__bucket=" in f
+    }
+    assert len(buckets_touched) == 1, buckets_touched
+    full = stateful.read_upsert_snapshot(spark, path)
+    assert len(hit.inputFiles()) < len(full.inputFiles())
