@@ -2370,6 +2370,42 @@ register(
     ),
 )
 
+# Passage-level duplication audit (r10): non-overlapping chunk hashes,
+# sharedness = chunk hash seen in >= 2 distinct docs, per-doc ppm.
+_CD = text_analysis.CHUNK_DUP_SIZE
+register(
+    "corpus_chunk_dup_stats",
+    lambda spark, sf: text_analysis.chunk_dup_stats(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS chunk_dup_ppm
+FROM (
+  SELECT c.doc_id, c.h, d.n_docs
+  FROM (SELECT doc_id,
+               md5(array_to_string(toks[k*{_CD}+1 : k*{_CD}+{_CD}], ' ')) AS h
+        FROM (SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM corpus)
+        CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(0,
+                CASE WHEN n <= {_CD} THEN 0
+                     ELSE (n - 1) // {_CD} END)) AS k) g) c
+  JOIN (SELECT h, count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id,
+                     md5(array_to_string(toks[k*{_CD}+1 : k*{_CD}+{_CD}], ' ')) AS h
+              FROM (SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n
+                    FROM corpus)
+              CROSS JOIN LATERAL (
+                  SELECT UNNEST(generate_series(0,
+                      CASE WHEN n <= {_CD} THEN 0
+                           ELSE (n - 1) // {_CD} END)) AS k) g)
+        GROUP BY h) d ON c.h = d.h)
+GROUP BY doc_id""",
+    ),
+)
+
 register(
     "text_pii_scrub",
     lambda spark, sf: text_analysis.pii_scrub(_corpus(spark, sf)),
@@ -5160,6 +5196,7 @@ _DRIVER_WINDOW = [
     "events_expectation_check",
     "corpus_shuffle_shards",
     "streaming_expectation_check",
+    "corpus_chunk_dup_stats",
     "multimodal_dedup_perceptual",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
@@ -5199,12 +5236,12 @@ _DRIVER_WINDOW = [
     "streaming_keyword_cjk_window",
     "text_bigram_lm_score",
     "events_value_anomalies",
-    "events_value_k_corr",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "events_value_k_corr",
     "events_type_counts_top",
     "streaming_type_counts_top",
     "corpus_lang_unpivot",

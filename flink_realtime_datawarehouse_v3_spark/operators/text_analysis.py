@@ -1944,3 +1944,51 @@ def shuffle_shards(
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+# --- passage-level duplication audit -----------------------------------------
+
+CHUNK_DUP_SIZE = 32  # non-overlapping training-window grain
+
+
+def chunk_dup_stats(corpus: DataFrame, chunk_size: int = CHUNK_DUP_SIZE) -> DataFrame:
+    """Passage-level duplication audit (the RefinedWeb/C4 curation
+    signal): chunk every document into NON-overlapping training-window
+    token pieces (:func:`chunk_tokens` with overlap 0 — the grain a
+    packer actually emits), hash each chunk, and per document report how
+    many of its chunks also occur in at least one OTHER document.
+    Doc-level dedup cannot see boilerplate shared across
+    otherwise-distinct pages, and the n-gram span op works at a finer
+    grain than a training window — this is the per-document
+    "how much of it is recycled passages" number a quality funnel cuts
+    on.
+
+    Scale shape: the chunker is a shuffle-free explode; sharedness is
+    one hash agg on the chunk hash (count of distinct docs per hash —
+    bounded two-level agg) joined back on the SAME hash key (partition
+    reuse, no extra exchange class), then one doc_id agg. dup share in
+    exact integer ppm."""
+    chunks = chunk_tokens(corpus, chunk_size=chunk_size, overlap=0).select(
+        "doc_id", F.md5(F.col("chunk_text")).alias("h")
+    )
+    docs_per_hash = chunks.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(docs_per_hash, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared_chunks",
+            F.expr("n_shared_chunks * 1000000 DIV n_chunks").alias(
+                "chunk_dup_ppm"
+            ),
+        )
+    )

@@ -187,7 +187,12 @@ def capped_postings(
         # the cap (a post-filter on size(docs) would be semantically
         # identical — one row per (doc, shingle) either way — but would
         # still materialize the mega-array for a corpus-wide shingle
-        # before discarding it).
+        # before discarding it). Deliberate cost: the hot-count branch
+        # re-runs the tokenize+explode (no shuffle below it to reuse,
+        # and the exploded index is corpus-scale — too big to
+        # checkpoint, unlike the per-doc signature frames) — one extra
+        # map-side pass buys a HARD per-task memory bound whatever the
+        # corpus contains.
         sh = drop_hot_buckets(sh, ("shingle",), max_shingle_df)
     return sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("docs")

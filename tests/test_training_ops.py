@@ -136,6 +136,7 @@ ORACLED = [
     "corpus_dsir_select",
     "corpus_shuffle_shards",
     "events_expectation_check",
+    "corpus_chunk_dup_stats",
     "corpus_sample_fixed_per_source",
     "events_value_trailing_window",
     "events_type_day_grouping_sets",
@@ -1918,3 +1919,28 @@ def test_expectation_check_detects_planted_violations(spark):
         "ts_in_sanity_window": 1,
     }
     assert all(r.passed == 0 for r in got.values())
+
+
+def test_chunk_dup_stats_semantics(spark):
+    """Passage-dup audit pins: exact clones (the clone-expanded corpus
+    guarantees some) must show 1e6 ppm — every one of their chunks
+    exists in the other copy — and a document whose text is unique
+    top-to-bottom shows 0; counts are per non-overlapping window."""
+    import pyspark.sql.functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.sources import corpus as corpus_mod
+
+    rows = {r.doc_id: r for r in
+            api.QUERIES["corpus_chunk_dup_stats"](spark, SF_SMOKE).collect()}
+    docs = corpus_mod.corpus(spark, SF_SMOKE)
+    by_text: dict = {}
+    for r in docs.select("doc_id", F.md5("text").alias("h")).collect():
+        by_text.setdefault(r.h, []).append(r.doc_id)
+    clones = [ids for ids in by_text.values() if len(ids) >= 2]
+    assert clones, "clone-expanded corpus must contain exact dups"
+    for ids in clones:
+        for d in ids:
+            assert rows[d].chunk_dup_ppm == 1_000_000, (d, rows[d])
+    assert any(r.chunk_dup_ppm == 0 for r in rows.values())
+    total_chunks = sum(r.n_chunks for r in rows.values())
+    assert total_chunks >= len(rows)  # every doc has >= 1 chunk
