@@ -884,7 +884,11 @@ def read_upsert_snapshot_lookup(
     ).collect()[0].b
     df = _read_buckets(spark, path, manifest, [bucket])
     if df is None:
-        return spark.createDataFrame([], schema="__empty int").limit(0)
+        # the key's bucket was never written: an empty frame in the
+        # TABLE's schema (read above for the type cast), so callers can
+        # union/select without special-casing the miss
+        empty = spark.read.parquet(any_gen).limit(0)
+        return empty.drop("__bucket") if "__bucket" in empty.columns else empty
     cond = None
     for k, v in zip(keys, key_values):
         c = F.col(k) == F.lit(v)

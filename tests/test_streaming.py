@@ -1212,6 +1212,19 @@ def test_upsert_snapshot_point_lookup_reads_one_bucket(spark, tmp_path):
     miss = stateful.read_upsert_snapshot_lookup(spark, path, ["id"], [99999])
     assert miss.count() == 0
 
+    # a key whose BUCKET was never written (single-row table -> most
+    # buckets absent from the manifest) must come back as an empty frame
+    # in the TABLE schema, not an error or a schema-less placeholder
+    sparse = str(tmp_path / "sparse_tbl")
+    os.makedirs(sparse)
+    stateful.upsert_sink_snapshot(["id"], "ts", sparse)(
+        spark.createDataFrame([(1, "only", 1)], "id int, val string, ts long"), 0
+    )
+    for probe in range(2, 40):
+        res = stateful.read_upsert_snapshot_lookup(spark, sparse, ["id"], [probe])
+        assert res.count() == 0
+        assert set(res.columns) == {"id", "val", "ts"}
+
     buckets_touched = {
         f.split("__bucket=")[1].split("/")[0]
         for f in hit.inputFiles()
