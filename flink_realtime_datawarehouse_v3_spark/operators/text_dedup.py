@@ -138,18 +138,23 @@ def drop_hot_buckets(
     """Drop rows whose bucket key has more than ``cap`` members, WITHOUT
     ever materializing an oversized bucket: the per-key counts are a
     map-side-combinable aggregate whose result is one row per distinct
-    key, the over-cap hot list is tiny by construction (few keys can
-    exceed the cap), and the drop is a broadcast LEFT ANTI join — so the
-    guard itself is safe against the very skew it removes (a
+    key, the over-cap hot list is small by construction (<= N/cap keys,
+    and for the fixed-width band paths bounded by the band key space),
+    and the drop is a LEFT ANTI join with NO compile-time broadcast
+    hint: AQE broadcasts it from the measured runtime size (it always
+    is broadcastable on real data) but can fall back to a shuffled anti
+    join for a pathological corpus of millions of just-over-cap clone
+    clusters — the guard itself must not die on the skew it removes (a
     collect_list-then-filter guard would still build the huge array
-    before dropping it)."""
+    before dropping it; a forced broadcast would OOM the driver on the
+    adversarial hot list)."""
     hot = (
         exploded.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_bucket_n"))
         .filter(F.col("_bucket_n") > cap)
         .select(*keys)
     )
-    return exploded.join(F.broadcast(hot), list(keys), "left_anti")
+    return exploded.join(hot, list(keys), "left_anti")
 
 
 def _pairs_from_postings(postings: DataFrame) -> DataFrame:
