@@ -4878,6 +4878,88 @@ register(
 )
 
 
+# --- Record linkage / entity resolution (operators/linkage.py) --------------
+# Beyond-reference (SURVEY §9): blocked ER over the customer dim. The dirty
+# feed is key-derived arithmetic mirrored row-for-row in the oracle, so the
+# hash gate covers injection + blocking + verify + best-match end-to-end.
+from .operators import linkage as linkage_op  # noqa: E402
+
+_ER_VARIANTS_SQL = f"""v0 AS (
+  SELECT *, {linkage_op.NAME_DIGIT_BASE} + c_custkey % {linkage_op.NAME_DIGITS} AS p
+  FROM customer WHERE c_custkey % {linkage_op.ER_STRIDE} = {linkage_op.ER_PHASE}
+),
+v AS (
+  SELECT CAST(c_custkey + {linkage_op.ER_KEY_OFFSET} AS BIGINT) AS variant_key,
+         CASE WHEN c_custkey % 2 = 0
+              THEN concat(substring(c_name, 1, CAST(p - 1 AS INT)),
+                          substring(c_name, CAST(p + 1 AS INT)))
+              ELSE concat(substring(c_name, 1, CAST(p - 1 AS INT)), 'x',
+                          substring(c_name, CAST(p + 1 AS INT)))
+         END AS v_name,
+         c_nationkey AS v_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS v_acctbal_cents
+  FROM v0
+),
+vk AS (SELECT *, substring(v_name, 1, {linkage_op.PREFIX_LEN}) AS k_pre,
+              substring(v_name, length(v_name) - {linkage_op.SUFFIX_LEN - 1},
+                        {linkage_op.SUFFIX_LEN}) AS k_suf FROM v),
+ck AS (SELECT c_custkey, c_name, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents,
+             substring(c_name, 1, {linkage_op.PREFIX_LEN}) AS k_pre,
+             substring(c_name, length(c_name) - {linkage_op.SUFFIX_LEN - 1},
+                       {linkage_op.SUFFIX_LEN}) AS k_suf
+      FROM customer)"""
+
+register(
+    "er_resolve_customers",
+    linkage_op.resolve_customers,
+    f"""WITH {_ER_VARIANTS_SQL},
+cand AS (
+  SELECT DISTINCT variant_key, v_name, v_nationkey, v_acctbal_cents,
+                  c_custkey, c_name, c_nationkey, c_acctbal_cents
+  FROM (
+    SELECT vk.variant_key, vk.v_name, vk.v_nationkey, vk.v_acctbal_cents,
+           ck.c_custkey, ck.c_name, ck.c_nationkey, ck.c_acctbal_cents
+    FROM vk JOIN ck ON vk.k_pre = ck.k_pre
+    UNION ALL
+    SELECT vk.variant_key, vk.v_name, vk.v_nationkey, vk.v_acctbal_cents,
+           ck.c_custkey, ck.c_name, ck.c_nationkey, ck.c_acctbal_cents
+    FROM vk JOIN ck ON vk.k_suf = ck.k_suf)
+),
+ver AS (
+  SELECT variant_key, c_custkey,
+         CAST(levenshtein(v_name, c_name) AS BIGINT) AS name_dist
+  FROM cand
+  WHERE levenshtein(v_name, c_name) <= 2
+    AND v_nationkey = c_nationkey AND v_acctbal_cents = c_acctbal_cents
+)
+SELECT variant_key, CAST(c_custkey AS BIGINT) AS canonical_key, name_dist,
+       CAST(c_custkey = variant_key - {linkage_op.ER_KEY_OFFSET} AS BIGINT)
+         AS is_correct
+FROM (SELECT *, row_number() OVER (PARTITION BY variant_key
+                                   ORDER BY name_dist, c_custkey) AS rn
+      FROM ver)
+WHERE rn = 1""",
+)
+
+register(
+    "er_block_stats",
+    linkage_op.er_block_stats,
+    f"""WITH {_ER_VARIANTS_SQL},
+vp AS (SELECT k_pre, CAST(count(*) AS BIGINT) AS n_dirty FROM vk GROUP BY k_pre),
+cp AS (SELECT k_pre, CAST(count(*) AS BIGINT) AS n_clean FROM ck GROUP BY k_pre),
+vs AS (SELECT k_suf, CAST(count(*) AS BIGINT) AS n_dirty FROM vk GROUP BY k_suf),
+cs AS (SELECT k_suf, CAST(count(*) AS BIGINT) AS n_clean FROM ck GROUP BY k_suf)
+SELECT 'prefix' AS pass_name, vp.k_pre AS block_key, n_dirty, n_clean,
+       CAST(n_dirty * n_clean AS BIGINT) AS n_pairs
+FROM vp JOIN cp ON vp.k_pre = cp.k_pre
+UNION ALL
+SELECT 'suffix' AS pass_name, vs.k_suf AS block_key, n_dirty, n_clean,
+       CAST(n_dirty * n_clean AS BIGINT) AS n_pairs
+FROM vs JOIN cs ON vs.k_suf = cs.k_suf""",
+)
+
+
 # --- Structured Streaming forms (SURVEY.md §2.10) ----------------------------
 # Each replays the finite input through the file-stream harness (one
 # micro-batch per file, availableNow) and must reproduce the SAME rows as
@@ -5179,7 +5261,6 @@ _WINDOW_ROUND = 10
 # telemetry under the driver's real session. Generated by
 # tools/rebuild_window.py; do not hand-edit.
 _WINDOW_ROWS_ONLY = {
-    "multimodal_dedup_perceptual",
     "simsearch_hard_negatives_ivf",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
@@ -5197,14 +5278,11 @@ _DRIVER_WINDOW = [
     "corpus_shuffle_shards",
     "streaming_expectation_check",
     "corpus_chunk_dup_stats",
-    "multimodal_dedup_perceptual",
+    "er_resolve_customers",
+    "er_block_stats",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
     "simsearch_hard_negatives_ivf",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "events_user_rfm",
     "streaming_activity_coupon_full_outer",
     "streaming_traffic_union_window",
     "streaming_pay_detail_suc",
@@ -5218,6 +5296,7 @@ _DRIVER_WINDOW = [
     "streaming_value_histogram",
     "text_chunk_tokens",
     "text_pii_scrub",
+    "events_user_rfm",
     "join_bucketed_colocated",
     "dwd_interaction_comment",
     "dwd_trade_refund_pay_suc",
@@ -5236,13 +5315,16 @@ _DRIVER_WINDOW = [
     "streaming_keyword_cjk_window",
     "text_bigram_lm_score",
     "events_value_anomalies",
+    "events_value_k_corr",
+    "events_type_counts_top",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
-    "events_value_k_corr",
-    "events_type_counts_top",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "streaming_type_counts_top",
     "corpus_lang_unpivot",
     "events_time_rollup",
@@ -5409,6 +5491,7 @@ _DRIVER_TAIL = [
     "sessionize_events",
     "dedup_exact",
     "dwd_trade_order_pre_process",
+    "multimodal_dedup_perceptual",
     "streaming_ivf_search",
     "streaming_multimodal_dhash",
     "dws_trade_province_order_window_approx",

@@ -141,6 +141,9 @@ ORACLED = [
     "events_value_trailing_window",
     "events_type_day_grouping_sets",
     "events_value_twap",
+    # r10 record-linkage family (operators/linkage.py)
+    "er_resolve_customers",
+    "er_block_stats",
 ]
 
 
