@@ -5088,6 +5088,13 @@ def _register_streaming() -> None:
             "stream_expectation_check",
             "events_expectation_check",
         ),
+        # Entity resolution on arrival (r10): stream-static blocking
+        # joins + verify, keyed complete-mode MIN best-match; snapshot
+        # shares the batch ER oracle.
+        "streaming_er_resolve": (
+            "stream_er_resolve",
+            "er_resolve_customers",
+        ),
         # Train-offline / apply-online classifier: the (weights, bias)
         # artifact fit on the static corpus, each micro-batch scored by
         # the shared zero-shuffle projection. Stateless append.
@@ -5280,6 +5287,7 @@ _DRIVER_WINDOW = [
     "corpus_chunk_dup_stats",
     "er_resolve_customers",
     "er_block_stats",
+    "streaming_er_resolve",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
     "simsearch_hard_negatives_ivf",
@@ -5316,12 +5324,12 @@ _DRIVER_WINDOW = [
     "text_bigram_lm_score",
     "events_value_anomalies",
     "events_value_k_corr",
-    "events_type_counts_top",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "events_type_counts_top",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",

@@ -30,14 +30,14 @@ identity-resolution pipeline runs at scale:
 shuffles on the block key (or broadcasts the smaller dirty feed —
 AQE's call); block width is set by the key length, not the data size,
 so PREFIX_LEN/SUFFIX_LEN scale with log10(N) exactly like any hash
-prefix. The best-match cut is a window PARTITIONED by the variant key
-(never a global sort). No UDFs: corruption, blocking keys, and
+prefix. The best-match cut is a keyed MIN aggregate (map-side
+partials, never a global sort). No UDFs: corruption, blocking keys, and
 ``levenshtein`` are all Catalyst built-ins.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import tables
@@ -98,12 +98,14 @@ def inject_noisy_customers(customer: DataFrame) -> DataFrame:
     )
 
 
-def er_candidates(variants: DataFrame, clean: DataFrame) -> DataFrame:
-    """Multi-pass blocked candidate pairs (variant_key x c_custkey).
-
-    Two equi-join passes — prefix block and suffix block — unioned and
-    de-duplicated. Single-edit recall is structural (see module
-    docstring); neither pass is ever an all-pairs product.
+def candidate_union(variants: DataFrame, clean: DataFrame) -> DataFrame:
+    """The raw two-pass candidate union (prefix block ++ suffix block),
+    WITHOUT pair de-duplication — a pair both passes catch appears
+    twice. Streaming-safe: when ``variants`` is a stream the two joins
+    are stream-static equi-joins and the union is a same-source self
+    union, all stateless; consumers that aggregate per variant
+    (:func:`resolve_online`) don't need the dedup, consumers that
+    verify per pair (:func:`er_candidates`) add it.
     """
     v = variants.select(
         "variant_key",
@@ -137,25 +139,25 @@ def er_candidates(variants: DataFrame, clean: DataFrame) -> DataFrame:
     ]
     pre = v.join(c.drop("k_suf"), "k_pre").select(*cols)
     suf = v.join(c.drop("k_pre"), "k_suf").select(*cols)
-    # A pair caught by both passes must verify once, not twice.
-    return pre.unionByName(suf).distinct()
+    return pre.unionByName(suf)
 
 
-def resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end blocked entity resolution: inject the dirty feed,
-    block, verify (levenshtein <= 2 AND nation + balance-cents exact),
-    keep the best match per variant (min distance, then min key — a
-    PARTITIONED window, one variant's candidates per frame).
+def er_candidates(variants: DataFrame, clean: DataFrame) -> DataFrame:
+    """Multi-pass blocked candidate pairs (variant_key x c_custkey).
 
-    Output: one row per resolved variant with its winning canonical key,
-    the name distance, and a self-auditing ``is_correct`` flag (the
-    injection knows the truth; precision/recall are pytest-pinned at 1.0
-    on this noise model).
+    Two equi-join passes — prefix block and suffix block — unioned and
+    de-duplicated (a pair both passes catch must verify once, not
+    twice). Single-edit recall is structural (see module docstring);
+    neither pass is ever an all-pairs product.
     """
-    customer = tables.load(spark, sf_dir, "customer")
-    variants = inject_noisy_customers(customer)
-    cand = er_candidates(variants, customer)
-    verified = cand.filter(
+    return candidate_union(variants, clean).distinct()
+
+
+def _verified(cand: DataFrame) -> DataFrame:
+    """The verify stage shared by the batch and online forms:
+    Levenshtein + exact structured-attribute agreement, on candidates
+    only."""
+    return cand.filter(
         (F.levenshtein("v_name", "c_name") <= 2)
         & (F.col("v_nationkey") == F.col("c_nationkey"))
         & (F.col("v_acctbal_cents") == F.col("c_acctbal_cents"))
@@ -164,17 +166,67 @@ def resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.levenshtein("v_name", "c_name").cast("bigint").alias("name_dist"),
     )
-    w = Window.partitionBy("variant_key").orderBy("name_dist", "c_custkey")
-    return (
-        verified.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("variant_key").cast("bigint").alias("variant_key"),
-            F.col("c_custkey").cast("bigint").alias("canonical_key"),
-            "name_dist",
-            (F.col("c_custkey") == F.col("variant_key") - ER_KEY_OFFSET)
-            .cast("bigint")
-            .alias("is_correct"),
+
+
+def resolve_online(variant_stream: DataFrame, clean: DataFrame) -> DataFrame:
+    """Resolve-on-arrival: the same block -> verify stages as the batch
+    form, as stream-static joins, then a keyed MIN aggregate holding the
+    best match seen so far per variant (struct ordering = (name_dist,
+    c_custkey) — the batch form's exact tie-break).
+
+    The agg form is deliberately stronger than per-batch arbitration:
+    with a static clean side every candidate for a variant lands in the
+    variant's own micro-batch, but the keyed min stays correct even if
+    the dim is later made slowly-changing and a better candidate arrives
+    in a later batch. State is one small struct per distinct variant
+    key — the size of the OUTPUT, the floor for any keyed enrichment.
+    Duplicate pairs from the two blocking passes need no dedup here:
+    min() is idempotent under duplicates (the batch form's DISTINCT is
+    a per-pair-verify economy, not a semantic requirement).
+    """
+    best = (
+        _verified(candidate_union(variant_stream, clean))
+        .groupBy("variant_key")
+        .agg(F.min(F.struct("name_dist", "c_custkey")).alias("best"))
+    )
+    return best
+
+
+def finish_online(snapshot: DataFrame) -> DataFrame:
+    """Project the complete-mode snapshot to the batch entry's schema
+    (runs on the bounded sink table, not inside the stream)."""
+    return snapshot.select(
+        F.col("variant_key").cast("bigint").alias("variant_key"),
+        F.col("best.c_custkey").cast("bigint").alias("canonical_key"),
+        F.col("best.name_dist").alias("name_dist"),
+        (F.col("best.c_custkey") == F.col("variant_key") - ER_KEY_OFFSET)
+        .cast("bigint")
+        .alias("is_correct"),
+    )
+
+
+def resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end blocked entity resolution: inject the dirty feed,
+    block, verify (levenshtein <= 2 AND nation + balance-cents exact),
+    keep the best match per variant (min distance, then min key — a
+    keyed MIN-struct aggregate, map-side combinable).
+
+    Output: one row per resolved variant with its winning canonical key,
+    the name distance, and a self-auditing ``is_correct`` flag (the
+    injection knows the truth; precision/recall are pytest-pinned at 1.0
+    on this noise model).
+    """
+    customer = tables.load(spark, sf_dir, "customer")
+    variants = inject_noisy_customers(customer)
+    verified = _verified(candidate_union(variants, customer))
+    # Best match as a keyed MIN over (dist, key) structs — one hash agg
+    # with map-side partials instead of pair-DISTINCT + sort-window
+    # (both extra shuffles); duplicate pairs from the two blocking
+    # passes are absorbed by min()'s idempotence. Same shape as the
+    # online form, so stream == batch is the same aggregation tree.
+    return finish_online(
+        verified.groupBy("variant_key").agg(
+            F.min(F.struct("name_dist", "c_custkey")).alias("best")
         )
     )
 

@@ -1441,6 +1441,30 @@ def stream_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(ss.norm_stats(s), output_mode="complete")
 
 
+def stream_er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on arrival: the dirty customer variants replay
+    as a stream and each micro-batch rides the SAME two blocking
+    equi-joins (stream-static, stateless) and verify predicate as the
+    batch `er_resolve_customers`; the best-match cut is a keyed
+    complete-mode MIN aggregate (state = one struct per variant — the
+    output's own size). The final snapshot shares the batch entry's
+    oracle row-for-row. No watermark needed: nothing here is
+    event-time-windowed, so bounded replay terminates without sentinel
+    flush rows."""
+    from ..operators import linkage
+    from ..sources import tables
+
+    customer = tables.load(spark, sf_dir, "customer")
+    variants = linkage.inject_noisy_customers(customer)
+    with TempStreamDir() as d:
+        _write_replay(variants, d.sub("in"), order_by=["variant_key"])
+        s = read_stream(spark, d.sub("in"))
+        snap = run_to_memory(
+            linkage.resolve_online(s, customer), output_mode="complete"
+        )
+        return linkage.finish_online(snap)
+
+
 def stream_expectation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The acceptance suite as a LIVE quality monitor: the same
     conditional-count rule aggregate runs as a streaming COMPLETE-mode

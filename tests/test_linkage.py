@@ -51,9 +51,13 @@ def test_er_single_edit_blocking_guarantee(spark):
 def test_er_plan_is_blocked_equi_join(spark):
     """Scale gate: the candidate stage must be equi-joins on the block
     keys — never an all-pairs product — and the best-match cut must be a
-    window PARTITIONED by the variant key (no global sort)."""
+    hash aggregate with map-side partials (no window sort, no pair
+    DISTINCT exchange beyond the one agg shuffle)."""
     df = linkage.resolve_customers(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "windowspecdefinition(variant_key" in plan
+    assert "Window" not in plan
+    # map-side partial min before the one keyed shuffle (struct min
+    # compiles to SortAggregate — per-partition sorts, never global)
+    assert "partial_min" in plan

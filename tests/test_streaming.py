@@ -1233,3 +1233,12 @@ def test_upsert_snapshot_point_lookup_reads_one_bucket(spark, tmp_path):
     assert len(buckets_touched) == 1, buckets_touched
     full = stateful.read_upsert_snapshot(spark, path)
     assert len(hit.inputFiles()) < len(full.inputFiles())
+
+
+def test_stream_er_resolve(spark):
+    """Resolve-on-arrival == batch blocked ER: the stream-static
+    blocking joins + keyed complete-mode min must reproduce the batch
+    window's best-match rows exactly (state is one struct per variant)."""
+    stream = sp.stream_er_resolve(spark, SF_SMOKE)
+    batch = api.QUERIES["er_resolve_customers"](spark, SF_SMOKE)
+    _same(stream, batch, "er_resolve")
