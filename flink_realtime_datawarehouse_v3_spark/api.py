@@ -2406,6 +2406,39 @@ GROUP BY doc_id""",
     ),
 )
 
+# The rewrite half of the passage audit: corpus-wide keep-first chunk
+# dedup + per-doc reassembly. first-instance arbitration = MIN over the
+# (doc_id, chunk_idx) encoding, identical in both engines.
+register(
+    "corpus_chunk_dedup_rewrite",
+    lambda spark, sf: text_analysis.chunk_dedup_rewrite(_corpus(spark, sf)),
+    _csql(
+        f""", ck AS (
+  SELECT doc_id, k AS chunk_idx,
+         array_to_string(toks[k*{_CD}+1 : k*{_CD}+{_CD}], ' ') AS chunk_text
+  FROM (SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM corpus)
+  CROSS JOIN LATERAL (
+      SELECT UNNEST(generate_series(0,
+          CASE WHEN n <= {_CD} THEN 0
+               ELSE (n - 1) // {_CD} END)) AS k) g),
+inst AS (
+  SELECT doc_id, chunk_idx, chunk_text, md5(chunk_text) AS h,
+         doc_id * {text_analysis.CHUNK_INST_BASE} + chunk_idx AS inst
+  FROM ck),
+firsts AS (SELECT h, min(inst) AS first_inst FROM inst GROUP BY h)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN inst = first_inst THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(count(*) - sum(CASE WHEN inst = first_inst THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       coalesce(string_agg(CASE WHEN inst = first_inst THEN chunk_text END,
+                           ' ' ORDER BY chunk_idx), '') AS clean_text
+FROM inst JOIN firsts USING (h)
+GROUP BY doc_id"""
+    ),
+)
+
 register(
     "text_pii_scrub",
     lambda spark, sf: text_analysis.pii_scrub(_corpus(spark, sf)),
@@ -5288,6 +5321,7 @@ _DRIVER_WINDOW = [
     "er_resolve_customers",
     "er_block_stats",
     "streaming_er_resolve",
+    "corpus_chunk_dedup_rewrite",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
     "simsearch_hard_negatives_ivf",
@@ -5323,12 +5357,12 @@ _DRIVER_WINDOW = [
     "streaming_keyword_cjk_window",
     "text_bigram_lm_score",
     "events_value_anomalies",
-    "events_value_k_corr",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "events_value_k_corr",
     "events_type_counts_top",
     "dedup_minhash_lsh",
     "dedup_simhash",

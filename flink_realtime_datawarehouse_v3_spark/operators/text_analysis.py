@@ -1992,3 +1992,76 @@ def chunk_dup_stats(corpus: DataFrame, chunk_size: int = CHUNK_DUP_SIZE) -> Data
             ),
         )
     )
+
+
+# keep-first instance encoding: doc_id * CHUNK_INST_BASE + chunk_idx.
+# Exact while chunk_idx < CHUNK_INST_BASE (1e6 chunks x 32 tokens = a
+# 32M-token document bound) and doc_id < 2^63 / 1e6 (~9.2e12) — both
+# documented corpus contracts, far above any real page.
+CHUNK_INST_BASE = 1_000_000
+
+
+def chunk_dedup_rewrite(
+    corpus: DataFrame, chunk_size: int = CHUNK_DUP_SIZE
+) -> DataFrame:
+    """Corpus-wide keep-first passage dedup + document REWRITE (the
+    C4/RefinedWeb curation action the audit :func:`chunk_dup_stats`
+    only measures): chunk every document into non-overlapping
+    training-window pieces, keep exactly the FIRST instance of every
+    distinct chunk corpus-wide (first = smallest (doc_id, chunk_idx),
+    encoded as one bigint so the arbitration is a plain MIN), drop the
+    rest, and reassemble each document from its surviving chunks in
+    order. Returns per doc: kept/dropped accounting and the rewritten
+    text ('' when every passage was recycled from earlier docs — the
+    row survives so the funnel can count fully-boilerplate pages).
+
+    Scale shape: shuffle-free explode -> one hash agg on the chunk hash
+    (map-side-combinable MIN — never a collect_list of instances) ->
+    join back on the SAME hash key (partition reuse) -> one doc_id agg
+    whose per-group state is bounded by the document's own length (the
+    reassembly list is the document). Keep-first across the whole
+    corpus is a global property with no global sort anywhere.
+    """
+    chunks = chunk_tokens(corpus, chunk_size=chunk_size, overlap=0).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        F.md5(F.col("chunk_text")).alias("h"),
+        (F.col("doc_id") * CHUNK_INST_BASE + F.col("chunk_idx")).alias(
+            "inst"
+        ),
+    )
+    first = chunks.groupBy("h").agg(F.min("inst").alias("first_inst"))
+    tagged = chunks.join(first, "h").withColumn(
+        "kept", F.col("inst") == F.col("first_inst")
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct("chunk_idx", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda x: x["chunk_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            (F.col("n_chunks") - F.col("n_kept"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            "clean_text",
+        )
+    )

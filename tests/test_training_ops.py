@@ -144,6 +144,7 @@ ORACLED = [
     # r10 record-linkage family (operators/linkage.py)
     "er_resolve_customers",
     "er_block_stats",
+    "corpus_chunk_dedup_rewrite",
 ]
 
 
@@ -1947,3 +1948,37 @@ def test_chunk_dup_stats_semantics(spark):
     assert any(r.chunk_dup_ppm == 0 for r in rows.values())
     total_chunks = sum(r.n_chunks for r in rows.values())
     assert total_chunks >= len(rows)  # every doc has >= 1 chunk
+
+
+def test_chunk_dedup_rewrite_semantics(spark):
+    """Keep-first rewrite invariants: (1) exactly ONE instance of every
+    distinct chunk survives corpus-wide (sum of kept == distinct chunk
+    hashes); (2) kept + dropped == chunks per doc; (3) a document none
+    of whose chunks appear earlier is reassembled byte-identically to
+    its chunked form."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.operators import (
+        text_analysis as ta,
+    )
+
+    corpus = api._corpus(spark, SF_SMOKE)
+    out = ta.chunk_dedup_rewrite(corpus)
+    rows = {r.doc_id: r for r in out.collect()}
+    chunks = ta.chunk_tokens(
+        corpus, chunk_size=ta.CHUNK_DUP_SIZE, overlap=0
+    ).select("doc_id", "chunk_idx", "chunk_text")
+    n_distinct = (
+        chunks.select(F.md5("chunk_text").alias("h")).distinct().count()
+    )
+    assert sum(r.n_kept for r in rows.values()) == n_distinct
+    assert all(r.n_kept + r.n_dropped == r.n_chunks for r in rows.values())
+    # per-doc reassembly identity for fully-kept docs
+    by_doc: dict = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    fully_kept = [d for d, r in rows.items() if r.n_dropped == 0]
+    assert fully_kept, "fixture corpus should contain undropped docs"
+    for d in fully_kept:
+        expect = " ".join(t for _, t in sorted(by_doc[d]))
+        assert rows[d].clean_text == expect, d
