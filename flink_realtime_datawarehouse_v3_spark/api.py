@@ -4911,6 +4911,34 @@ register(
 )
 
 
+# --- Changelog (retract) aggregate (plans/dws.py) ----------------------------
+# Flink's updating-stream COUNT semantics as delta algebra: +1 per event's
+# status, -1 per update's old status. The oracle verifies through the
+# INDEPENDENT derivation (latest state per order id, then count) — the two
+# agree only if every retraction is applied exactly once.
+register(
+    "dws_order_status_counts_retract",
+    lambda spark, sf: dws.order_status_counts_from_deltas(
+        dws.order_status_count_deltas(
+            cdc.topic_db_parsed(spark, sf, only=["order_info"])
+        )
+    ),
+    oracle.sql(
+        """SELECT CAST(province_id AS BIGINT) AS province_id, order_status,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM (SELECT id, province_id, order_status,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY CAST(ts AS BIGINT) DESC,
+                                         CASE type WHEN 'update' THEN 1
+                                              ELSE 0 END DESC) AS rn
+      FROM order_info_cdc)
+WHERE rn = 1
+GROUP BY province_id, order_status""",
+        "order_info_cdc",
+    ),
+)
+
+
 # --- Record linkage / entity resolution (operators/linkage.py) --------------
 # Beyond-reference (SURVEY §9): blocked ER over the customer dim. The dirty
 # feed is key-derived arithmetic mirrored row-for-row in the oracle, so the
@@ -5128,6 +5156,13 @@ def _register_streaming() -> None:
             "stream_er_resolve",
             "er_resolve_customers",
         ),
+        # Retract aggregate (r10): per-group +/- delta fold over the
+        # updating order_info stream; complete-mode snapshot shares the
+        # batch latest-state oracle.
+        "streaming_order_status_counts": (
+            "stream_order_status_counts",
+            "dws_order_status_counts_retract",
+        ),
         # Train-offline / apply-online classifier: the (weights, bias)
         # artifact fit on the static corpus, each micro-batch scored by
         # the shared zero-shuffle projection. Stateless append.
@@ -5322,6 +5357,8 @@ _DRIVER_WINDOW = [
     "er_block_stats",
     "streaming_er_resolve",
     "corpus_chunk_dedup_rewrite",
+    "dws_order_status_counts_retract",
+    "streaming_order_status_counts",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
     "simsearch_hard_negatives_ivf",
@@ -5355,13 +5392,13 @@ _DRIVER_WINDOW = [
     "events_props_k_stats",
     "events_viewers_minus_buyers",
     "streaming_keyword_cjk_window",
-    "text_bigram_lm_score",
-    "events_value_anomalies",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "text_bigram_lm_score",
+    "events_value_anomalies",
     "events_value_k_corr",
     "events_type_counts_top",
     "dedup_minhash_lsh",

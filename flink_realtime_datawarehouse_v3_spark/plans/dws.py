@@ -480,3 +480,55 @@ def trade_province_source_rollup(
             "order_count", "order_amount",
         )
     )
+
+
+def order_status_count_deltas(order_info_events: DataFrame) -> DataFrame:
+    """Changelog (retract) algebra for a keyed COUNT over an UPDATING
+    stream — the Flink-native aggregate semantics the upsert/debounce
+    entries sidestep by keeping latest-per-key first. Each CDC event is
+    turned into +/-1 deltas against the (province_id, order_status)
+    group: an insert is +1 to its status group; an update is +1 to the
+    new status AND -1 to the old one (the retraction, straight from the
+    Maxwell-style partial ``old`` image — Flink derives the same
+    retraction from operator state; the envelope hands it to us).
+
+    Why this beats latest-per-key-then-count at 100 TB: the keep-latest
+    form carries state per ORDER (1e9+ keys); the delta form's
+    aggregate state is one counter per GROUP (provinces x statuses —
+    hundreds), and each micro-batch touches only the groups its events
+    name. The group key must be immutable or present in ``old``
+    (province never changes here — documented envelope contract).
+    """
+    ev = order_info_events.filter(F.col("table") == "order_info")
+    plus = ev.select(
+        F.col("data")["province_id"].alias("province_id"),
+        F.col("data")["order_status"].alias("order_status"),
+        F.lit(1).alias("delta"),
+    )
+    minus = ev.filter(
+        (F.col("type") == "update")
+        & F.col("old")["order_status"].isNotNull()
+    ).select(
+        F.col("data")["province_id"].alias("province_id"),
+        F.col("old")["order_status"].alias("order_status"),
+        F.lit(-1).alias("delta"),
+    )
+    return plus.unionByName(minus)
+
+
+def order_status_counts_from_deltas(deltas: DataFrame) -> DataFrame:
+    """Fold the +/-1 deltas into the live per-group counts; groups whose
+    count returns to zero vanish, matching the latest-state oracle
+    (a COUNT can't be negative — a residual negative would mean a
+    retraction for an insert we never saw, which the parse-level type
+    filter makes impossible on this feed)."""
+    return (
+        deltas.groupBy("province_id", "order_status")
+        .agg(F.sum("delta").cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") > 0)
+        .select(
+            F.col("province_id").cast("bigint").alias("province_id"),
+            "order_status",
+            "n_orders",
+        )
+    )

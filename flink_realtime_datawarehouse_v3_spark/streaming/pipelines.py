@@ -1441,6 +1441,28 @@ def stream_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(ss.norm_stats(s), output_mode="complete")
 
 
+def stream_order_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's updating-stream aggregate as a LIVE retract fold: the
+    order_info CDC replay parses per micro-batch, every event becomes
+    +/-1 deltas against its (province, status) group (the retraction
+    comes from the envelope's ``old`` image — no per-order state), and
+    a complete-mode SUM holds the running counts. Aggregate state is
+    one counter per GROUP (provinces x statuses), not per order — the
+    reason a retract aggregate survives 1e9 keys where keep-latest
+    carries one state row per key. Snapshot equals the batch entry and
+    shares its latest-state-per-id oracle."""
+    from ..plans import dws as dws_plan
+
+    with TempStreamDir() as d:
+        raw = cdc.topic_db_json(spark, sf_dir, only=["order_info"])
+        _write_replay(raw, d.sub("in"), order_by=None)
+        ev = cdc.parse_topic_db(read_stream(spark, d.sub("in")))
+        out = dws_plan.order_status_counts_from_deltas(
+            dws_plan.order_status_count_deltas(ev)
+        )
+        return run_to_memory(out, output_mode="complete")
+
+
 def stream_er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution on arrival: the dirty customer variants replay
     as a stream and each micro-batch rides the SAME two blocking

@@ -1242,3 +1242,13 @@ def test_stream_er_resolve(spark):
     stream = sp.stream_er_resolve(spark, SF_SMOKE)
     batch = api.QUERIES["er_resolve_customers"](spark, SF_SMOKE)
     _same(stream, batch, "er_resolve")
+
+
+def test_stream_order_status_counts_retract(spark):
+    """The retract aggregate's live fold == the batch delta fold == the
+    latest-state oracle: every update's -1 must land exactly once even
+    though the replay does not preserve per-key event order (SUM
+    commutes; the final snapshot is exact)."""
+    stream = sp.stream_order_status_counts(spark, SF_SMOKE)
+    batch = api.QUERIES["dws_order_status_counts_retract"](spark, SF_SMOKE)
+    _same(stream, batch, "order_status_counts_retract")

@@ -145,6 +145,7 @@ ORACLED = [
     "er_resolve_customers",
     "er_block_stats",
     "corpus_chunk_dedup_rewrite",
+    "dws_order_status_counts_retract",
 ]
 
 
