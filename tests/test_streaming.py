@@ -1252,3 +1252,50 @@ def test_stream_order_status_counts_retract(spark):
     stream = sp.stream_order_status_counts(spark, SF_SMOKE)
     batch = api.QUERIES["dws_order_status_counts_retract"](spark, SF_SMOKE)
     _same(stream, batch, "order_status_counts_retract")
+
+
+def test_upsert_snapshot_schema_evolution(spark, tmp_path):
+    """ALTER-then-UPSERT on the MVCC table: a later batch arrives with a
+    NEW column. The merge unions old and new schemas
+    (allowMissingColumns), the new generation carries the wide schema,
+    and the reader merges schemas across generations — old rows surface
+    the new column as NULL. Time travel keeps the contract versioned:
+    the pre-evolution snapshot reads back WITHOUT the new column (an
+    old manifest is the old table, schema included)."""
+    import os
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import stateful
+
+    path = str(tmp_path / "evolve_tbl")
+    os.makedirs(path)
+    fn = stateful.upsert_sink_snapshot(["id"], "ts", path)
+
+    fn(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 10)], "id int, val string, ts long"
+        ),
+        0,
+    )  # v1: narrow schema
+    fn(
+        spark.createDataFrame(
+            [(2, "b2", 20, "emea"), (3, "c", 20, "apac")],
+            "id int, val string, ts long, region string",
+        ),
+        1,
+    )  # v2: adds region
+
+    now = stateful.read_upsert_snapshot(spark, path)
+    assert "region" in now.columns
+    got = {(r.id, r.val, r.ts, r.region) for r in now.collect()}
+    assert got == {
+        (1, "a", 10, None),   # pre-evolution row: new column is NULL
+        (2, "b2", 20, "emea"),
+        (3, "c", 20, "apac"),
+    }
+
+    v1 = stateful.read_upsert_snapshot(spark, path, version=1)
+    assert "region" not in v1.columns
+    assert {(r.id, r.val, r.ts) for r in v1.collect()} == {
+        (1, "a", 10),
+        (2, "b", 10),
+    }
