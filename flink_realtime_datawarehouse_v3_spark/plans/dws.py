@@ -505,12 +505,16 @@ def order_status_count_deltas(order_info_events: DataFrame) -> DataFrame:
         F.col("data")["order_status"].alias("order_status"),
         F.lit(1).alias("delta"),
     )
-    minus = ev.filter(
-        (F.col("type") == "update")
-        & F.col("old")["order_status"].isNotNull()
-    ).select(
+    # Maxwell omits UNCHANGED fields from ``old``: an update that did
+    # not change the status must still retract, and it retracts the
+    # group it re-asserts (net zero) — hence the coalesce. Without it an
+    # update touching only e.g. operate_time double-counts its order
+    # (caught by test_retract_fold_equals_latest_state_random_chains).
+    minus = ev.filter(F.col("type") == "update").select(
         F.col("data")["province_id"].alias("province_id"),
-        F.col("old")["order_status"].alias("order_status"),
+        F.coalesce(
+            F.col("old")["order_status"], F.col("data")["order_status"]
+        ).alias("order_status"),
         F.lit(-1).alias("delta"),
     )
     return plus.unionByName(minus)

@@ -15,7 +15,8 @@ DWS = [n for n in api.QUERIES if n.startswith("dws_") and n in api.ORACLES]
 
 def test_count():
     # 12 warehouse windows + the CJK keyword window + the SQL-UDTF form
-    assert len(DWS) == 14
+    # + the r10 changelog retract aggregate
+    assert len(DWS) == 15
 
 
 @pytest.mark.parametrize("name", DWS)
@@ -168,3 +169,52 @@ def test_dedup_tiebreak_stable_across_partitioning(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert a == b
+
+
+def test_retract_fold_equals_latest_state_random_chains(spark):
+    """Seeded-random soundness of the changelog delta algebra: for 200
+    keys with random status-update chains (insert + 0..4 updates, each
+    update's ``old`` carrying the prior status — the Maxwell envelope
+    contract), folding the +/-1 deltas must equal counting the LATEST
+    state per key, for every (province, status) group. One Spark run,
+    pure-Python reference."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.plans import dws
+
+    rng = random.Random(42)
+    statuses = ["1001", "1002", "1003", "1004", "1005", "1006"]
+    rows, latest = [], {}
+    for key in range(200):
+        prov = str(rng.randrange(8))
+        cur = "1001"
+        rows.append(("order_info", "insert", {"province_id": prov,
+                                              "order_status": cur}, None))
+        for _ in range(rng.randrange(5)):
+            new = rng.choice(statuses)
+            rows.append(
+                ("order_info", "update",
+                 {"province_id": prov, "order_status": new},
+                 {"order_status": cur} if new != cur else {"operate_time": "x"})
+            )
+            cur = new
+        latest[key] = (prov, cur)
+    rng.shuffle(rows)  # arrival order must not matter (SUM commutes)
+    ev = spark.createDataFrame(
+        rows,
+        "table string, type string, data map<string,string>, "
+        "old map<string,string>",
+    )
+    got = {
+        (r.province_id, r.order_status): r.n_orders
+        for r in dws.order_status_counts_from_deltas(
+            dws.order_status_count_deltas(ev)
+        ).collect()
+    }
+    want: dict = {}
+    for prov, status in latest.values():
+        k = (int(prov), status)
+        want[k] = want.get(k, 0) + 1
+    assert got == want
