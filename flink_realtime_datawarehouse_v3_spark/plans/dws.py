@@ -500,21 +500,36 @@ def order_status_count_deltas(order_info_events: DataFrame) -> DataFrame:
     (province never changes here — documented envelope contract).
     """
     ev = order_info_events.filter(F.col("table") == "order_info")
-    plus = ev.select(
+    # insert / bootstrap-insert / update assert the event's own status;
+    # a delete asserts nothing (its row leaves the table).
+    plus = ev.filter(F.col("type") != "delete").select(
         F.col("data")["province_id"].alias("province_id"),
         F.col("data")["order_status"].alias("order_status"),
         F.lit(1).alias("delta"),
     )
-    # Maxwell omits UNCHANGED fields from ``old``: an update that did
-    # not change the status must still retract, and it retracts the
-    # group it re-asserts (net zero) — hence the coalesce. Without it an
-    # update touching only e.g. operate_time double-counts its order
-    # (caught by test_retract_fold_equals_latest_state_random_chains).
-    minus = ev.filter(F.col("type") == "update").select(
+    # Retractions: an update retracts the PRIOR status; a delete
+    # retracts the row's last asserted state (Maxwell delete events
+    # carry the full final data image). Maxwell omits UNCHANGED fields
+    # from ``old``, so an update that did not change the status must
+    # still retract, and it retracts the group it re-asserts (net
+    # zero) — hence the coalesce; without it an update touching only
+    # e.g. operate_time double-counts its order (caught by
+    # test_retract_fold_equals_latest_state_random_chains). NOTE: the
+    # registered feed routes through the P1 parse, which drops deletes
+    # (reference parity — DimApp keeps insert/update/bootstrap-insert);
+    # the delete arm is exercised by the property test's raw envelopes.
+    minus = ev.filter(F.col("type").isin("update", "delete")).select(
         F.col("data")["province_id"].alias("province_id"),
-        F.coalesce(
-            F.col("old")["order_status"], F.col("data")["order_status"]
-        ).alias("order_status"),
+        F.when(
+            F.col("type") == "delete", F.col("data")["order_status"]
+        )
+        .otherwise(
+            F.coalesce(
+                F.col("old")["order_status"],
+                F.col("data")["order_status"],
+            )
+        )
+        .alias("order_status"),
         F.lit(-1).alias("delta"),
     )
     return plus.unionByName(minus)

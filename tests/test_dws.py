@@ -174,10 +174,11 @@ def test_dedup_tiebreak_stable_across_partitioning(spark, name):
 def test_retract_fold_equals_latest_state_random_chains(spark):
     """Seeded-random soundness of the changelog delta algebra: for 200
     keys with random status-update chains (insert + 0..4 updates, each
-    update's ``old`` carrying the prior status — the Maxwell envelope
-    contract), folding the +/-1 deltas must equal counting the LATEST
-    state per key, for every (province, status) group. One Spark run,
-    pure-Python reference."""
+    update's ``old`` carrying the prior status ONLY when it changed —
+    the Maxwell envelope contract — and a quarter of the keys ending in
+    a delete carrying the full final image), folding the +/-1 deltas
+    must equal counting the LATEST surviving state per key, for every
+    (province, status) group. One Spark run, pure-Python reference."""
     import random
 
     from pyspark.sql import functions as F
@@ -200,6 +201,12 @@ def test_retract_fold_equals_latest_state_random_chains(spark):
                  {"order_status": cur} if new != cur else {"operate_time": "x"})
             )
             cur = new
+        if rng.randrange(4) == 0:
+            rows.append(
+                ("order_info", "delete",
+                 {"province_id": prov, "order_status": cur}, None)
+            )
+            continue  # deleted rows leave the table: no latest state
         latest[key] = (prov, cur)
     rng.shuffle(rows)  # arrival order must not matter (SUM commutes)
     ev = spark.createDataFrame(
