@@ -5163,6 +5163,8 @@ def _register_streaming() -> None:
             "stream_order_status_counts",
             "dws_order_status_counts_retract",
         ),
+    }
+    pairs.update({
         # Train-offline / apply-online classifier: the (weights, bias)
         # artifact fit on the static corpus, each micro-batch scored by
         # the shared zero-shuffle projection. Stateless append.
@@ -5177,10 +5179,21 @@ def _register_streaming() -> None:
             "stream_multimodal_decode",
             "multimodal_decode",
         ),
-    }
+    })
     for name, (fn_name, batch_name) in pairs.items():
         fn = getattr(_sp, fn_name)
         register(name, fn, ORACLES.get(batch_name))
+
+    # Bounded-state redelivery dedup (r10): dropDuplicatesWithinWatermark
+    # absorbs the duplicated feed; the surviving rows equal the original
+    # events, so the oracle is a plain projection of the events table
+    # (no batch twin to pair with — the API itself is the subject).
+    register(
+        "streaming_dedup_within_watermark",
+        _sp.stream_dedup_within_watermark,
+        """SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, value
+           FROM events""",
+    )
 
     # Online ANN serving: static IVF index probed per query micro-batch
     # (stream-static bucket equi-join inside foreachBatch). Rows-only:
@@ -5359,6 +5372,7 @@ _DRIVER_WINDOW = [
     "corpus_chunk_dedup_rewrite",
     "dws_order_status_counts_retract",
     "streaming_order_status_counts",
+    "streaming_dedup_within_watermark",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
     "simsearch_hard_negatives_ivf",
@@ -5391,12 +5405,12 @@ _DRIVER_WINDOW = [
     "events_user_gap_stats",
     "events_props_k_stats",
     "events_viewers_minus_buyers",
-    "streaming_keyword_cjk_window",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "streaming_keyword_cjk_window",
     "text_bigram_lm_score",
     "events_value_anomalies",
     "events_value_k_corr",

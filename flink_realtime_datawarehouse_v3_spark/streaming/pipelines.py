@@ -1441,6 +1441,43 @@ def stream_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(ss.norm_stats(s), output_mode="complete")
 
 
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once redelivery absorption with BOUNDED state: the feed
+    re-delivers every 5th event (identical payload, identical event
+    time — the broker-retry pathology exactly-once sinks exist for) and
+    the stream drops the copies with
+    ``dropDuplicatesWithinWatermark(["event_id"])`` — Spark's
+    watermark-evicted dedup. The plain ``dropDuplicates`` keeps one
+    state row per key FOREVER (unbounded at 1e12 events/day);
+    WithinWatermark evicts a key's fingerprint once the watermark
+    passes its event time + delay, so state tracks the redelivery
+    horizon (here 10 s), not the stream's lifetime — the documented
+    contract being that a duplicate is only absorbed if it arrives
+    within the watermark delay of the first copy, which is what broker
+    retries look like. Output is the deduped append stream itself;
+    oracle = the original events (copies are byte-identical, so
+    whichever copy survives, the ROWS equal the originals)."""
+    from ..sources import tables
+
+    e = tables.load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    feed = e.unionByName(e.filter(F.col("event_id") % 5 == 0))
+    with TempStreamDir() as d:
+        _write_replay(feed, d.sub("in"), order_by=["ts"])
+        s = read_stream(spark, d.sub("in"))
+        deduped = s.withWatermark("ts", "10 seconds").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        out = deduped.select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "event_type",
+            "value",
+        )
+        return run_to_memory(out)
+
+
 def stream_order_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink's updating-stream aggregate as a LIVE retract fold: the
     order_info CDC replay parses per micro-batch, every event becomes
