@@ -1314,3 +1314,71 @@ def test_stream_dedup_within_watermark(spark):
     out = sp.stream_dedup_within_watermark(spark, SF_SMOKE)
     assert out.count() == n
     assert out.select("event_id").distinct().count() == n
+
+
+def test_observed_metrics_ride_the_stream(spark):
+    """Data-quality counters as OBSERVED METRICS: ``df.observe`` rides
+    the acceptance-gate counters on the stream itself — computed inside
+    the running plan (no second scan, no extra sink) and surfaced per
+    micro-batch through StreamingQueryProgress. The per-batch metrics
+    must sum to the batch-computed truth: the zero-cost in-flight form
+    of the expectation suite (at 100 TB this is how a pipeline alerts
+    without re-reading anything)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.sources import tables
+    from flink_realtime_datawarehouse_v3_spark.streaming.core import (
+        TempStreamDir,
+        read_stream,
+    )
+    from flink_realtime_datawarehouse_v3_spark.streaming.pipelines import (
+        _write_replay,
+    )
+
+    e = tables.load(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    want_rows = e.count()
+    want_neg = e.filter(F.col("value") < 0).count()
+    want_null_type = e.filter(F.col("event_type").isNull()).count()
+
+    with TempStreamDir() as d:
+        _write_replay(e, d.sub("in"), order_by=["ts"])
+        s = read_stream(spark, d.sub("in"))
+        obs = s.observe(
+            "gate",
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias(
+                "neg_values"
+            ),
+            F.sum(
+                F.when(F.col("event_type").isNull(), 1).otherwise(0)
+            ).alias("null_types"),
+        )
+        q = (
+            obs.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        # progress events land asynchronously after termination
+        deadline = _time.monotonic() + 30
+        got = {"rows": 0, "neg_values": 0, "null_types": 0}
+        while _time.monotonic() < deadline:
+            got = {"rows": 0, "neg_values": 0, "null_types": 0}
+            for p in q.recentProgress:
+                m = (p.observedMetrics or {}).get("gate")
+                if m is not None:
+                    got["rows"] += m["rows"]
+                    got["neg_values"] += m["neg_values"]
+                    got["null_types"] += m["null_types"]
+            if got["rows"] == want_rows:
+                break
+            _time.sleep(0.5)
+    assert got == {
+        "rows": want_rows,
+        "neg_values": want_neg,
+        "null_types": want_null_type,
+    }
