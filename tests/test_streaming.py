@@ -1382,3 +1382,61 @@ def test_observed_metrics_ride_the_stream(spark):
         "neg_values": want_neg,
         "null_types": want_null_type,
     }
+
+
+def test_statestore_reader_inspects_checkpointed_state(spark, tmp_path):
+    """Operational state inspection: the `statestore` data source reads a
+    checkpointed query's keyed state directly from the checkpoint — the
+    move an operator makes when a production aggregation misbehaves
+    (inspect state without stopping the query or adding debug sinks).
+    Pinned: the retract fold's state read back from its checkpoint
+    equals the query's own output, and the state rows live in the
+    shuffle partitions the group keys hash to (RocksDB-backed keyed
+    state, not a single blob)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.plans import dws
+    from flink_realtime_datawarehouse_v3_spark.sources import cdc, tables
+    from flink_realtime_datawarehouse_v3_spark.streaming.core import (
+        TempStreamDir,
+        read_stream,
+    )
+    from flink_realtime_datawarehouse_v3_spark.streaming.pipelines import (
+        _write_replay,
+    )
+
+    with TempStreamDir() as d:
+        raw = cdc.topic_db_json(spark, SF_SMOKE, only=["order_info"])
+        _write_replay(raw, d.sub("in"), order_by=None)
+        ev = cdc.parse_topic_db(read_stream(spark, d.sub("in")))
+        deltas = dws.order_status_count_deltas(ev)
+        agg = deltas.groupBy("province_id", "order_status").agg(
+            F.sum("delta").cast("bigint").alias("n_orders")
+        )
+        chk = str(tmp_path / "chk")
+        name = "statestore_probe"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = {
+            (r.province_id, r.order_status): r.n_orders
+            for r in spark.table(name).collect()
+        }
+        st = spark.read.format("statestore").load(chk)
+        # state-row field names are the operator's internal buffer names;
+        # access positionally (key = the grouping tuple, value = the one
+        # sum buffer)
+        state = {
+            (r.key[0], r.key[1]): r.value[0] for r in st.collect()
+        }
+    assert state == out and len(state) > 0
+    n_parts = st.select("partition_id").distinct().count()
+    assert n_parts > 1, "keyed state should spread across partitions"
