@@ -4911,6 +4911,31 @@ register(
 )
 
 
+# --- Python DataSource connector (sources/pyds.py) ---------------------------
+# Spark 4 extension surface: the reference's mock event producer as a
+# registered custom DataSource — batch reader (partition-parallel index
+# ranges) and offset-managed streaming reader share one deterministic
+# integer row derivation, value-hash-gated like every other source.
+from .sources import pyds as pyds_src  # noqa: E402
+
+def _pyds_batch(spark: SparkSession, sf: str) -> DataFrame:
+    pyds_src.ensure_registered(spark)
+    return spark.read.format(pyds_src.SOURCE_NAME).load()
+
+
+def _pyds_stream(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.core import run_to_memory
+
+    pyds_src.ensure_registered(spark)
+    return run_to_memory(
+        spark.readStream.format(pyds_src.SOURCE_NAME).load()
+    )
+
+
+register("source_pyds_events", _pyds_batch, pyds_src.oracle_sql_rows())
+register("streaming_pyds_events", _pyds_stream, pyds_src.oracle_sql_rows())
+
+
 # --- Changelog (retract) aggregate (plans/dws.py) ----------------------------
 # Flink's updating-stream COUNT semantics as delta algebra: +1 per event's
 # status, -1 per update's old status. The oracle verifies through the
@@ -5373,6 +5398,8 @@ _DRIVER_WINDOW = [
     "dws_order_status_counts_retract",
     "streaming_order_status_counts",
     "streaming_dedup_within_watermark",
+    "source_pyds_events",
+    "streaming_pyds_events",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
     "simsearch_hard_negatives_ivf",
@@ -5403,13 +5430,13 @@ _DRIVER_WINDOW = [
     "events_retention_cohort",
     "events_type_day_cube",
     "events_user_gap_stats",
-    "events_props_k_stats",
-    "events_viewers_minus_buyers",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "events_props_k_stats",
+    "events_viewers_minus_buyers",
     "streaming_keyword_cjk_window",
     "text_bigram_lm_score",
     "events_value_anomalies",
