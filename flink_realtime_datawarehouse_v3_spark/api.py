@@ -4936,6 +4936,32 @@ register("source_pyds_events", _pyds_batch, pyds_src.oracle_sql_rows())
 register("streaming_pyds_events", _pyds_stream, pyds_src.oracle_sql_rows())
 
 
+def _pyds_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Writer half: mock events through the `jsonl_commit` custom sink
+    (task-attempt staging + driver-side atomic publish — the
+    FileCommitProtocol shape in miniature) and back via schema'd JSON
+    read; the rows must survive the commit protocol byte-exactly."""
+    import shutil
+
+    pyds_src.ensure_registered(spark)
+    pyds_src.ensure_writer_registered(spark)
+    base = _tmp_sink_path("pyds_jsonl_commit", sf)
+    shutil.rmtree(base, ignore_errors=True)
+    df = spark.read.format(pyds_src.SOURCE_NAME).load()
+    df.write.format("jsonl_commit").option("path", base).mode("append").save()
+    return (
+        spark.read.schema(pyds_src.SCHEMA)
+        .json(f"{base}/part-*.jsonl")
+    )
+
+
+register(
+    "sink_pyds_jsonl_commit_roundtrip",
+    _pyds_sink_roundtrip,
+    pyds_src.oracle_sql_rows(),
+)
+
+
 # --- Changelog (retract) aggregate (plans/dws.py) ----------------------------
 # Flink's updating-stream COUNT semantics as delta algebra: +1 per event's
 # status, -1 per update's old status. The oracle verifies through the
@@ -5400,6 +5426,7 @@ _DRIVER_WINDOW = [
     "streaming_dedup_within_watermark",
     "source_pyds_events",
     "streaming_pyds_events",
+    "sink_pyds_jsonl_commit_roundtrip",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
     "simsearch_hard_negatives_ivf",
@@ -5429,12 +5456,12 @@ _DRIVER_WINDOW = [
     "events_topn_per_group",
     "events_retention_cohort",
     "events_type_day_cube",
-    "events_user_gap_stats",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "events_user_gap_stats",
     "events_props_k_stats",
     "events_viewers_minus_buyers",
     "streaming_keyword_cjk_window",

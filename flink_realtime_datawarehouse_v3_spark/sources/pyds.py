@@ -151,3 +151,107 @@ def ensure_registered(spark) -> None:
     if key not in _REGISTERED:
         spark.dataSource.register(MockEventsDataSource)
         _REGISTERED.add(key)
+
+
+# --- Writer half of the connector surface -----------------------------------
+# Task-attempt staging + driver-side atomic publish: each task writes its
+# rows to a uniquely-named staging file and returns the name as its commit
+# message; only the DRIVER's commit() publishes staged files into the
+# table directory (rename), so a speculative/retried task attempt that
+# never reaches commit() leaves only an unreferenced temp file — the
+# exactly-once-per-task contract every serious sink implements
+# (FileCommitProtocol / Iceberg's manifest commit, in miniature).
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, name: str, n_rows: int):
+        self.name, self.n_rows = name, n_rows
+
+
+def _stage_rows(path: str, rows) -> _StagedFile:
+    _os.makedirs(_os.path.join(path, "_staging"), exist_ok=True)
+    name = f"part-{_uuid.uuid4().hex}.jsonl"
+    n = 0
+    with open(_os.path.join(path, "_staging", name), "w") as f:
+        for row in rows:
+            f.write(_json.dumps(row.asDict()) + "\n")
+            n += 1
+    return _StagedFile(name, n)
+
+
+def _publish(path: str, messages, batch_id=None) -> None:
+    """Driver-side commit: rename every staged file into the table dir
+    (atomic per file; one manifest line records the commit). Files from
+    attempts that never reached commit stay in _staging — vacuumable,
+    never visible."""
+    published = []
+    for m in messages:
+        if m is None:
+            continue
+        src = _os.path.join(path, "_staging", m.name)
+        dst = _os.path.join(path, m.name)
+        _os.replace(src, dst)
+        published.append({"file": m.name, "rows": m.n_rows})
+    with open(_os.path.join(path, "_commits.jsonl"), "a") as f:
+        f.write(_json.dumps({"batch": batch_id, "files": published}) + "\n")
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _StagedFile:
+        return _stage_rows(self.path, iterator)
+
+    def commit(self, messages) -> None:
+        _publish(self.path, messages)
+
+    def abort(self, messages) -> None:
+        pass  # staged files are invisible; vacuum reclaims them
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _StagedFile:
+        return _stage_rows(self.path, iterator)
+
+    def commit(self, messages, batchId=None) -> None:
+        _publish(self.path, messages, batchId)
+
+    def abort(self, messages, batchId=None) -> None:
+        pass
+
+
+class JsonlCommitDataSource(DataSource):
+    """`jsonl_commit` — a sink with the staged-publish commit protocol,
+    usable as df.write.format("jsonl_commit").option("path", ...) and as
+    a streaming sink with per-batch commits."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commit"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _JsonlWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return _JsonlStreamWriter(self.options)
+
+
+def ensure_writer_registered(spark) -> None:
+    key = ("w", id(spark.sparkContext))
+    if key not in _REGISTERED:
+        spark.dataSource.register(JsonlCommitDataSource)
+        _REGISTERED.add(key)

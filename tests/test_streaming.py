@@ -1525,3 +1525,47 @@ def test_pyds_stream_offset_recovery(spark, tmp_path):
     final = spark.read.parquet(out_dir)
     assert final.count() == 5000  # resumed at 2500: no re-read, no gap
     assert final.select("event_id").distinct().count() == 5000
+
+
+def test_pyds_sink_commit_protocol_isolates_uncommitted_attempts(spark, tmp_path):
+    """Writer commit protocol: a task attempt that stages rows but never
+    reaches the driver's commit (speculative duplicate, retried task)
+    must stay INVISIBLE to readers — staged files only become part of
+    the table via the driver-side publish, and the commit manifest
+    accounts for exactly the published rows."""
+    import json
+    import os
+
+    from flink_realtime_datawarehouse_v3_spark.sources import pyds
+
+    pyds.ensure_registered(spark)
+    pyds.ensure_writer_registered(spark)
+    path = str(tmp_path / "tbl")
+    df = (
+        spark.read.format(pyds.SOURCE_NAME).option("n_rows", 500).load()
+    )
+    df.write.format("jsonl_commit").option("path", path).mode(
+        "append"
+    ).save()
+    # simulate the failed/speculative attempt: staged, never committed
+    class _R:
+        def __init__(self, i):
+            self._d = {"event_id": 10_000 + i}
+        def asDict(self):
+            return self._d
+    pyds._stage_rows(path, [_R(i) for i in range(7)])
+
+    visible = [
+        f for f in os.listdir(path)
+        if f.endswith(".jsonl") and not f.startswith("_")
+    ]
+    n_visible = sum(
+        1 for f in visible for _ in open(os.path.join(path, f))
+    )
+    assert n_visible == 500  # the orphaned attempt's rows are invisible
+    staged = os.listdir(os.path.join(path, "_staging"))
+    assert len(staged) == 1  # ...but still on disk, vacuumable
+    commits = [
+        json.loads(l) for l in open(os.path.join(path, "_commits.jsonl"))
+    ]
+    assert sum(f["rows"] for c in commits for f in c["files"]) == 500
