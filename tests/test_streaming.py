@@ -1440,6 +1440,16 @@ def test_statestore_reader_inspects_checkpointed_state(spark, tmp_path):
     assert state == out and len(state) > 0
     n_parts = st.select("partition_id").distinct().count()
     assert n_parts > 1, "keyed state should spread across partitions"
+    # The retract fold's MEASURED scale claim: state is one row per
+    # (province, status) GROUP, far below one per order key — the
+    # keep-latest formulation would checkpoint a row per order.
+    n_orders = (
+        cdc.topic_db_parsed(spark, SF_SMOKE, only=["order_info"])
+        .select(F.col("data")["id"])
+        .distinct()
+        .count()
+    )
+    assert len(state) * 5 < n_orders, (len(state), n_orders)
 
 
 def test_transform_with_state_matches_apply_in_pandas_with_state(spark):
