@@ -1579,3 +1579,33 @@ def test_pyds_sink_commit_protocol_isolates_uncommitted_attempts(spark, tmp_path
         json.loads(l) for l in open(os.path.join(path, "_commits.jsonl"))
     ]
     assert sum(f["rows"] for c in commits for f in c["files"]) == 500
+
+
+def test_pyds_stream_writer_commits_per_batch(spark, tmp_path):
+    """The custom sink's STREAMING path: per-micro-batch driver-side
+    publish through the same staged-commit protocol, with the commit
+    manifest recording each batch; the written table equals the feed."""
+    import json
+    import os
+
+    from flink_realtime_datawarehouse_v3_spark.sources import pyds
+
+    pyds.ensure_registered(spark)
+    pyds.ensure_writer_registered(spark)
+    path = str(tmp_path / "tbl")
+    s = spark.readStream.format(pyds.SOURCE_NAME).option("n_rows", 800).load()
+    q = (
+        s.writeStream.format("jsonl_commit")
+        .option("path", path)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    commits = [
+        json.loads(l) for l in open(os.path.join(path, "_commits.jsonl"))
+    ]
+    assert sum(f["rows"] for c in commits for f in c["files"]) == 800
+    back = spark.read.schema(pyds.SCHEMA).json(f"{path}/part-*.jsonl")
+    assert back.count() == 800
+    assert back.select("event_id").distinct().count() == 800
