@@ -2439,6 +2439,22 @@ GROUP BY doc_id"""
     ),
 )
 
+# Per-token-uniform document sampling: integer-exact length-proportional
+# Bernoulli keep (every token equally likely to have its doc survive).
+_TWS_H = text_analysis.hash40_sql("concat('tws_', CAST(doc_id AS VARCHAR))")
+
+register(
+    "corpus_sample_token_weighted",
+    lambda spark, sf: text_analysis.sample_token_weighted(_corpus(spark, sf)),
+    _csql(
+        f"""SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       {_TWS_H} AS sample_key
+FROM corpus
+WHERE {_TWS_H} * {text_analysis.TOKEN_WEIGHT_CAP}
+      < CAST(len({_TOKS}) AS BIGINT) * {1 << 40}"""
+    ),
+)
+
 register(
     "text_pii_scrub",
     lambda spark, sf: text_analysis.pii_scrub(_corpus(spark, sf)),
@@ -5427,6 +5443,7 @@ _DRIVER_WINDOW = [
     "source_pyds_events",
     "streaming_pyds_events",
     "sink_pyds_jsonl_commit_roundtrip",
+    "corpus_sample_token_weighted",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
     "simsearch_hard_negatives_ivf",
@@ -5455,12 +5472,12 @@ _DRIVER_WINDOW = [
     "text_quality_top_quantile",
     "events_topn_per_group",
     "events_retention_cohort",
-    "events_type_day_cube",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "events_type_day_cube",
     "events_user_gap_stats",
     "events_props_k_stats",
     "events_viewers_minus_buyers",

@@ -2065,3 +2065,42 @@ def chunk_dedup_rewrite(
             "clean_text",
         )
     )
+
+
+# Per-token-uniform document sampling: P(keep doc) = min(1, n_tokens/CAP),
+# so every TOKEN in the corpus has the same chance its document survives
+# — the unbiased way to cut a token budget when sampling whole documents
+# (uniform doc sampling over-represents short docs' tokens). CAP is the
+# length at which documents are always kept.
+TOKEN_WEIGHT_CAP = 96
+
+
+def sample_token_weighted(
+    corpus: DataFrame, cap: int = TOKEN_WEIGHT_CAP
+) -> DataFrame:
+    """Length-proportional (token-weighted) Bernoulli document sample,
+    integer-exact: keep iff ``hash40('tws_'||doc_id) * cap <
+    n_tokens * 2^40`` — both sides bigint, no float probability ever
+    computed, so engine and oracle agree on every keep/drop decision
+    (not just the rate). Distinct from :func:`sample_stratified`
+    (discrete per-group rates) and :func:`sample_mixture` (per-source
+    char budgets): the weight here is a per-document CONTINUOUS value,
+    the shape quality-proportional sampling takes at scale (swap
+    n_tokens for any non-negative integer score).
+
+    Scale: one projection + filter, no shuffle, no RNG state;
+    re-weighting is a pure re-filter.
+    """
+    n_tok = F.size(tokens(F.col("text")))
+    key = hash40(F.concat(F.lit("tws_"), F.col("doc_id").cast("string")))
+    return (
+        corpus.select(
+            "doc_id",
+            n_tok.cast("bigint").alias("n_tokens"),
+            key.alias("sample_key"),
+        )
+        .filter(
+            F.col("sample_key") * F.lit(cap)
+            < F.col("n_tokens") * F.lit(1 << 40)
+        )
+    )

@@ -146,6 +146,7 @@ ORACLED = [
     "er_block_stats",
     "corpus_chunk_dedup_rewrite",
     "dws_order_status_counts_retract",
+    "corpus_sample_token_weighted",
 ]
 
 
@@ -1983,3 +1984,30 @@ def test_chunk_dedup_rewrite_semantics(spark):
     for d in fully_kept:
         expect = " ".join(t for _, t in sorted(by_doc[d]))
         assert rows[d].clean_text == expect, d
+
+
+def test_token_weighted_sample_is_length_proportional(spark):
+    """The keep decision must be exactly the integer threshold (no float
+    probability), long docs (>= CAP tokens) are ALWAYS kept, and the
+    short-doc keep rate tracks n_tokens/CAP within binomial noise."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.operators import (
+        text_analysis as ta,
+    )
+
+    corpus = api._corpus(spark, SF_SMOKE)
+    kept = ta.sample_token_weighted(corpus)
+    all_docs = corpus.select(
+        "doc_id", F.size(ta.tokens(F.col("text"))).cast("bigint").alias("n")
+    )
+    kept_ids = {r.doc_id for r in kept.collect()}
+    rows = all_docs.collect()
+    long_docs = [r for r in rows if r.n >= ta.TOKEN_WEIGHT_CAP]
+    assert long_docs and all(r.doc_id in kept_ids for r in long_docs)
+    short = [r for r in rows if r.n < ta.TOKEN_WEIGHT_CAP]
+    if len(short) >= 50:
+        expect = sum(r.n / ta.TOKEN_WEIGHT_CAP for r in short)
+        got = sum(1 for r in short if r.doc_id in kept_ids)
+        sd = (expect * (1 - expect / len(short))) ** 0.5
+        assert abs(got - expect) < 5 * sd + 5, (got, expect)
