@@ -4927,6 +4927,37 @@ register(
 )
 
 
+# --- Referential-integrity audit (operators/profiling.py) --------------------
+# One row per star-schema FK edge: child rows, null FKs, LEFT-ANTI
+# orphans. The join-property complement of the row-local acceptance
+# suite; zero orphans on this corpus is the proven contract.
+_FK_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}.{fk}->{p}.{pk}' AS edge,
+       CAST(count(*) AS BIGINT) AS n_child_rows,
+       CAST(sum(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_fk,
+       CAST(sum(CASE WHEN {fk} IS NOT NULL
+                      AND {fk} NOT IN (SELECT {pk} FROM {p})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM {c}"""
+    for c, fk, p, pk in [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+)
+
+register(
+    "audit_fk_orphans",
+    lambda spark, sf: profiling_op.fk_orphan_audit(spark, sf),
+    _FK_ORACLE,
+)
+
+
 # --- Python DataSource connector (sources/pyds.py) ---------------------------
 # Spark 4 extension surface: the reference's mock event producer as a
 # registered custom DataSource — batch reader (partition-parallel index
@@ -5444,6 +5475,7 @@ _DRIVER_WINDOW = [
     "streaming_pyds_events",
     "sink_pyds_jsonl_commit_roundtrip",
     "corpus_sample_token_weighted",
+    "audit_fk_orphans",
     "simsearch_ivfpq_topk",
     "tokenizer_bpe_merges",
     "simsearch_hard_negatives_ivf",
@@ -5471,12 +5503,12 @@ _DRIVER_WINDOW = [
     "dws_traffic_keyword_cjk_window",
     "text_quality_top_quantile",
     "events_topn_per_group",
-    "events_retention_cohort",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "events_retention_cohort",
     "events_type_day_cube",
     "events_user_gap_stats",
     "events_props_k_stats",

@@ -146,3 +146,66 @@ def column_profile(events: DataFrame) -> DataFrame:
             "top_count",
         )
     )
+
+
+# Referential-integrity audit: the star schema's FK edges, each checked
+# with one LEFT ANTI join (child keys with no parent). Complements the
+# row-local acceptance suite (analytics.expectation_check): those rules
+# see one row at a time; orphan detection is inherently a JOIN property.
+FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def fk_orphan_audit(spark, sf_dir: str) -> DataFrame:
+    """One row per FK edge: child row count, null-FK count, and orphan
+    count (non-null child keys with no matching parent — LEFT ANTI).
+
+    Scale shape: per edge, the parent side ships only its distinct key
+    column; dims broadcast, the one fact-fact edge
+    (lineitem -> orders) is a shuffle anti join on the join key AQE can
+    size. All three numbers per edge come from aggregates — nothing
+    row-level leaves the executors. Zero orphans on this corpus is the
+    point: the audit proves integrity, and any future generator bug
+    fails the hash gate with a named edge.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources import tables
+
+    out = None
+    for child, fk, parent, pk in FK_EDGES:
+        c = tables.load(spark, sf_dir, child)
+        p = tables.load(spark, sf_dir, parent).select(
+            F.col(pk).alias("__pk")
+        ).distinct()
+        keys = c.select(F.col(fk).alias("__fk"))
+        orphans = (
+            keys.filter(F.col("__fk").isNotNull())
+            .join(p, F.col("__fk") == F.col("__pk"), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("n"))
+        )
+        edge = (
+            keys.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+                F.sum(F.col("__fk").isNull().cast("int"))
+                .cast("bigint")
+                .alias("n_null_fk"),
+            )
+            .crossJoin(orphans)
+            .select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
+                "n_child_rows",
+                "n_null_fk",
+                F.col("n").cast("bigint").alias("n_orphans"),
+            )
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out

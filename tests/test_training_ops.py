@@ -147,6 +147,7 @@ ORACLED = [
     "corpus_chunk_dedup_rewrite",
     "dws_order_status_counts_retract",
     "corpus_sample_token_weighted",
+    "audit_fk_orphans",
 ]
 
 
