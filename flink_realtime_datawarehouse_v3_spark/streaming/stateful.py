@@ -610,9 +610,6 @@ def upsert_sink_snapshot(
     """
 
     def fn(batch: DataFrame, batch_id: int) -> None:
-        import json
-        import tempfile
-
         spark = batch.sparkSession
         from ..operators.dedup import keep_latest
 
@@ -622,68 +619,142 @@ def upsert_sink_snapshot(
         touched = [r[0] for r in incoming.select("__bucket").distinct().collect()]
         if not touched:
             return
-        for attempt in range(MAX_COMMIT_RETRIES):
-            manifest, version = _read_manifest_versioned(path)
+
+        def build_merged(manifest: dict) -> DataFrame:
             current = _read_buckets(spark, path, manifest, touched)
             if current is not None:
-                merged = keep_latest(
+                return keep_latest(
                     current.withColumn("__gen", F.lit(0)).unionByName(
                         incoming, allowMissingColumns=True
                     ),
                     keys,
                     [order_col, "__gen"],
-                )
-            else:
-                merged = keep_latest(incoming, keys, [order_col, "__gen"])
-            gen_dir = f"gen-{batch_id}" if attempt == 0 else f"gen-{batch_id}-r{attempt}"
-            (
-                merged.drop("__gen")
-                .localCheckpoint()
-                .repartition(F.col("__bucket"))
-                .write.mode("overwrite")
-                .partitionBy("__bucket")
-                .parquet(os.path.join(path, gen_dir))
-            )
-            lock = _acquire_commit_lock(path)
-            try:
-                _, cur_version = _read_manifest_versioned(path)
-                if cur_version != version:
-                    # another writer committed since our merge read the
-                    # manifest: our merged view may be stale — lose,
-                    # release, re-merge from the fresh snapshot.
-                    continue
-                for b in touched:
-                    manifest[b] = gen_dir
-                doc = {
-                    "version": version + 1,
-                    "buckets": {str(k): v for k, v in manifest.items()},
-                }
-                fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest")
-                with os.fdopen(fd, "w") as f:
-                    json.dump(doc, f)
-                # Archive the per-version manifest FIRST (time travel):
-                # a crash between archive and swap leaves only an
-                # unreferenced vN file — harmless; the reverse order
-                # could commit a version that can never be time-traveled.
-                os.makedirs(os.path.join(path, MANIFESTS_DIR), exist_ok=True)
-                with open(
-                    os.path.join(
-                        path, MANIFESTS_DIR, f"v{version + 1}.json"
-                    ),
-                    "w",
-                ) as f:
-                    json.dump(doc, f)
-                os.replace(tmp, os.path.join(path, MANIFEST_NAME))  # THE commit
-                return
-            finally:
-                os.unlink(lock)
-        raise RuntimeError(
-            f"upsert_sink_snapshot: lost the manifest race "
-            f"{MAX_COMMIT_RETRIES} times at {path} (batch {batch_id}) — "
-            "pathological writer contention; no partial state was committed"
-        )
+                ).drop("__gen")
+            return keep_latest(
+                incoming, keys, [order_col, "__gen"]
+            ).drop("__gen")
+
+        _commit_generation_cas(spark, path, touched, str(batch_id), build_merged)
 
     return fn
+
+
+def _commit_generation_cas(
+    spark, path: str, touched: list, batch_tag: str, build_merged
+) -> None:
+    """The CAS commit section shared by the MERGE sink and the keyed
+    DELETE: re-derive the touched buckets from the CURRENT manifest
+    (``build_merged(manifest) -> DataFrame`` with ``__bucket``), write
+    them to a fresh immutable generation dir, then commit under the
+    O_EXCL lock iff the manifest version is unmoved — a loser re-merges
+    from the fresh snapshot (orphaned gen dirs stay vacuumable); retry
+    exhaustion raises, never a quiet lost update."""
+    import json
+    import tempfile
+
+    for attempt in range(MAX_COMMIT_RETRIES):
+        manifest, version = _read_manifest_versioned(path)
+        merged = build_merged(manifest)
+        gen_dir = (
+            f"gen-{batch_tag}" if attempt == 0 else f"gen-{batch_tag}-r{attempt}"
+        )
+        (
+            merged.localCheckpoint()
+            .repartition(F.col("__bucket"))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(os.path.join(path, gen_dir))
+        )
+        lock = _acquire_commit_lock(path)
+        try:
+            _, cur_version = _read_manifest_versioned(path)
+            if cur_version != version:
+                # another writer committed since our merge read the
+                # manifest: our merged view may be stale — lose,
+                # release, re-merge from the fresh snapshot.
+                continue
+            for b in touched:
+                manifest[b] = gen_dir
+            doc = {
+                "version": version + 1,
+                "buckets": {str(k): v for k, v in manifest.items()},
+            }
+            fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest")
+            with os.fdopen(fd, "w") as f:
+                json.dump(doc, f)
+            # Archive the per-version manifest FIRST (time travel):
+            # a crash between archive and swap leaves only an
+            # unreferenced vN file — harmless; the reverse order
+            # could commit a version that can never be time-traveled.
+            os.makedirs(os.path.join(path, MANIFESTS_DIR), exist_ok=True)
+            with open(
+                os.path.join(path, MANIFESTS_DIR, f"v{version + 1}.json"),
+                "w",
+            ) as f:
+                json.dump(doc, f)
+            os.replace(tmp, os.path.join(path, MANIFEST_NAME))  # THE commit
+            return
+        finally:
+            os.unlink(lock)
+    raise RuntimeError(
+        f"snapshot commit: lost the manifest race "
+        f"{MAX_COMMIT_RETRIES} times at {path} (batch {batch_tag}) — "
+        "pathological writer contention; no partial state was committed"
+    )
+
+
+def delete_from_upsert_snapshot(
+    spark,
+    path: str,
+    keys: list[str],
+    keys_df: DataFrame,
+    n_buckets: int = N_UPSERT_BUCKETS,
+) -> int:
+    """Keyed DELETE on the MVCC table (the right-to-be-forgotten
+    primitive): anti-join the requested keys out of exactly their own
+    buckets and commit a new generation through the same CAS section as
+    the MERGE sink — O(touched buckets) IO, concurrent-writer safe, and
+    snapshot-consistent for readers.
+
+    Erasure nuance a real compliance pipeline must respect: the delete
+    commits a NEW VERSION — time travel still reproduces pre-delete
+    snapshots until :func:`vacuum_upsert_snapshot` retention drops
+    them. TRUE erasure = delete + vacuum past every retained pre-delete
+    version (pinned by ``test_upsert_snapshot_delete_and_purge``).
+
+    ``keys_df`` values are CAST to the table's own key column types
+    before hashing (murmur3 is type-dependent — the
+    :func:`read_upsert_snapshot_lookup` lesson: a bigint probe against
+    an int column silently selects the wrong bucket). Returns the
+    number of rows deleted.
+    """
+    current_table = read_upsert_snapshot(spark, path)
+    if current_table is None:
+        return 0
+    types = {f.name: f.dataType for f in current_table.schema.fields}
+    probe = keys_df.select(
+        *[F.col(k).cast(types[k]).alias(k) for k in keys]
+    ).distinct()
+    tagged = probe.withColumn("__bucket", bucket_of(keys, n_buckets))
+    manifest0, _ = _read_manifest_versioned(path)
+    # Only buckets that have ever been written can hold rows to delete;
+    # a probe key hashing to a never-written bucket must not commit a
+    # manifest pointer at an (empty) generation dir.
+    touched = sorted(
+        {r[0] for r in tagged.select("__bucket").distinct().collect()}
+        & set(manifest0)
+    )
+    if not touched:
+        return 0
+    n_before = current_table.count()
+
+    def build_merged(manifest: dict) -> DataFrame:
+        current = _read_buckets(spark, path, manifest, touched)
+        # current cannot be None: touched intersects the manifest
+        return current.join(probe, keys, "left_anti")
+
+    _commit_generation_cas(spark, path, touched, "del", build_merged)
+    return n_before - read_upsert_snapshot(spark, path).count()
 
 
 def vacuum_upsert_snapshot(

@@ -1609,3 +1609,46 @@ def test_pyds_stream_writer_commits_per_batch(spark, tmp_path):
     back = spark.read.schema(pyds.SCHEMA).json(f"{path}/part-*.jsonl")
     assert back.count() == 800
     assert back.select("event_id").distinct().count() == 800
+
+
+def test_upsert_snapshot_delete_and_purge(spark, tmp_path):
+    """Right-to-be-forgotten on the MVCC table: keyed DELETE commits a
+    new version through the same CAS section as the MERGE (O(touched
+    buckets), snapshot-consistent); TIME TRAVEL still reproduces the
+    pre-delete snapshot — the compliance nuance — until retention
+    vacuum drops it, after which the pre-delete versions raise and the
+    erased rows are unreachable from any readable version."""
+    import os
+
+    import pytest as _pytest
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import stateful
+
+    path = str(tmp_path / "gdpr_tbl")
+    os.makedirs(path)
+    fn = stateful.upsert_sink_snapshot(["id"], "ts", path)
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(40)], "id int, val string, ts long"
+    )
+    fn(base, 0)  # version 1
+
+    gone = spark.createDataFrame([(3,), (17,), (9999,)], "id long")
+    n = stateful.delete_from_upsert_snapshot(
+        spark, path, ["id"], gone
+    )  # bigint probe vs int column: must cast, and 9999 never existed
+    assert n == 2
+
+    now = {r.id for r in stateful.read_upsert_snapshot(spark, path).collect()}
+    assert 3 not in now and 17 not in now and len(now) == 38
+    # pre-delete snapshot still reproducible (delete is a new version)
+    v1 = {
+        r.id
+        for r in stateful.read_upsert_snapshot(spark, path, version=1).collect()
+    }
+    assert 3 in v1 and 17 in v1 and len(v1) == 40
+    # true erasure: vacuum retention drops the pre-delete version
+    stateful.vacuum_upsert_snapshot(path, retain_versions=1)
+    with _pytest.raises(ValueError):
+        stateful.read_upsert_snapshot(spark, path, version=1)
+    still = {r.id for r in stateful.read_upsert_snapshot(spark, path).collect()}
+    assert still == now  # live snapshot untouched by the purge
