@@ -459,6 +459,8 @@ MANIFESTS_DIR = "_manifests"  # archived per-version manifests (time travel)
 COMMIT_LOCK_NAME = "_COMMIT.lock"
 MAX_COMMIT_RETRIES = 3
 VACUUM_RETAIN_VERSIONS = 3  # snapshots a default vacuum keeps readable
+VACUUM_GRACE_S = 600.0  # reader lease: min seconds between tombstone & purge
+TOMBSTONES_NAME = "_TOMBSTONES.json"  # gen dir -> first-seen-unreferenced ts
 
 
 def _read_manifest(path: str) -> dict:
@@ -620,41 +622,55 @@ def upsert_sink_snapshot(
         if not touched:
             return
 
-        def build_merged(manifest: dict) -> DataFrame:
+        def build_merged(manifest: dict):
+            # touched is manifest-independent here (it comes from the
+            # incoming batch's own keys), so every attempt returns the
+            # same list; the delete path, whose touched set depends on
+            # the manifest, recomputes it per attempt.
             current = _read_buckets(spark, path, manifest, touched)
             if current is not None:
-                return keep_latest(
-                    current.withColumn("__gen", F.lit(0)).unionByName(
-                        incoming, allowMissingColumns=True
-                    ),
-                    keys,
-                    [order_col, "__gen"],
-                ).drop("__gen")
-            return keep_latest(
-                incoming, keys, [order_col, "__gen"]
-            ).drop("__gen")
+                return (
+                    keep_latest(
+                        current.withColumn("__gen", F.lit(0)).unionByName(
+                            incoming, allowMissingColumns=True
+                        ),
+                        keys,
+                        [order_col, "__gen"],
+                    ).drop("__gen"),
+                    touched,
+                )
+            return (
+                keep_latest(incoming, keys, [order_col, "__gen"]).drop("__gen"),
+                touched,
+            )
 
-        _commit_generation_cas(spark, path, touched, str(batch_id), build_merged)
+        _commit_generation_cas(spark, path, str(batch_id), build_merged)
 
     return fn
 
 
 def _commit_generation_cas(
-    spark, path: str, touched: list, batch_tag: str, build_merged
+    spark, path: str, batch_tag: str, build_merged
 ) -> None:
     """The CAS commit section shared by the MERGE sink and the keyed
-    DELETE: re-derive the touched buckets from the CURRENT manifest
-    (``build_merged(manifest) -> DataFrame`` with ``__bucket``), write
-    them to a fresh immutable generation dir, then commit under the
-    O_EXCL lock iff the manifest version is unmoved — a loser re-merges
-    from the fresh snapshot (orphaned gen dirs stay vacuumable); retry
-    exhaustion raises, never a quiet lost update."""
+    DELETE: ``build_merged(manifest) -> (DataFrame with __bucket,
+    touched bucket list)`` re-derives BOTH the merged view and the
+    touched-bucket set from the CURRENT manifest on every attempt (a
+    CAS loser's concurrent winner may have added manifest buckets the
+    first attempt never saw — r11, per the advisor's retry-staleness
+    note), writes the touched buckets to a fresh immutable generation
+    dir, then commits under the O_EXCL lock iff the manifest version is
+    unmoved — a loser re-merges from the fresh snapshot (orphaned gen
+    dirs stay vacuumable); retry exhaustion raises, never a quiet lost
+    update."""
     import json
     import tempfile
 
     for attempt in range(MAX_COMMIT_RETRIES):
         manifest, version = _read_manifest_versioned(path)
-        merged = build_merged(manifest)
+        merged, touched = build_merged(manifest)
+        if not touched:
+            return  # nothing this writer can affect exists in the table
         gen_dir = (
             f"gen-{batch_tag}" if attempt == 0 else f"gen-{batch_tag}-r{attempt}"
         )
@@ -725,52 +741,97 @@ def delete_from_upsert_snapshot(
     ``keys_df`` values are CAST to the table's own key column types
     before hashing (murmur3 is type-dependent — the
     :func:`read_upsert_snapshot_lookup` lesson: a bigint probe against
-    an int column silently selects the wrong bucket). Returns the
-    number of rows deleted.
+    an int column silently selects the wrong bucket). The key types
+    come from ONE manifest-resolved bucket dir (a parquet-footer read),
+    never a full-table scan: key columns are hash-stable across
+    generations by construction — evolved key types would break every
+    reader's bucket routing, not just this probe.
+
+    Returns the number of rows deleted, counted via a ``left_semi``
+    over the touched buckets only — the whole call reads O(touched
+    buckets), never O(table) (r11, replacing two full-table ``count()``
+    scans). Each delete commits a FRESH uuid-tagged immutable
+    generation dir (r11): a constant tag would let a second delete
+    ``mode=overwrite`` a generation that archived manifests still
+    reference, tearing time travel. The touched-bucket set is
+    recomputed per CAS attempt against the then-current manifest, so a
+    concurrent upsert landing a probed key in a new bucket between
+    attempts cannot survive the delete silently.
     """
-    current_table = read_upsert_snapshot(spark, path)
-    if current_table is None:
+    from uuid import uuid4
+
+    manifest0, _ = _read_manifest_versioned(path)
+    if not manifest0:
         return 0
-    types = {f.name: f.dataType for f in current_table.schema.fields}
+    b0 = min(manifest0)
+    sample = spark.read.parquet(
+        os.path.join(path, manifest0[b0], f"__bucket={b0}")
+    )
+    types = {f.name: f.dataType for f in sample.schema.fields}
     probe = keys_df.select(
         *[F.col(k).cast(types[k]).alias(k) for k in keys]
     ).distinct()
-    tagged = probe.withColumn("__bucket", bucket_of(keys, n_buckets))
-    manifest0, _ = _read_manifest_versioned(path)
-    # Only buckets that have ever been written can hold rows to delete;
-    # a probe key hashing to a never-written bucket must not commit a
-    # manifest pointer at an (empty) generation dir.
-    touched = sorted(
-        {r[0] for r in tagged.select("__bucket").distinct().collect()}
-        & set(manifest0)
-    )
-    if not touched:
-        return 0
-    n_before = current_table.count()
+    # Bounded collect: <= n_buckets ints — every bucket a probe key CAN
+    # hash to; fixed across CAS attempts (the probe itself never moves).
+    probe_buckets = {
+        r[0]
+        for r in probe.withColumn("__bucket", bucket_of(keys, n_buckets))
+        .select("__bucket")
+        .distinct()
+        .collect()
+    }
+    n_deleted = {"n": 0}
 
-    def build_merged(manifest: dict) -> DataFrame:
+    def build_merged(manifest: dict):
+        # Intersect against THIS attempt's manifest, not manifest0: a
+        # concurrent writer may have added buckets since; and a probe
+        # key hashing to a never-written bucket must not commit a
+        # manifest pointer at an (empty) generation dir.
+        touched = sorted(probe_buckets & set(manifest))
+        if not touched:
+            return None, []
         current = _read_buckets(spark, path, manifest, touched)
-        # current cannot be None: touched intersects the manifest
-        return current.join(probe, keys, "left_anti")
+        n_deleted["n"] = current.join(probe, keys, "left_semi").count()
+        return current.join(probe, keys, "left_anti"), touched
 
-    _commit_generation_cas(spark, path, touched, "del", build_merged)
-    return n_before - read_upsert_snapshot(spark, path).count()
+    _commit_generation_cas(
+        spark, path, f"del-{uuid4().hex[:12]}", build_merged
+    )
+    return n_deleted["n"]
 
 
 def vacuum_upsert_snapshot(
-    path: str, retain_versions: int = VACUUM_RETAIN_VERSIONS
+    path: str,
+    retain_versions: int = VACUUM_RETAIN_VERSIONS,
+    grace_s: float = VACUUM_GRACE_S,
 ) -> list[str]:
     """Retention-aware vacuum (the Delta VACUUM contract): keep every
     generation dir referenced by the CURRENT manifest or by any of the
     last ``retain_versions`` archived manifests — those snapshot
-    versions stay time-travel-readable — and drop everything older
-    (plus archived manifests past retention, so ``read_upsert_snapshot``
-    raises a clear not-available error rather than reading a
-    half-vacuumed snapshot). Safe once in-flight readers of
-    past-retention snapshots have drained. Returns the removed
-    generation dir names."""
+    versions stay time-travel-readable — and drop everything older.
+    Archived manifests past retention are unlinked immediately, so a
+    NEW ``read_upsert_snapshot(version=N)`` raises the clear
+    not-available error rather than resolving a snapshot about to lose
+    its data.
+
+    READER LEASE (r11): a generation dir that falls out of retention is
+    not removed on sight — it is first TOMBSTONED (``_TOMBSTONES.json``
+    records when this vacuum first saw it unreferenced) and only
+    deleted by a vacuum running at least ``grace_s`` seconds later.
+    The lease contract this enforces: a reader that resolved a manifest
+    while its version was still retained has ``grace_s`` seconds to
+    finish scanning; within the lease its generation dirs cannot
+    disappear mid-scan. A reader that outlives the lease FAILS LOUDLY —
+    Spark's default ``spark.sql.files.ignoreMissingFiles=false`` turns
+    the missing dir into an error, never a silently partial frame
+    (pinned by ``test_vacuum_reader_lease``). This is exactly Delta's
+    ``deletedFileRetentionDuration``: retention must exceed the longest
+    reader, and ``grace_s=0`` (purge now — both phases in one call) is
+    the explicit compliance override the erasure test uses. Returns the
+    removed generation dir names."""
     import json
     import shutil
+    import time
 
     _, cur_version = _read_manifest_versioned(path)
     live = set(_read_manifest(path).values())
@@ -785,11 +846,26 @@ def vacuum_upsert_snapshot(
                     live |= set(json.load(f)["buckets"].values())
             else:
                 os.unlink(mp)
+    tpath = os.path.join(path, TOMBSTONES_NAME)
+    tombs: dict[str, float] = {}
+    if os.path.exists(tpath):
+        with open(tpath) as f:
+            tombs = json.load(f)
+    now = time.time()
     removed = []
     for d in sorted(os.listdir(path)):
-        if d.startswith("gen-") and d not in live:
-            shutil.rmtree(os.path.join(path, d))
+        if not d.startswith("gen-"):
+            continue
+        if d in live:
+            tombs.pop(d, None)  # re-referenced (defensive; shouldn't happen)
+        elif d not in tombs and grace_s > 0:
+            tombs[d] = now  # phase 1: start this dir's reader lease
+        elif now - tombs.get(d, now) >= grace_s:
+            shutil.rmtree(os.path.join(path, d))  # phase 2: lease expired
+            tombs.pop(d, None)
             removed.append(d)
+    with open(tpath, "w") as f:
+        json.dump(tombs, f)
     return removed
 
 
