@@ -4996,9 +4996,14 @@ def _pyds_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     df = spark.read.format(pyds_src.SOURCE_NAME).load()
     df.write.format("jsonl_commit").option("path", base).mode("append").save()
+    # pathGlobFilter over the real dir, not a glob path: a glob path
+    # trips FileStreamSink's metadata probe into logging a WARN with a
+    # full stacktrace (dirty bench/correctness tails); underscore names
+    # (_staging/, _commits.jsonl) are hidden from the file index anyway.
     return (
         spark.read.schema(pyds_src.SCHEMA)
-        .json(f"{base}/part-*.jsonl")
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(base)
     )
 
 

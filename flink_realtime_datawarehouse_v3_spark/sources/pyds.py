@@ -39,7 +39,6 @@ from pyspark.sql.datasource import (
 SOURCE_NAME = "mock_events"
 DEFAULT_ROWS = 5000
 DEFAULT_PARTS = 8
-BATCH_ROWS = 1250  # streaming: rows admitted per latestOffset() poll
 TS_BASE_MS = 1_640_995_200_000  # 2022-01-01T00:00:00Z
 TS_STEP_MS = 250
 EVENT_TYPES = ["view", "click", "cart", "favor", "order"]
@@ -95,14 +94,25 @@ class _MockBatchReader(DataSourceReader):
 
 
 class _MockStreamReader(DataSourceStreamReader):
-    """Offset-managed streaming form: each ``latestOffset`` poll admits
-    the next ``batch_rows`` indices until ``n_rows`` is exhausted, so
-    availableNow drains the bounded feed in ceil(n/batch) micro-batches
-    and a restart resumes from the committed offset dict."""
+    """Offset-managed streaming form. ``latestOffset`` reports the true
+    log end (all ``n_rows`` of the bounded mock feed are available the
+    moment the query starts — the Kafka-broker analogy), so one
+    availableNow run drains everything NEW since the checkpointed
+    offset in a single micro-batch. Per-poll admission capping (Kafka's
+    ``maxOffsetsPerTrigger`` / ReadLimit) is NOT exposed by the Python
+    DataSource API — ``latestOffset()`` takes no start/limit arguments
+    and a freshly restarted reader is never told the committed offset
+    before its first poll, so a reader-side cap cannot be made
+    restart-safe (it would either re-admit from zero or deadlock at its
+    own first poll). Multi-batch progress therefore happens ACROSS
+    runs: each run's batch covers [committed, n_rows), proven by
+    ``test_pyds_stream_offset_recovery`` (drain, extend the feed,
+    resume from the committed index — no re-read, no gap) and the
+    per-run commit accounting in
+    ``test_pyds_stream_writer_commits_per_batch``."""
 
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", DEFAULT_ROWS))
-        self.batch_rows = int(options.get("batch_rows", BATCH_ROWS))
         self.n_parts = int(options.get("n_parts", DEFAULT_PARTS))
 
     def initialOffset(self) -> dict:

@@ -1584,7 +1584,12 @@ def test_pyds_sink_commit_protocol_isolates_uncommitted_attempts(spark, tmp_path
 def test_pyds_stream_writer_commits_per_batch(spark, tmp_path):
     """The custom sink's STREAMING path: per-micro-batch driver-side
     publish through the same staged-commit protocol, with the commit
-    manifest recording each batch; the written table equals the feed."""
+    manifest recording each batch. Two availableNow runs on the same
+    checkpoint (feed extended between them) force TWO distinct batches
+    — each run drains [committed, n_rows) in one batch, the Python
+    DataSource API's admission shape — so the manifest must show two
+    batch ids with exact per-batch row accounting and the table must
+    equal the final feed with no re-writes of run-1 rows."""
     import json
     import os
 
@@ -1593,20 +1598,36 @@ def test_pyds_stream_writer_commits_per_batch(spark, tmp_path):
     pyds.ensure_registered(spark)
     pyds.ensure_writer_registered(spark)
     path = str(tmp_path / "tbl")
-    s = spark.readStream.format(pyds.SOURCE_NAME).option("n_rows", 800).load()
-    q = (
-        s.writeStream.format("jsonl_commit")
-        .option("path", path)
-        .option("checkpointLocation", str(tmp_path / "chk"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+
+    def drain(n_rows: int) -> None:
+        s = (
+            spark.readStream.format(pyds.SOURCE_NAME)
+            .option("n_rows", n_rows)
+            .load()
+        )
+        q = (
+            s.writeStream.format("jsonl_commit")
+            .option("path", path)
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain(500)
+    drain(800)  # same checkpoint: resumes at 500, second batch = 300 rows
     commits = [
         json.loads(l) for l in open(os.path.join(path, "_commits.jsonl"))
     ]
-    assert sum(f["rows"] for c in commits for f in c["files"]) == 800
-    back = spark.read.schema(pyds.SCHEMA).json(f"{path}/part-*.jsonl")
+    per_batch = {
+        c["batch"]: sum(f["rows"] for f in c["files"]) for c in commits
+    }
+    assert per_batch == {0: 500, 1: 300}, per_batch
+    back = (
+        spark.read.schema(pyds.SCHEMA)
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(path)
+    )
     assert back.count() == 800
     assert back.select("event_id").distinct().count() == 800
 
