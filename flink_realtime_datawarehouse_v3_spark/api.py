@@ -5014,6 +5014,62 @@ register(
 )
 
 
+def _mvcc_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-format MVCC interop (r11): MERGE the order_info changelog
+    into the snapshot-isolated table through three deterministic
+    batches, EXPORT the committed snapshot to plain parquet + manifest
+    (`export_upsert_snapshot` — the handoff move real lakes do), and
+    return the exported files read back with bare spark.read.parquet —
+    no manifest resolver anywhere on the read path. Hash-gated against
+    the same last-writer-wins oracle as the streaming upsert entries:
+    the export must preserve the merged state byte-for-byte. Batch
+    assignment is ts%3 — any deterministic split works because
+    keep-latest orders on (ts, batch) and a given id's CDC events have
+    distinct ts in this corpus."""
+    import os as _os2
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .streaming import stateful as _st
+
+    base = _tmp_sink_path("mvcc_export", sf)
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = _os2.path.join(base, "tbl")
+    exp = _os2.path.join(base, "export")
+    _os2.makedirs(tbl)
+    flat = cdc.topic_db(spark, sf, only=["order_info"]).select(
+        F.col("data").getItem("id").alias("id"),
+        F.col("data").getItem("order_status").alias("order_status"),
+        F.col("data").getItem("operate_time").alias("operate_time"),
+        F.col("ts").cast("long").alias("ts"),
+    )
+    fn = _st.upsert_sink_snapshot(["id"], "ts", tbl)
+    for k in range(3):
+        fn(flat.filter(F.col("ts") % 3 == k), k)
+    _st.export_upsert_snapshot(spark, tbl, exp)
+    return spark.read.parquet(exp)
+
+
+# Same last-writer-wins oracle as streaming_order_info_upsert (that
+# entry registers later, in _register_streaming, so the SQL is stated
+# here rather than shared by lookup).
+register(
+    "sink_mvcc_export_parquet",
+    _mvcc_export_roundtrip,
+    oracle.sql(
+        """SELECT id, order_status, operate_time, ts FROM (
+               SELECT id, order_status, operate_time,
+                      CAST(ts AS BIGINT) AS ts,
+                      row_number() OVER (
+                          PARTITION BY id
+                          ORDER BY CAST(ts AS BIGINT) DESC) AS rn
+               FROM order_info_cdc) WHERE rn = 1""",
+        "order_info_cdc",
+    ),
+)
+
+
 # --- Changelog (retract) aggregate (plans/dws.py) ----------------------------
 # Flink's updating-stream COUNT semantics as delta algebra: +1 per event's
 # status, -1 per update's old status. The oracle verifies through the
@@ -5444,7 +5500,7 @@ _register_streaming()
 # rounds STRICTLY OLDER than this, so the gate stays green when THIS
 # round's record lands (the r04 lesson: a gate keyed on "all records" fails
 # on schedule the moment the round it shaped gets recorded).
-_WINDOW_ROUND = 10
+_WINDOW_ROUND = 11
 
 # Rows-only entries deliberately inside the checked window this round
 # (never-driver-executed first, then new/changed, then the stalest
@@ -5452,12 +5508,67 @@ _WINDOW_ROUND = 10
 # telemetry under the driver's real session. Generated by
 # tools/rebuild_window.py; do not hand-edit.
 _WINDOW_ROWS_ONLY = {
-    "simsearch_hard_negatives_ivf",
-    "simsearch_ivfpq_topk",
-    "tokenizer_bpe_merges",
+    "dedup_embedding_semdedup",
+    "embedding_ivf_cell_stats",
+    "embedding_pca_project",
 }
 
 _DRIVER_WINDOW = [
+    "sink_mvcc_export_parquet",
+    "dedup_embedding_semdedup",
+    "embedding_pca_project",
+    "embedding_ivf_cell_stats",
+    "sink_pyds_jsonl_commit_roundtrip",
+    "streaming_pyds_events",
+    "source_pyds_events",
+    "streaming_order_info_upsert_snapshot",
+    "events_retention_cohort",
+    "events_type_day_cube",
+    "events_user_gap_stats",
+    "events_props_k_stats",
+    "events_viewers_minus_buyers",
+    "streaming_keyword_cjk_window",
+    "text_bigram_lm_score",
+    "events_value_anomalies",
+    "events_value_k_corr",
+    "events_type_counts_top",
+    "streaming_type_counts_top",
+    "corpus_lang_unpivot",
+    "events_time_rollup",
+    "events_hop_window",
+    "dwd_trade_order_pre_process",
+    "dedup_embedding_cosine",
+    "dedup_containment",
+    "dedup_edit_distance",
+    "dedup_incremental",
+    "dedup_cluster_keep",
+    "dedup_embedding_cluster_keep",
+    "streaming_dedup_incremental",
+    "dedup_substring_spans",
+    "corpus_span_hotlist",
+    "text_gopher_filter",
+    "corpus_sample_mixture",
+    "streaming_sample_mixture",
+    "dws_keyword_window_udtf_sql",
+    "embedding_quantize_int8",
+    "text_corpus_clean",
+    "text_quality_score",
+    "text_lang_id",
+    "text_sample_stratified",
+    "multimodal_decode",
+    "dwd_trade_cart_add",
+    "dwd_traffic_dirty_log",
+    "dim_coupon_use_scd2",
+    "dws_traffic_page_view_window",
+    "dws_trade_user_spu_order_window",
+    "dws_trade_order_window",
+    "join_salted_skew",
+    "join_activity_coupon_full_outer",
+]
+
+# Proven in earlier rounds; rotated past the cutoff. The
+# rows-only-by-design entries (no oracle possible) sit strictly last.
+_DRIVER_TAIL = [
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
@@ -5476,14 +5587,8 @@ _DRIVER_WINDOW = [
     "dws_order_status_counts_retract",
     "streaming_order_status_counts",
     "streaming_dedup_within_watermark",
-    "source_pyds_events",
-    "streaming_pyds_events",
-    "sink_pyds_jsonl_commit_roundtrip",
     "corpus_sample_token_weighted",
     "audit_fk_orphans",
-    "simsearch_ivfpq_topk",
-    "tokenizer_bpe_merges",
-    "simsearch_hard_negatives_ivf",
     "streaming_activity_coupon_full_outer",
     "streaming_traffic_union_window",
     "streaming_pay_detail_suc",
@@ -5508,28 +5613,8 @@ _DRIVER_WINDOW = [
     "dws_traffic_keyword_cjk_window",
     "text_quality_top_quantile",
     "events_topn_per_group",
-]
-
-# Proven in earlier rounds; rotated past the cutoff. The
-# rows-only-by-design entries (no oracle possible) sit strictly last.
-_DRIVER_TAIL = [
-    "events_retention_cohort",
-    "events_type_day_cube",
-    "events_user_gap_stats",
-    "events_props_k_stats",
-    "events_viewers_minus_buyers",
-    "streaming_keyword_cjk_window",
-    "text_bigram_lm_score",
-    "events_value_anomalies",
-    "events_value_k_corr",
-    "events_type_counts_top",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
-    "streaming_type_counts_top",
-    "corpus_lang_unpivot",
-    "events_time_rollup",
-    "events_hop_window",
     "tpch_q17_small_qty_revenue",
     "tpch_q20_dominant_suppliers",
     "tpch_q22_idle_rich_customers",
@@ -5543,7 +5628,6 @@ _DRIVER_TAIL = [
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
     "corpus_sample_fixed_per_source",
-    "streaming_order_info_upsert_snapshot",
     "events_value_trailing_window",
     "streaming_value_trailing_window",
     "events_type_day_grouping_sets",
@@ -5650,7 +5734,6 @@ _DRIVER_TAIL = [
     "sink_corpus_partition_upsert",
     "sink_events_zorder_read",
     "corpus_shard_pack",
-    "dedup_containment",
     "decontaminate_ngram",
     "dedup_ngram_jaccard",
     "corpus_dup_ngram_rate",
@@ -5662,48 +5745,22 @@ _DRIVER_TAIL = [
     "dws_trade_trademark_category_user_refund_window",
     "dws_trade_payment_suc_window",
     "dws_trade_cart_add_uu_window",
-    "dedup_edit_distance",
-    "dedup_incremental",
-    "dedup_cluster_keep",
-    "dedup_embedding_cluster_keep",
-    "streaming_dedup_incremental",
-    "dedup_substring_spans",
-    "corpus_span_hotlist",
-    "text_gopher_filter",
-    "corpus_sample_mixture",
-    "streaming_sample_mixture",
-    "dws_keyword_window_udtf_sql",
-    "embedding_quantize_int8",
-    "text_corpus_clean",
-    "text_quality_score",
-    "text_lang_id",
-    "text_sample_stratified",
-    "multimodal_decode",
-    "dwd_trade_cart_add",
-    "dwd_traffic_dirty_log",
-    "dim_coupon_use_scd2",
-    "dws_traffic_page_view_window",
-    "dws_trade_user_spu_order_window",
-    "dws_trade_order_window",
-    "join_salted_skew",
-    "join_activity_coupon_full_outer",
     "interval_join_events",
     "sink_dws_partitioned_roundtrip",
     "sessionize_events",
     "dedup_exact",
-    "dwd_trade_order_pre_process",
+    "simsearch_ivfpq_topk",
+    "tokenizer_bpe_merges",
+    "simsearch_hard_negatives_ivf",
     "multimodal_dedup_perceptual",
     "streaming_ivf_search",
     "streaming_multimodal_dhash",
     "dws_trade_province_order_window_approx",
     "decontaminate_bloom",
     "events_profile_stats_approx",
-    "embedding_ivf_cell_stats",
     "simsearch_range_search",
     "simsearch_ivf_topk",
     "text_bpe_tokenize",
-    "dedup_embedding_semdedup",
-    "embedding_pca_project",
 ]
 
 # Dataflow definition order (DWD -> DWS -> ops), captured before the driver

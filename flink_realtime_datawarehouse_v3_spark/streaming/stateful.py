@@ -800,6 +800,47 @@ def delete_from_upsert_snapshot(
     return n_deleted["n"]
 
 
+def export_upsert_snapshot(
+    spark, path: str, out_dir: str, version: int | None = None
+) -> dict:
+    """Cross-format interop export (the handoff move real lakes do):
+    materialize ONE committed MVCC snapshot to PLAIN parquet plus a
+    JSON manifest (``_EXPORT.json``) so any engine without this
+    module's manifest resolver — DuckDB, Trino, bare
+    ``spark.read.parquet`` — reads exactly that version.
+
+    Consistency is by construction, not by locking: the source manifest
+    is resolved ONCE (:func:`read_upsert_snapshot`) and generation dirs
+    are immutable, so a writer committing mid-export changes nothing
+    the export reads. The export is inherently O(table) — one
+    distributed scan + write, nothing driver-side; the manifest's row
+    count is a parquet-footer sum over the exported files (metadata
+    read, no second data scan). Returns the manifest dict. Raises on a
+    never-written table or an unavailable version (same contract as the
+    reader)."""
+    import json
+
+    df = read_upsert_snapshot(spark, path, version)
+    if df is None:
+        raise ValueError(f"nothing to export: no committed snapshot at {path}")
+    if version is None:
+        _, version = _read_manifest_versioned(path)
+    df.write.mode("overwrite").parquet(out_dir)
+    files = sorted(
+        f for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+    n_rows = spark.read.parquet(out_dir).count()  # footer-metadata sum
+    manifest = {
+        "source_path": os.path.abspath(path),
+        "source_version": version,
+        "files": files,
+        "n_rows": n_rows,
+    }
+    with open(os.path.join(out_dir, "_EXPORT.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
 def vacuum_upsert_snapshot(
     path: str,
     retain_versions: int = VACUUM_RETAIN_VERSIONS,
