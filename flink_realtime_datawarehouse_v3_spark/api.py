@@ -5051,6 +5051,71 @@ def _mvcc_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(exp)
 
 
+def _mvcc_zonemap_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Zone-mapped range scan over a SORTED export (r11): the live MVCC
+    table is hash-bucketed (every bucket spans every value range — no
+    honest skipping there), so clustering happens at export:
+    sort_by='ts' range partitions the export into files with DISJOINT
+    ts ranges and records per-file [min,max] in the manifest (parquet
+    footer stats, no extra scan). The read then touches ONLY the files
+    whose zone map overlaps [q1, median) of the ts domain — IO scales
+    with the selected range, not the table. Hash-gated: the pruned scan
+    must equal the oracle's latest-state + WHERE, value-for-value (a
+    file wrongly skipped loses rows; one wrongly kept double-counts)."""
+    import os as _os2
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .streaming import stateful as _st
+
+    base = _tmp_sink_path("mvcc_zonemap", sf)
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = _os2.path.join(base, "tbl")
+    exp = _os2.path.join(base, "export")
+    _os2.makedirs(tbl)
+    flat = cdc.topic_db(spark, sf, only=["order_info"]).select(
+        F.col("data").getItem("id").alias("id"),
+        F.col("data").getItem("order_status").alias("order_status"),
+        F.col("data").getItem("operate_time").alias("operate_time"),
+        F.col("ts").cast("long").alias("ts"),
+    )
+    fn = _st.upsert_sink_snapshot(["id"], "ts", tbl)
+    for k in range(3):
+        fn(flat.filter(F.col("ts") % 3 == k), k)
+    man = _st.export_upsert_snapshot(spark, tbl, exp, sort_by="ts", n_files=8)
+    # bounds from the manifest's own zone maps (bounded driver
+    # artifact: <= n_files pairs) — integer arithmetic mirrored in the
+    # oracle's min/max subquery
+    spans = [r for r in man["zone_maps"]["ts"].values() if r]
+    mn = min(r[0] for r in spans)
+    mx = max(r[1] for r in spans)
+    lo, hi = mn + (mx - mn) // 4, mn + (mx - mn) // 2
+    return _st.read_export_pruned(spark, exp, "ts", lo, hi)
+
+
+register(
+    "sink_mvcc_export_zonemap_scan",
+    _mvcc_zonemap_scan,
+    oracle.sql(
+        """, latest AS (
+               SELECT id, order_status, operate_time, ts FROM (
+                   SELECT id, order_status, operate_time,
+                          CAST(ts AS BIGINT) AS ts,
+                          row_number() OVER (
+                              PARTITION BY id
+                              ORDER BY CAST(ts AS BIGINT) DESC) AS rn
+                   FROM order_info_cdc) WHERE rn = 1),
+             b AS (SELECT min(ts) AS mn, max(ts) AS mx FROM latest)
+        SELECT l.id, l.order_status, l.operate_time, l.ts
+        FROM latest l, b
+        WHERE l.ts BETWEEN b.mn + (b.mx - b.mn) // 4
+                       AND b.mn + (b.mx - b.mn) // 2""",
+        "order_info_cdc",
+    ),
+)
+
+
 # Same last-writer-wins oracle as streaming_order_info_upsert (that
 # entry registers later, in _register_streaming, so the SQL is stated
 # here rather than shared by lookup).
@@ -5515,6 +5580,7 @@ _WINDOW_ROWS_ONLY = {
 
 _DRIVER_WINDOW = [
     "sink_mvcc_export_parquet",
+    "sink_mvcc_export_zonemap_scan",
     "dedup_embedding_semdedup",
     "embedding_pca_project",
     "embedding_ivf_cell_stats",
@@ -5563,12 +5629,12 @@ _DRIVER_WINDOW = [
     "dws_trade_user_spu_order_window",
     "dws_trade_order_window",
     "join_salted_skew",
-    "join_activity_coupon_full_outer",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "join_activity_coupon_full_outer",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",

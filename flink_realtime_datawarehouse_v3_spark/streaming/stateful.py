@@ -801,7 +801,12 @@ def delete_from_upsert_snapshot(
 
 
 def export_upsert_snapshot(
-    spark, path: str, out_dir: str, version: int | None = None
+    spark,
+    path: str,
+    out_dir: str,
+    version: int | None = None,
+    sort_by: str | None = None,
+    n_files: int | None = None,
 ) -> dict:
     """Cross-format interop export (the handoff move real lakes do):
     materialize ONE committed MVCC snapshot to PLAIN parquet plus a
@@ -817,7 +822,19 @@ def export_upsert_snapshot(
     count is a parquet-footer sum over the exported files (metadata
     read, no second data scan). Returns the manifest dict. Raises on a
     never-written table or an unavailable version (same contract as the
-    reader)."""
+    reader).
+
+    ZONE MAPS (r11): the live table is hash-bucketed on its key, so
+    every bucket spans the full value range of every column — honest
+    zone maps are impossible there by construction. The export is where
+    clustering happens (Delta's OPTIMIZE move): ``sort_by`` range
+    partitions + sorts the export on that column, producing files with
+    DISJOINT value ranges, and the manifest records each file's
+    [min, max] (read from the parquet footers — no extra data scan)
+    under ``zone_maps``. Any engine can then skip non-overlapping files
+    from the manifest alone; :func:`read_export_pruned` is the Spark
+    reader that does. ``n_files`` sizes the range partitioning
+    (default: the session's shuffle partitioning)."""
     import json
 
     df = read_upsert_snapshot(spark, path, version)
@@ -825,6 +842,12 @@ def export_upsert_snapshot(
         raise ValueError(f"nothing to export: no committed snapshot at {path}")
     if version is None:
         _, version = _read_manifest_versioned(path)
+    if sort_by is not None:
+        df = (
+            df.repartitionByRange(n_files, F.col(sort_by))
+            if n_files
+            else df.repartitionByRange(F.col(sort_by))
+        ).sortWithinPartitions(sort_by)
     df.write.mode("overwrite").parquet(out_dir)
     files = sorted(
         f for f in os.listdir(out_dir) if f.endswith(".parquet")
@@ -836,9 +859,75 @@ def export_upsert_snapshot(
         "files": files,
         "n_rows": n_rows,
     }
+    if sort_by is not None:
+        manifest["zone_maps"] = {
+            sort_by: _footer_zone_maps(out_dir, files, sort_by)
+        }
     with open(os.path.join(out_dir, "_EXPORT.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def _footer_zone_maps(out_dir: str, files: list[str], col: str) -> dict:
+    """Per-file [min, max] of ``col`` from parquet footer statistics —
+    a metadata read (no row decode). Files whose footer carries no
+    stats for the column map to None (readers must keep them)."""
+    import pyarrow.parquet as pq
+
+    zm: dict = {}
+    for name in files:
+        md = pq.ParquetFile(os.path.join(out_dir, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if col not in idx:
+            zm[name] = None
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        zm[name] = None if lo is None else [lo, hi]
+    return zm
+
+
+def zonemap_candidates(manifest: dict, col: str, lo, hi) -> list[str]:
+    """Files an export reader must touch for ``col BETWEEN lo AND hi``:
+    those whose zone map overlaps the range, plus any without stats.
+    Pure manifest arithmetic — no IO; the skipping decision any engine
+    could make from ``_EXPORT.json`` alone."""
+    zm = manifest.get("zone_maps", {}).get(col)
+    if zm is None:
+        return list(manifest["files"])  # no maps: full scan
+    return sorted(
+        name
+        for name, rng in zm.items()
+        if rng is None or not (hi < rng[0] or rng[1] < lo)
+    )
+
+
+def read_export_pruned(spark, out_dir: str, col: str, lo, hi) -> DataFrame:
+    """Manifest-pruned range scan over a sorted export: select the
+    overlapping files from the zone maps (driver-side manifest
+    arithmetic over a bounded file list — no IO on skipped files), read
+    ONLY those, and apply the residual filter (zone maps are
+    file-granular; the predicate still trims inside boundary files). At
+    100 TB this is the standard sorted-layout read: IO scales with the
+    selected range, not the table."""
+    import json
+
+    with open(os.path.join(out_dir, "_EXPORT.json")) as f:
+        manifest = json.load(f)
+    keep = zonemap_candidates(manifest, col, lo, hi)
+    if not keep:
+        # no overlapping file: empty frame with the export's schema
+        any_file = os.path.join(out_dir, manifest["files"][0])
+        return spark.read.parquet(any_file).filter(F.lit(False))
+    return spark.read.parquet(
+        *[os.path.join(out_dir, f) for f in keep]
+    ).filter(F.col(col).between(lo, hi))
 
 
 def vacuum_upsert_snapshot(

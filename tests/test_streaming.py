@@ -1845,3 +1845,52 @@ def test_mvcc_export_cross_engine(spark, tmp_path):
         f"SELECT DISTINCT val FROM '{out1}/*.parquet'"
     ).fetchall()
     assert rows1 == [("old",)]
+
+
+def test_mvcc_export_zone_maps_prune(spark, tmp_path):
+    """r11 zone maps: a sorted export's files carry DISJOINT [min,max]
+    ranges in the manifest; the pruned reader touches only overlapping
+    files (a strict subset for a narrow range) and returns exactly the
+    full-scan filter's rows; an out-of-domain range reads nothing and
+    keeps the schema."""
+    import json
+    import os
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import stateful
+
+    path = str(tmp_path / "zm_tbl")
+    os.makedirs(path)
+    fn = stateful.upsert_sink_snapshot(["id"], "ts", path)
+    fn(
+        spark.createDataFrame(
+            [(i, f"v{i}", 1000 + i) for i in range(400)],
+            "id int, val string, ts long",
+        ),
+        0,
+    )
+    out = str(tmp_path / "zm_export")
+    man = stateful.export_upsert_snapshot(
+        spark, path, out, sort_by="ts", n_files=4
+    )
+    zm = man["zone_maps"]["ts"]
+    spans = sorted(r for r in zm.values() if r)
+    assert len(spans) >= 3  # range partitioning actually split
+    for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+        assert ahi < blo  # disjoint: sorted layout, honest maps
+    # narrow range: strict subset of files, exact rows
+    lo, hi = 1050, 1120
+    cand = stateful.zonemap_candidates(man, "ts", lo, hi)
+    assert 0 < len(cand) < len(man["files"]), (cand, man["files"])
+    got = {
+        (r.id, r.ts)
+        for r in stateful.read_export_pruned(spark, out, "ts", lo, hi).collect()
+    }
+    assert got == {(i, 1000 + i) for i in range(50, 121)}
+    # out-of-domain range: zero files, empty frame, schema intact
+    assert stateful.zonemap_candidates(man, "ts", 5000, 6000) == []
+    empty = stateful.read_export_pruned(spark, out, "ts", 5000, 6000)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "val", "ts"]
+    # manifest on disk round-trips
+    disk = json.load(open(os.path.join(out, "_EXPORT.json")))
+    assert disk["zone_maps"] == {"ts": zm}
