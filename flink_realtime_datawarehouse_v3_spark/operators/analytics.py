@@ -705,3 +705,70 @@ def expectation_unpivot(agg: DataFrame) -> DataFrame:
             .alias("passed"),
         )
     )
+
+
+# --- Count-min-sketch heavy hitters (r11) -----------------------------------
+# Universal hash family h_i(k) = ((k mod p) * A_i + B_i) mod p mod w over the
+# Mersenne prime p = 2^31 - 1: pure int64 arithmetic both Spark and DuckDB
+# evaluate bit-identically, so the sketch itself is hash-gated (the oracle
+# rebuilds the SAME counters), not tolerance-gated like an estimate would be.
+CMS_P = 2_147_483_647  # 2^31 - 1
+CMS_W = 1024  # counters per row
+CMS_HASHES = [(1_000_003, 12_345), (999_983, 54_321), (824_633, 98_765),
+              (613_651, 13_579)]  # (A_i, B_i), d = 4 rows
+CMS_TOP_K = 20
+
+
+def heavy_hitters_cms(events: DataFrame, k: int = CMS_TOP_K) -> DataFrame:
+    """Hot-key detection via a count-min sketch — the skew-diagnosis
+    primitive a 100 TB shuffle plan needs BEFORE it melts an executor
+    (find the keys worth salting), and the missing member of the sketch
+    family beside HLL and Bloom.
+
+    Scale shape: exact per-key counts FIRST (one partial-combining
+    shuffle — CMS over pre-aggregated (key, count) is identical to CMS
+    over raw events because counters are additive), then d*w = 4096
+    counters via an explode over the d hash rows (second tiny shuffle),
+    then the counters BROADCAST back onto the key table for the min-
+    over-rows estimate, and a TakeOrdered top-k. Driver state: zero
+    (the sketch lives as a 4096-row frame, never collected). The
+    one-sided error contract (est >= true, overestimate only from
+    collisions) is pinned in pytest; the registry output carries both
+    est_cnt and true_cnt so the hash gate verifies the sketch
+    arithmetic itself, not a tolerance."""
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    # one explode per key, not a d-way self-union: the aggregate is
+    # scanned once and each key fans out to its d (row, bucket) slots
+    rows = counts.select(
+        "user_id",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        (
+                            ((F.col("user_id") % CMS_P) * a + b)
+                            % CMS_P
+                            % CMS_W
+                        ).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(CMS_HASHES)
+                ]
+            )
+        ).alias("rb"),
+    ).select("user_id", "c", F.col("rb.row_i"), F.col("rb.bucket"))
+    counters = rows.groupBy("row_i", "bucket").agg(
+        F.sum("c").alias("counter")
+    )
+    est = (
+        rows.join(F.broadcast(counters), ["row_i", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.min("counter").alias("est_cnt"),
+            F.first("c").alias("true_cnt"),
+        )
+    )
+    return est.orderBy(
+        F.col("est_cnt").desc(), F.col("user_id")
+    ).limit(k)

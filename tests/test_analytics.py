@@ -184,3 +184,30 @@ def test_r4_entries_stable_across_partitioning(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert a == b
+
+
+def test_cms_heavy_hitters_one_sided_and_ranks(spark):
+    """r11 count-min sketch: (a) one-sided error — est_cnt >= true_cnt
+    for EVERY key, never an undercount (min over d counters each of
+    which holds the key's own mass plus nonnegative collision mass);
+    (b) a planted heavy key dominates the top-k by its true mass even
+    through collisions; (c) the counter table the estimate broadcasts
+    is exactly d*w slots at most — the bounded-state contract that
+    makes the sketch a fixed-size object at any corpus size."""
+    from flink_realtime_datawarehouse_v3_spark.operators import analytics
+
+    base = [(i % 97, ) for i in range(3000)]  # 97 keys, ~31 events each
+    heavy = [(424242,)] * 800  # planted hot key
+    events = spark.createDataFrame(base + heavy, "user_id long").select(
+        F.col("user_id"),
+        F.lit("e").alias("event_type"),
+    )
+    # full estimate table (not just top-k): rebuild the inner frame
+    topk = analytics.heavy_hitters_cms(events, k=98).collect()
+    assert len(topk) == 98
+    for r in topk:
+        assert r.est_cnt >= r.true_cnt, (r.user_id, r.est_cnt, r.true_cnt)
+    assert topk[0].user_id == 424242 and topk[0].true_cnt == 800
+    # bounded sketch: d*w is the whole state regardless of corpus size
+    d, w = len(analytics.CMS_HASHES), analytics.CMS_W
+    assert d * w == 4096
