@@ -64,7 +64,17 @@ def get_spark(app_name: str = "flink_realtime_datawarehouse_v3_spark") -> SparkS
         # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
         # natively; read as long (ns) and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32]: the "driver" heap IS the executors' heap — all 32
+        # worker threads, the block manager (cached ODS branches,
+        # localCheckpoints), AND streaming state share it. 8g survived
+        # either bench lane alone at sf0.1 but OOMed running batch THEN
+        # streaming in one session (r11 freeze,
+        # BENCH_LOCAL_r11_failed.json); 24g on this 128 GiB box is the
+        # honest local-mode envelope. On a real cluster this maps to
+        # executor memory — the per-executor working set, not a
+        # driver-side accumulation (driver artifacts stay bounded:
+        # centroids, codebooks, manifests).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
