@@ -208,3 +208,46 @@ def test_partsupp_stride_gives_distinct_suppliers(s_cnt, p):
     supps = {(p + i * (s_cnt // 4)) % s_cnt + 1 for i in range(4)}
     assert len(supps) == 4
     assert all(1 <= s <= s_cnt for s in supps)
+
+
+# --- zone-map pruning (r11) --------------------------------------------------
+
+_FILE_VALUES = st.lists(
+    st.lists(st.integers(-50, 50), min_size=0, max_size=8),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(files=_FILE_VALUES, lo=st.integers(-60, 60), span=st.integers(0, 40))
+@settings(max_examples=200, deadline=None)
+def test_zonemap_candidates_never_skip_needed_file(files, lo, span):
+    """The pruning soundness invariant a wrong zone map would break
+    silently: for ANY per-file contents and ANY query range, every file
+    holding at least one in-range value is among the candidates (a
+    skipped-but-needed file loses rows — the failure mode the hash gate
+    would catch only for the ranges it happens to query). Files without
+    stats (empty) must always be kept; files outside the range may be
+    kept (file-granular maps overapproximate) but boundary-disjoint
+    ones must be skipped."""
+    from flink_realtime_datawarehouse_v3_spark.streaming.stateful import (
+        zonemap_candidates,
+    )
+
+    hi = lo + span
+    names = [f"part-{i}.parquet" for i in range(len(files))]
+    zm = {
+        n: ([min(v), max(v)] if v else None)
+        for n, v in zip(names, files)
+    }
+    manifest = {"files": names, "zone_maps": {"ts": zm}}
+    cand = set(zonemap_candidates(manifest, "ts", lo, hi))
+    for n, vals in zip(names, files):
+        if any(lo <= v <= hi for v in vals):
+            assert n in cand, (n, vals, lo, hi)  # soundness: never skipped
+        if not vals:
+            assert n in cand  # no stats -> must keep
+        elif max(vals) < lo or min(vals) > hi:
+            assert n not in cand  # tight maps: disjoint file is skipped
+    # a column with no zone maps at all -> full scan
+    assert zonemap_candidates({"files": names}, "ts", lo, hi) == names
