@@ -5328,6 +5328,14 @@ def _register_streaming() -> None:
             "stream_pay_detail_suc",
             "dwd_trade_pay_detail_suc",
         ),
+        # Count-min sketch maintained ONLINE through the additive MERGE
+        # sink (counter = counter + inc, idempotent batch replay);
+        # counters are additive so the streamed table equals the batch
+        # build exactly — shares the batch CMS oracle.
+        "streaming_heavy_hitters_cms": (
+            "stream_heavy_hitters_cms",
+            "events_heavy_hitters_cms",
+        ),
         # Session windows (gap-merge) under watermarked append mode —
         # the non-tumbling Flink window type; shares the batch oracle.
         "streaming_sessionize": ("stream_sessionize", "sessionize_events"),
@@ -5616,6 +5624,7 @@ _DRIVER_WINDOW = [
     "sink_mvcc_export_parquet",
     "sink_mvcc_export_zonemap_scan",
     "events_heavy_hitters_cms",
+    "streaming_heavy_hitters_cms",
     "dedup_embedding_semdedup",
     "embedding_pca_project",
     "embedding_ivf_cell_stats",
@@ -5662,12 +5671,12 @@ _DRIVER_WINDOW = [
     "dim_coupon_use_scd2",
     "dws_traffic_page_view_window",
     "dws_trade_user_spu_order_window",
-    "dws_trade_order_window",
 ]
 
 # Proven in earlier rounds; rotated past the cutoff. The
 # rows-only-by-design entries (no oracle possible) sit strictly last.
 _DRIVER_TAIL = [
+    "dws_trade_order_window",
     "join_salted_skew",
     "join_activity_coupon_full_outer",
     "tpch_q2_min_cost_supplier",

@@ -737,32 +737,49 @@ def heavy_hitters_cms(events: DataFrame, k: int = CMS_TOP_K) -> DataFrame:
     est_cnt and true_cnt so the hash gate verifies the sketch
     arithmetic itself, not a tolerance."""
     counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    # one explode per key, not a d-way self-union: the aggregate is
-    # scanned once and each key fans out to its d (row, bucket) slots
-    rows = counts.select(
-        "user_id",
-        "c",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row_i"),
-                        (
-                            ((F.col("user_id") % CMS_P) * a + b)
-                            % CMS_P
-                            % CMS_W
-                        ).alias("bucket"),
-                    )
-                    for i, (a, b) in enumerate(CMS_HASHES)
-                ]
-            )
-        ).alias("rb"),
-    ).select("user_id", "c", F.col("rb.row_i"), F.col("rb.bucket"))
-    counters = rows.groupBy("row_i", "bucket").agg(
+    counters = cms_slots(counts).groupBy("row_i", "bucket").agg(
         F.sum("c").alias("counter")
     )
+    return cms_estimate_topk(counts, counters, k)
+
+
+def cms_slot_array(key=None):
+    """The d (row_i, bucket) slots of a key as one array expression —
+    shared by the batch build, the streaming per-event increments, and
+    the estimate join, so all three hash identically by construction.
+    ``key`` defaults to the user_id column (resolved lazily: a Column
+    cannot be built at import time, before any SparkContext exists)."""
+    if key is None:
+        key = F.col("user_id")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (((key % CMS_P) * a + b) % CMS_P % CMS_W).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(CMS_HASHES)
+        ]
+    )
+
+
+def cms_slots(counts: DataFrame) -> DataFrame:
+    """(user_id, c) -> one row per (user_id, c, row_i, bucket): a single
+    explode per key, not a d-way self-union — the aggregate is scanned
+    once and each key fans out to its d slots."""
+    return counts.select(
+        "user_id", "c", F.explode(cms_slot_array()).alias("rb")
+    ).select("user_id", "c", F.col("rb.row_i"), F.col("rb.bucket"))
+
+
+def cms_estimate_topk(
+    counts: DataFrame, counters: DataFrame, k: int = CMS_TOP_K
+) -> DataFrame:
+    """Min-over-rows point estimates from a counter table (however it
+    was built — one batch pass or streamed increments) joined back onto
+    the exact per-key counts; deterministic top-k."""
     est = (
-        rows.join(F.broadcast(counters), ["row_i", "bucket"])
+        cms_slots(counts)
+        .join(F.broadcast(counters), ["row_i", "bucket"])
         .groupBy("user_id")
         .agg(
             F.min("counter").alias("est_cnt"),

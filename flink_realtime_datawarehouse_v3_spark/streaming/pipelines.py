@@ -1122,6 +1122,51 @@ def stream_type_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(type_counts_top(s), output_mode="complete")
 
 
+def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained ONLINE (r11): events replayed in
+    micro-batches; each batch explodes to its d (row_i, bucket)
+    increments and the ADDITIVE MERGE sink
+    (:func:`..streaming.stateful.upsert_sink_snapshot_agg`) folds them
+    into the persistent counter table — counter = counter + inc through
+    the MVCC commit protocol with idempotent batch replay. Counters are
+    additive, so the streamed table equals the one-pass batch build
+    EXACTLY, and the final estimate (batch min-over-rows join against
+    exact per-key counts) shares the batch entry's oracle verbatim —
+    the production shape: sketch maintained on ingest, queried offline.
+    State beyond the counter table itself: one integer (last_batch) in
+    the manifest."""
+    import os
+
+    from ..operators import analytics
+    from ..sources import tables
+    from . import stateful
+
+    e = tables.load(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    with TempStreamDir() as d:
+        _write_replay(e, d.sub("in"), order_by=["ts_ms"])
+        s = read_stream(spark, d.sub("in"))
+        inc = s.select(
+            F.explode(analytics.cms_slot_array()).alias("rb")
+        ).select(
+            F.col("rb.row_i"), F.col("rb.bucket"), F.lit(1).alias("counter")
+        )
+        sink = d.sub("cms")
+        os.makedirs(sink, exist_ok=True)
+        run_foreach_batch(
+            inc,
+            stateful.upsert_sink_snapshot_agg(
+                ["row_i", "bucket"], ["counter"], sink
+            ),
+        )
+        counters = stateful.read_upsert_snapshot(spark, sink)
+        counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+        return analytics.cms_estimate_topk(
+            counts, counters, analytics.CMS_TOP_K
+        ).localCheckpoint()
+
+
 def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time dedup LIVE: the incoming half of the corpus replayed
     as a document stream; each micro-batch flags its docs against the

@@ -649,9 +649,95 @@ def upsert_sink_snapshot(
     return fn
 
 
+def upsert_sink_snapshot_agg(
+    keys: list[str],
+    sum_cols: list[str],
+    path: str,
+    n_buckets: int = N_UPSERT_BUCKETS,
+):
+    """ADDITIVE MERGE sink (r11) — the counter-table primitive: per
+    micro-batch, ``MERGE INTO table USING batch ON keys WHEN MATCHED
+    UPDATE SET col = col + inc`` over the same bucketed
+    immutable-generation MVCC layout as :func:`upsert_sink_snapshot`.
+    Last-writer-wins cannot express this (a counter needs the OLD value;
+    the online sketch/feature-count shape every streaming aggregation
+    pipeline ends in), and unlike LWW the additive merge is NOT
+    idempotent under at-least-once ``foreachBatch`` redelivery — so the
+    manifest carries a ``last_batch`` watermark and a replayed batch id
+    <= the committed one is skipped WHOLESALE. The guard is evaluated
+    per CAS attempt against the then-current manifest (``skip_if``), so
+    even a duplicate racing a concurrent commit cannot double-apply:
+    the loser retries, re-reads, and skips. Requires monotonically
+    increasing batch ids per table — exactly Spark's checkpointed
+    foreachBatch contract.
+
+    Per batch: one partial-combining pre-aggregation of the incoming
+    rows (map-side combine to <= |keys| rows), then O(touched buckets)
+    read + re-sum + fresh generation dir. State per table beyond the
+    data: one integer in the manifest."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+
+        inc = (
+            batch.withColumn("__bucket", bucket_of(keys, n_buckets))
+            .groupBy("__bucket", *keys)
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        )
+        # Bounded collect: <= n_buckets ints.
+        touched = [r[0] for r in inc.select("__bucket").distinct().collect()]
+        if not touched:
+            return
+
+        def build_merged(manifest: dict):
+            current = _read_buckets(
+                spark, path, manifest, [b for b in touched if b in manifest]
+            )
+            both = (
+                inc
+                if current is None
+                else current.select(inc.columns).unionByName(inc)
+            )
+            return (
+                both.groupBy("__bucket", *keys).agg(
+                    *[F.sum(c).alias(c) for c in sum_cols]
+                ),
+                touched,
+            )
+
+        _commit_generation_cas(
+            spark,
+            path,
+            str(batch_id),
+            build_merged,
+            extra_meta={"last_batch": batch_id},
+            skip_if=lambda doc: int(doc.get("last_batch", -1)) >= batch_id,
+        )
+
+    return fn
+
+
+def _read_manifest_doc(path: str) -> dict:
+    """The raw manifest document ({} if missing) — buckets + version +
+    any sink-specific metadata (e.g. the additive sink's
+    ``last_batch`` idempotence watermark)."""
+    import json
+
+    mpath = os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(mpath):
+        return {}
+    with open(mpath) as f:
+        return json.load(f)
+
+
 def _commit_generation_cas(
-    spark, path: str, batch_tag: str, build_merged
-) -> None:
+    spark,
+    path: str,
+    batch_tag: str,
+    build_merged,
+    extra_meta: dict | None = None,
+    skip_if=None,
+) -> bool:
     """The CAS commit section shared by the MERGE sink and the keyed
     DELETE: ``build_merged(manifest) -> (DataFrame with __bucket,
     touched bucket list)`` re-derives BOTH the merged view and the
@@ -662,15 +748,29 @@ def _commit_generation_cas(
     dir, then commits under the O_EXCL lock iff the manifest version is
     unmoved — a loser re-merges from the fresh snapshot (orphaned gen
     dirs stay vacuumable); retry exhaustion raises, never a quiet lost
-    update."""
+    update.
+
+    ``skip_if(doc)`` (r11): an idempotence precondition evaluated
+    against the manifest document at the start of EVERY attempt — if it
+    returns True the commit is abandoned (returns False) without
+    writing. The additive sink passes its replayed-batch guard here; a
+    racing duplicate that commits between our merge and our lock bumps
+    the version, we retry, and the precondition catches it on the
+    re-read — a replay can never double-apply. ``extra_meta`` is merged
+    into the committed document (unknown fields from the previous
+    document are preserved). Returns True iff a commit landed."""
     import json
     import tempfile
 
     for attempt in range(MAX_COMMIT_RETRIES):
-        manifest, version = _read_manifest_versioned(path)
+        doc0 = _read_manifest_doc(path)
+        if skip_if is not None and skip_if(doc0):
+            return False
+        manifest = {int(k): v for k, v in doc0.get("buckets", {}).items()}
+        version = int(doc0.get("version", 0))
         merged, touched = build_merged(manifest)
         if not touched:
-            return  # nothing this writer can affect exists in the table
+            return False  # nothing this writer can affect exists
         gen_dir = (
             f"gen-{batch_tag}" if attempt == 0 else f"gen-{batch_tag}-r{attempt}"
         )
@@ -692,9 +792,16 @@ def _commit_generation_cas(
             for b in touched:
                 manifest[b] = gen_dir
             doc = {
-                "version": version + 1,
-                "buckets": {str(k): v for k, v in manifest.items()},
-            }
+                k: v
+                for k, v in doc0.items()
+                if k not in ("version", "buckets")
+            }  # preserve sink metadata fields across commits
+            doc.update(
+                version=version + 1,
+                buckets={str(k): v for k, v in manifest.items()},
+            )
+            if extra_meta:
+                doc.update(extra_meta)
             fd, tmp = tempfile.mkstemp(dir=path, suffix=".manifest")
             with os.fdopen(fd, "w") as f:
                 json.dump(doc, f)
@@ -709,7 +816,7 @@ def _commit_generation_cas(
             ) as f:
                 json.dump(doc, f)
             os.replace(tmp, os.path.join(path, MANIFEST_NAME))  # THE commit
-            return
+            return True
         finally:
             os.unlink(lock)
     raise RuntimeError(

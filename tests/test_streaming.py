@@ -1894,3 +1894,40 @@ def test_mvcc_export_zone_maps_prune(spark, tmp_path):
     # manifest on disk round-trips
     disk = json.load(open(os.path.join(out, "_EXPORT.json")))
     assert disk["zone_maps"] == {"ts": zm}
+
+
+def test_upsert_snapshot_agg_sink_additive_and_idempotent(spark, tmp_path):
+    """r11 additive MERGE sink: counter = counter + inc per batch
+    through the MVCC commit protocol, with the last_batch manifest
+    watermark making at-least-once redelivery safe — a replayed batch
+    id (same or older) is skipped WHOLESALE, never double-added; new
+    batch ids keep accumulating."""
+    import os
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import stateful
+
+    path = str(tmp_path / "agg_tbl")
+    os.makedirs(path)
+    fn = stateful.upsert_sink_snapshot_agg(["k"], ["v"], path)
+
+    b0 = spark.createDataFrame([(1, 10), (2, 5), (1, 3)], "k int, v long")
+    fn(b0, 0)
+    snap = lambda: {  # noqa: E731
+        r.k: r.v
+        for r in stateful.read_upsert_snapshot(spark, path).collect()
+    }
+    assert snap() == {1: 13, 2: 5}
+
+    fn(b0, 0)  # at-least-once redelivery of the SAME batch
+    assert snap() == {1: 13, 2: 5}, "replayed batch double-applied"
+
+    b1 = spark.createDataFrame([(2, 1), (3, 7)], "k int, v long")
+    fn(b1, 1)
+    assert snap() == {1: 13, 2: 6, 3: 7}
+
+    fn(b0, 0)  # stale batch id arriving after a newer commit
+    fn(b1, 1)  # and a replay of the latest
+    assert snap() == {1: 13, 2: 6, 3: 7}
+
+    doc = stateful._read_manifest_doc(path)
+    assert doc["last_batch"] == 1 and doc["version"] == 2
