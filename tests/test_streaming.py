@@ -1931,3 +1931,47 @@ def test_upsert_snapshot_agg_sink_additive_and_idempotent(spark, tmp_path):
 
     doc = stateful._read_manifest_doc(path)
     assert doc["last_batch"] == 1 and doc["version"] == 2
+
+
+def test_agg_sink_duplicate_batch_race_applies_once(spark, tmp_path, monkeypatch):
+    """r11 additive sink, the concurrency claim in its docstring: a
+    DUPLICATE of the same batch racing a concurrent commit cannot
+    double-apply. Writer B commits batch 1 while writer A sits between
+    its merge of batch 1 and its commit — A must lose the CAS on the
+    version bump, retry, and be caught by the last_batch precondition
+    on the re-read: the increment lands exactly once."""
+    import os
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import stateful
+
+    path = str(tmp_path / "agg_race_tbl")
+    os.makedirs(path)
+    fn_a = stateful.upsert_sink_snapshot_agg(["k"], ["v"], path)
+    fn_b = stateful.upsert_sink_snapshot_agg(["k"], ["v"], path)
+
+    fn_a(spark.createDataFrame([(1, 10)], "k int, v long"), 0)
+    dup = spark.createDataFrame([(1, 7)], "k int, v long")
+
+    real_acquire = stateful._acquire_commit_lock
+    injected = {"done": False}
+
+    def acquire_with_duplicate_commit(p, timeout_s=30.0):
+        if not injected["done"]:
+            injected["done"] = True
+            fn_b(dup, 1)  # the duplicate lands first, in full
+        return real_acquire(p, timeout_s)
+
+    monkeypatch.setattr(
+        stateful, "_acquire_commit_lock", acquire_with_duplicate_commit
+    )
+    fn_a(dup, 1)  # racing duplicate of the SAME batch
+    monkeypatch.setattr(stateful, "_acquire_commit_lock", real_acquire)
+
+    snap = {
+        r.k: r.v
+        for r in stateful.read_upsert_snapshot(spark, path).collect()
+    }
+    assert snap == {1: 17}, f"duplicate batch double-applied: {snap}"
+    doc = stateful._read_manifest_doc(path)
+    assert doc["last_batch"] == 1 and doc["version"] == 2
+    assert not os.path.exists(os.path.join(path, stateful.COMMIT_LOCK_NAME))
