@@ -774,6 +774,18 @@ def _commit_generation_cas(
         gen_dir = (
             f"gen-{batch_tag}" if attempt == 0 else f"gen-{batch_tag}-r{attempt}"
         )
+        if os.path.exists(os.path.join(path, gen_dir)):
+            # NEVER overwrite an existing generation — they are immutable
+            # by contract. This happens on crash-recovery replay of an
+            # already-committed foreachBatch id (at-least-once delivery):
+            # the old gen may still be referenced by archived manifests
+            # and mid-scan readers, so the replay's re-merge goes to a
+            # fresh dir and commits by manifest repoint like any other
+            # write (the overwritten-in-place variant tore exactly like
+            # the constant-tag delete bug this mirrors).
+            from uuid import uuid4
+
+            gen_dir = f"gen-{batch_tag}-rp{uuid4().hex[:8]}"
         (
             merged.localCheckpoint()
             .repartition(F.col("__bucket"))

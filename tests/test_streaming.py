@@ -1975,3 +1975,51 @@ def test_agg_sink_duplicate_batch_race_applies_once(spark, tmp_path, monkeypatch
     doc = stateful._read_manifest_doc(path)
     assert doc["last_batch"] == 1 and doc["version"] == 2
     assert not os.path.exists(os.path.join(path, stateful.COMMIT_LOCK_NAME))
+
+
+def test_lww_sink_replay_never_overwrites_committed_generation(spark, tmp_path):
+    """Crash-recovery replay of an ALREADY-COMMITTED foreachBatch id
+    (at-least-once delivery: sink committed, stream commit-log entry
+    lost) must not rewrite gen-{id} in place — archived manifests and
+    mid-scan readers still reference it. The replay's re-merge goes to
+    a fresh suffixed generation and commits by manifest repoint; the
+    original dir stays byte-identical and time travel to the
+    pre-replay version is unperturbed."""
+    import os
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import stateful
+
+    path = str(tmp_path / "replay_tbl")
+    os.makedirs(path)
+    fn = stateful.upsert_sink_snapshot(["id"], "ts", path)
+    b0 = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(20)], "id int, val string, ts long"
+    )
+    fn(b0, 0)  # version 1 -> gen-0
+
+    def fingerprint(d):
+        return {
+            (root.replace(path, ""), f, os.stat(os.path.join(root, f)).st_mtime_ns)
+            for root, _, fs in os.walk(os.path.join(path, d))
+            for f in fs
+        }
+
+    before = fingerprint("gen-0")
+    fn(b0, 0)  # the replay (same batch id, same content)
+    assert fingerprint("gen-0") == before, "committed generation rewritten"
+    gens = [g for g in os.listdir(path) if g.startswith("gen-0")]
+    assert len(gens) == 2 and any("-rp" in g for g in gens), gens
+    # replay re-commits (LWW re-merge is content-idempotent): version 2,
+    # table unchanged, v1 time travel intact
+    _, v = stateful._read_manifest_versioned(path)
+    assert v == 2
+    live = {
+        (r.id, r.val)
+        for r in stateful.read_upsert_snapshot(spark, path).collect()
+    }
+    assert live == {(i, f"v{i}") for i in range(20)}
+    v1 = {
+        (r.id, r.val)
+        for r in stateful.read_upsert_snapshot(spark, path, version=1).collect()
+    }
+    assert v1 == live
