@@ -1077,7 +1077,26 @@ def vacuum_upsert_snapshot(
     ``deletedFileRetentionDuration``: retention must exceed the longest
     reader, and ``grace_s=0`` (purge now — both phases in one call) is
     the explicit compliance override the erasure test uses. Returns the
-    removed generation dir names."""
+    removed generation dir names.
+
+    CONCURRENCY (r11): the whole vacuum body runs under the table's
+    commit lock — it serializes against writers' commit sections (no
+    listing a manifest mid-swap) and against other vacuums (the
+    tombstone file is read-modify-write; two unserialized vacuums could
+    lose each other's lease clocks). A writer's in-flight generation
+    dir written BEFORE its commit is outside the lock and can be seen
+    unreferenced here; the grace window is what protects it (it gets
+    tombstoned, the writer commits, the next vacuum un-tombstones it as
+    live) — one more reason ``grace_s=0`` is a stop-the-world
+    compliance override, not a running-system default."""
+    lock = _acquire_commit_lock(path)
+    try:
+        return _vacuum_locked(path, retain_versions, grace_s)
+    finally:
+        os.unlink(lock)
+
+
+def _vacuum_locked(path: str, retain_versions: int, grace_s: float) -> list[str]:
     import json
     import shutil
     import time
