@@ -971,7 +971,14 @@ def export_upsert_snapshot(
     files = sorted(
         f for f in os.listdir(out_dir) if f.endswith(".parquet")
     )
-    n_rows = spark.read.parquet(out_dir).count()  # footer-metadata sum
+    # true footer-metadata sum (no Spark job, no column decode); O(files)
+    # driver-side footer reads — bounded by the export's partitioning
+    import pyarrow.parquet as pq
+
+    n_rows = sum(
+        pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+        for f in files
+    )
     manifest = {
         "source_path": os.path.abspath(path),
         "source_version": version,
@@ -1041,6 +1048,11 @@ def read_export_pruned(spark, out_dir: str, col: str, lo, hi) -> DataFrame:
         manifest = json.load(f)
     keep = zonemap_candidates(manifest, col, lo, hi)
     if not keep:
+        if not manifest["files"]:
+            raise ValueError(
+                f"export at {out_dir} holds no data files (empty snapshot "
+                "was exported); no schema to shape an empty result"
+            )
         # no overlapping file: empty frame with the export's schema
         any_file = os.path.join(out_dir, manifest["files"][0])
         return spark.read.parquet(any_file).filter(F.lit(False))
