@@ -93,6 +93,7 @@ def reset_session_caches() -> None:
     from .operators import simsearch as _ss
 
     _ss._ARTIFACTS.clear()
+    _MVCC_DEMO.clear()  # shared export demo table: rebuild per sweep
     # The iterative operators (cluster closure, PageRank) localCheckpoint
     # per round; those checkpointed RDDs stay persisted until Python drops
     # the references and the ContextCleaner runs. Force the collection so
@@ -5048,18 +5049,17 @@ register(
 )
 
 
-def _mvcc_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """Cross-format MVCC interop (r11): MERGE the order_info changelog
-    into the snapshot-isolated table through three deterministic
-    batches, EXPORT the committed snapshot to plain parquet + manifest
-    (`export_upsert_snapshot` — the handoff move real lakes do), and
-    return the exported files read back with bare spark.read.parquet —
-    no manifest resolver anywhere on the read path. Hash-gated against
-    the same last-writer-wins oracle as the streaming upsert entries:
-    the export must preserve the merged state byte-for-byte. Batch
-    assignment is ts%3 — any deterministic split works because
-    keep-latest orders on (ts, batch) and a given id's CDC events have
-    distinct ts in this corpus."""
+_MVCC_DEMO: dict[str, str] = {}  # sf -> shared demo table path (per session)
+
+
+def _mvcc_demo_table(spark: SparkSession, sf: str) -> str:
+    """The order_info changelog MERGEd through the snapshot-isolated
+    sink in three deterministic ts%3 batches — built ONCE per (sf,
+    session) like the ODS branch caches, shared by both export entries
+    (bench attributes the build to the first toucher; any deterministic
+    batch split works because keep-latest orders on (ts, batch) and a
+    given id's CDC events have distinct ts in this corpus). Returns the
+    table path."""
     import os as _os2
     import shutil
 
@@ -5067,10 +5067,11 @@ def _mvcc_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     from .streaming import stateful as _st
 
-    base = _tmp_sink_path("mvcc_export", sf)
+    if sf in _MVCC_DEMO:
+        return _MVCC_DEMO[sf]
+    base = _tmp_sink_path("mvcc_demo", sf)
     shutil.rmtree(base, ignore_errors=True)
     tbl = _os2.path.join(base, "tbl")
-    exp = _os2.path.join(base, "export")
     _os2.makedirs(tbl)
     flat = cdc.topic_db(spark, sf, only=["order_info"]).select(
         F.col("data").getItem("id").alias("id"),
@@ -5081,6 +5082,26 @@ def _mvcc_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     fn = _st.upsert_sink_snapshot(["id"], "ts", tbl)
     for k in range(3):
         fn(flat.filter(F.col("ts") % 3 == k), k)
+    _MVCC_DEMO[sf] = tbl
+    return tbl
+
+
+def _mvcc_export_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-format MVCC interop (r11): EXPORT the committed snapshot of
+    the shared demo table to plain parquet + manifest
+    (`export_upsert_snapshot` — the handoff move real lakes do), and
+    return the exported files read back with bare spark.read.parquet —
+    no manifest resolver anywhere on the read path. Hash-gated against
+    the same last-writer-wins oracle as the streaming upsert entries:
+    the export must preserve the merged state byte-for-byte."""
+    import os as _os2
+    import shutil
+
+    from .streaming import stateful as _st
+
+    tbl = _mvcc_demo_table(spark, sf)
+    exp = _os2.path.join(_tmp_sink_path("mvcc_export", sf), "export")
+    shutil.rmtree(exp, ignore_errors=True)
     _st.export_upsert_snapshot(spark, tbl, exp)
     return spark.read.parquet(exp)
 
@@ -5099,24 +5120,11 @@ def _mvcc_zonemap_scan(spark: SparkSession, sf: str) -> DataFrame:
     import os as _os2
     import shutil
 
-    from pyspark.sql import functions as F
-
     from .streaming import stateful as _st
 
-    base = _tmp_sink_path("mvcc_zonemap", sf)
-    shutil.rmtree(base, ignore_errors=True)
-    tbl = _os2.path.join(base, "tbl")
-    exp = _os2.path.join(base, "export")
-    _os2.makedirs(tbl)
-    flat = cdc.topic_db(spark, sf, only=["order_info"]).select(
-        F.col("data").getItem("id").alias("id"),
-        F.col("data").getItem("order_status").alias("order_status"),
-        F.col("data").getItem("operate_time").alias("operate_time"),
-        F.col("ts").cast("long").alias("ts"),
-    )
-    fn = _st.upsert_sink_snapshot(["id"], "ts", tbl)
-    for k in range(3):
-        fn(flat.filter(F.col("ts") % 3 == k), k)
+    tbl = _mvcc_demo_table(spark, sf)
+    exp = _os2.path.join(_tmp_sink_path("mvcc_zonemap", sf), "export")
+    shutil.rmtree(exp, ignore_errors=True)
     man = _st.export_upsert_snapshot(spark, tbl, exp, sort_by="ts", n_files=8)
     # bounds from the manifest's own zone maps (bounded driver
     # artifact: <= n_files pairs) — integer arithmetic mirrored in the
