@@ -517,10 +517,15 @@ def _read_buckets(spark, path: str, manifest: dict, buckets) -> DataFrame | None
     grouped per generation dir so partition inference sees a clean
     ``basePath/gen/__bucket=N`` layout (``__bucket`` column preserved).
     Bounded work: <= n_buckets path groups, schema merged across
-    generations (the ALTER-then-UPSERT evolution shape)."""
+    generations (the ALTER-then-UPSERT evolution shape). A pointer at
+    a nonexistent ``__bucket=N`` dir (a pre-r12 manifest committed by
+    a bucket-emptying delete) is treated as an empty bucket rather
+    than raising PATH_NOT_FOUND — O(buckets) stat calls, bounded."""
     by_gen: dict[str, list[int]] = {}
     for b in buckets:
-        if b in manifest:
+        if b in manifest and os.path.isdir(
+            os.path.join(path, manifest[b], f"__bucket={b}")
+        ):
             by_gen.setdefault(manifest[b], []).append(b)
     out = None
     for gen, bs in sorted(by_gen.items()):
@@ -793,6 +798,18 @@ def _commit_generation_cas(
             .partitionBy("__bucket")
             .parquet(os.path.join(path, gen_dir))
         )
+        # partitionBy writes NO __bucket=N subdir for a bucket whose
+        # merged output is empty (a delete that erased every row of a
+        # touched bucket): repointing such a bucket would leave the
+        # manifest referencing a nonexistent path and break every
+        # subsequent read (r12 advisor fix). List what the write
+        # actually produced (our own immutable dir — no race) and DROP
+        # emptied buckets from the manifest instead of repointing them.
+        written_buckets = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(path, gen_dir))
+            if d.startswith("__bucket=")
+        }
         lock = _acquire_commit_lock(path)
         try:
             _, cur_version = _read_manifest_versioned(path)
@@ -802,7 +819,10 @@ def _commit_generation_cas(
                 # release, re-merge from the fresh snapshot.
                 continue
             for b in touched:
-                manifest[b] = gen_dir
+                if b in written_buckets:
+                    manifest[b] = gen_dir
+                else:
+                    manifest.pop(b, None)  # bucket emptied by this commit
             doc = {
                 k: v
                 for k, v in doc0.items()
@@ -882,7 +902,20 @@ def delete_from_upsert_snapshot(
     manifest0, _ = _read_manifest_versioned(path)
     if not manifest0:
         return 0
-    b0 = min(manifest0)
+    # First bucket whose dir exists on disk (a pre-r12 manifest may
+    # carry a dangling pointer from a bucket-emptying delete).
+    b0 = next(
+        (
+            b
+            for b in sorted(manifest0)
+            if os.path.isdir(
+                os.path.join(path, manifest0[b], f"__bucket={b}")
+            )
+        ),
+        None,
+    )
+    if b0 is None:
+        return 0  # every pointer dangles: the table is empty
     sample = spark.read.parquet(
         os.path.join(path, manifest0[b0], f"__bucket={b0}")
     )
@@ -934,9 +967,10 @@ def export_upsert_snapshot(
     ``spark.read.parquet`` — reads exactly that version.
 
     Consistency is by construction, not by locking: the source manifest
-    is resolved ONCE (:func:`read_upsert_snapshot`) and generation dirs
-    are immutable, so a writer committing mid-export changes nothing
-    the export reads. The export is inherently O(table) — one
+    DOCUMENT is read ONCE — bucket map and version come from the same
+    read (r12; two separate reads could label version-N data with a
+    racing commit's N+1) — and generation dirs are immutable, so a
+    writer committing mid-export changes nothing the export reads. The export is inherently O(table) — one
     distributed scan + write, nothing driver-side; the manifest's row
     count is a parquet-footer sum over the exported files (metadata
     read, no second data scan). Returns the manifest dict. Raises on a
@@ -956,11 +990,23 @@ def export_upsert_snapshot(
     (default: the session's shuffle partitioning)."""
     import json
 
-    df = read_upsert_snapshot(spark, path, version)
+    if version is None:
+        # Resolve buckets AND version from ONE manifest read — a commit
+        # landing between two separate reads would label version-N data
+        # as version N+1 in the export manifest (r12 advisor fix).
+        mmap, version = _read_manifest_versioned(path)
+        df = (
+            None
+            if not mmap
+            else _read_buckets(spark, path, mmap, sorted(mmap))
+        )
+        df = None if df is None else df.drop("__bucket")
+    else:
+        # Explicit versions resolve via the immutable archived manifest
+        # (_manifests/vN.json) — no race by construction.
+        df = read_upsert_snapshot(spark, path, version)
     if df is None:
         raise ValueError(f"nothing to export: no committed snapshot at {path}")
-    if version is None:
-        _, version = _read_manifest_versioned(path)
     if sort_by is not None:
         df = (
             df.repartitionByRange(n_files, F.col(sort_by))
@@ -1091,26 +1137,48 @@ def vacuum_upsert_snapshot(
     the explicit compliance override the erasure test uses. Returns the
     removed generation dir names.
 
-    CONCURRENCY (r11): the whole vacuum body runs under the table's
-    commit lock — it serializes against writers' commit sections (no
-    listing a manifest mid-swap) and against other vacuums (the
-    tombstone file is read-modify-write; two unserialized vacuums could
-    lose each other's lease clocks). A writer's in-flight generation
+    CONCURRENCY (r11, narrowed r12): the retention math, tombstone
+    clocking, and expired-dir selection run under the table's commit
+    lock — serialized against writers' commit sections (no listing a
+    manifest mid-swap) and against other vacuums (the tombstone file is
+    read-modify-write; two unserialized vacuums could lose each other's
+    lease clocks). The ``rmtree`` of the selected dirs runs AFTER the
+    lock is released (they are unreferenced and their tombstones were
+    popped inside the lock, so no reader nor rival vacuum can reach
+    them) — a long physical delete can no longer starve writers into
+    the 30 s lock timeout. A writer's in-flight generation
     dir written BEFORE its commit is outside the lock and can be seen
     unreferenced here; the grace window is what protects it (it gets
     tombstoned, the writer commits, the next vacuum un-tombstones it as
     live) — one more reason ``grace_s=0`` is a stop-the-world
     compliance override, not a running-system default."""
+    import shutil
+
     lock = _acquire_commit_lock(path)
     try:
-        return _vacuum_locked(path, retain_versions, grace_s)
+        removed = _vacuum_locked(path, retain_versions, grace_s)
     finally:
         os.unlink(lock)
+    # The rmtree runs OUTSIDE the lock (r12 advisor fix): deleting many
+    # large generation dirs can exceed the 30 s lock timeout and fail
+    # healthy concurrent writers with a misleading "crashed writer"
+    # error. Safe unlocked: every dir in ``removed`` was tombstoned,
+    # lease-expired, and unreferenced by any retained manifest when the
+    # locked section popped its tombstone — no new reader can resolve
+    # it. A crash here leaves the dir on disk untombstoned; the next
+    # vacuum simply re-tombstones it and purges after a fresh lease.
+    for d in removed:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return removed
 
 
 def _vacuum_locked(path: str, retain_versions: int, grace_s: float) -> list[str]:
+    """Locked phase of the vacuum: retention math, tombstone clocking,
+    and selection of lease-expired dirs. Returns the dirs the CALLER
+    must rmtree (after releasing the lock); their tombstones are popped
+    here so a concurrent vacuum cannot double-select them."""
     import json
-    import shutil
+    import tempfile
     import time
 
     _, cur_version = _read_manifest_versioned(path)
@@ -1141,11 +1209,15 @@ def _vacuum_locked(path: str, retain_versions: int, grace_s: float) -> list[str]
         elif d not in tombs and grace_s > 0:
             tombs[d] = now  # phase 1: start this dir's reader lease
         elif now - tombs.get(d, now) >= grace_s:
-            shutil.rmtree(os.path.join(path, d))  # phase 2: lease expired
-            tombs.pop(d, None)
+            tombs.pop(d, None)  # phase 2: lease expired — caller rmtrees
             removed.append(d)
-    with open(tpath, "w") as f:
+    # Atomic tombstone commit (r12 advisor fix): mkstemp + os.replace,
+    # matching the manifest commit — a crash mid-write must never leave
+    # truncated JSON that fails every later vacuum at json.load.
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".tombstones")
+    with os.fdopen(fd, "w") as f:
         json.dump(tombs, f)
+    os.replace(tmp, tpath)
     return removed
 
 

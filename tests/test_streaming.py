@@ -1675,6 +1675,79 @@ def test_upsert_snapshot_delete_and_purge(spark, tmp_path):
     assert still == now  # live snapshot untouched by the purge
 
 
+def test_upsert_snapshot_delete_empties_bucket(spark, tmp_path):
+    """r12 regression (advisor, medium): a DELETE that removes EVERY row
+    of a touched bucket must DROP that bucket's manifest pointer, not
+    repoint it — partitionBy writes no __bucket=N subdir for an empty
+    bucket, so the old repoint left the manifest referencing a
+    nonexistent path and every subsequent read raised PATH_NOT_FOUND.
+    Pins: read-after-emptying works, the pointer is gone, a later
+    upsert revives the bucket, and full-table erasure reads as None."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.streaming import stateful
+
+    path = str(tmp_path / "empty_bucket_tbl")
+    os.makedirs(path)
+    fn = stateful.upsert_sink_snapshot(["id"], "ts", path)
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(64)], "id int, val string, ts long"
+    )
+    fn(base, 0)  # version 1
+
+    # every id that hashes into one chosen bucket — delete them ALL
+    assign = base.select(
+        "id", stateful.bucket_of(["id"]).alias("__bucket")
+    ).collect()
+    target = assign[0]["__bucket"]
+    victims = [r.id for r in assign if r["__bucket"] == target]
+    assert victims  # sanity: the bucket is non-empty
+    n = stateful.delete_from_upsert_snapshot(
+        spark,
+        path,
+        ["id"],
+        spark.createDataFrame([(i,) for i in victims], "id int"),
+    )
+    assert n == len(victims)
+
+    # the emptied bucket's pointer is GONE (not dangling at a missing dir)
+    manifest, _ = stateful._read_manifest_versioned(path)
+    assert target not in manifest
+    # and the read that used to raise PATH_NOT_FOUND returns exact rows
+    live = {r.id for r in stateful.read_upsert_snapshot(spark, path).collect()}
+    assert live == set(range(64)) - set(victims)
+
+    # a later upsert revives the bucket
+    fn(
+        spark.createDataFrame(
+            [(victims[0], "back", 20)], "id int, val string, ts long"
+        ),
+        1,
+    )
+    manifest2, _ = stateful._read_manifest_versioned(path)
+    assert target in manifest2
+    after = stateful.read_upsert_snapshot(spark, path)
+    assert after.filter(F.col("id") == victims[0]).count() == 1
+
+    # full-table erasure: manifest empties out, reader reports no table
+    n_all = stateful.delete_from_upsert_snapshot(
+        spark,
+        path,
+        ["id"],
+        spark.createDataFrame([(i,) for i in range(64)], "id int"),
+    )
+    assert n_all == 64 - len(victims) + 1
+    assert stateful.read_upsert_snapshot(spark, path) is None
+    # and the empty table still accepts a fresh write
+    fn(
+        spark.createDataFrame([(1, "new", 30)], "id int, val string, ts long"),
+        2,
+    )
+    assert stateful.read_upsert_snapshot(spark, path).count() == 1
+
+
 def test_upsert_snapshot_double_delete_preserves_generations(
     spark, tmp_path, monkeypatch
 ):
