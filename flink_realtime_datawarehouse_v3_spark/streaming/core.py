@@ -132,12 +132,25 @@ def _await_or_raise(q, timeout_s: int) -> None:
 
 
 def run_to_memory(
-    sdf: DataFrame, output_mode: str = "append", timeout_s: int = 600
+    sdf: DataFrame,
+    output_mode: str = "append",
+    timeout_s: int = 600,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
-    sink; return the sink contents as a batch DataFrame."""
+    sink; return the sink contents as a batch DataFrame.
+
+    ``n_partitions`` overrides the low replay default (8): the default
+    minimizes per-batch state-store snapshot overhead for MULTI-operator
+    join replays, but a single stateful operator whose per-key work runs
+    in Python (applyInPandasWithState) is bottlenecked on Python-side
+    CPU, which parallelizes exactly as wide as the state partitioning —
+    there, match the partition count to the cores (r12: the debounce
+    replay dropped ~3x by not starving 32 cores with 8 partitions)."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    with _StreamShufflePartitions(sdf.sparkSession):
+    with _StreamShufflePartitions(
+        sdf.sparkSession, **({"n": n_partitions} if n_partitions else {})
+    ):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
