@@ -3765,19 +3765,61 @@ GROUP BY text_hash HAVING count(*) >= 2"""
     ),
 )
 
-# IVF index health report (rows-only: the centroid fit is not
-# single-query SQL); invariants pinned in pytest.
+# IVF index health report — HASH-GREEN since r12: the coarse-quantizer
+# fit is integer-exact (milli-quantized sample, int64 Lloyd steps,
+# sqrt-free cross-multiplied assignment score), so the oracle REBUILDS
+# the identical fit as 10 unrolled materialized CTE iterations
+# (simsearch.ivf_fit_sql — the CMS trained-artifact precedent) and the
+# cell counts become plain SQL. Invariants additionally pinned in pytest.
+_IVF_QUANT = simsearch.IVF_QUANT_SQL.format(col="embedding")
 register(
     "embedding_ivf_cell_stats",
     lambda spark, sf: simsearch.ivf_cell_stats(_emb(spark, sf)),
+    f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS embedding
+             FROM embeddings),
+{simsearch.ivf_fit_sql("emb")},
+vv AS (SELECT vec_id, {_IVF_QUANT} AS vq FROM emb),
+assigned AS (SELECT vec_id, c_id AS bucket
+             FROM ({simsearch.ivf_assign_sql("vv")}) WHERE rn = 1),
+per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM assigned GROUP BY bucket)
+SELECT CAST(bucket AS BIGINT) AS cell_id, n_vecs,
+       CAST(n_vecs * 1000000
+            // CAST((SELECT sum(n_vecs) FROM per) AS BIGINT)
+            AS BIGINT) AS share_ppm,
+       CAST(trunc(n_vecs * (SELECT count(*) FROM per) * 1000000
+                  / CAST((SELECT sum(n_vecs) FROM per) AS BIGINT))
+            AS BIGINT) AS balance_ppm
+FROM per""",
 )
 
 # Radius (range) similarity search riding the IVF probed-cell equi-join —
-# rows-only (approximate by construction); recall vs the exact ball is
-# pinned in pytest against the pytest-only flat baseline.
+# HASH-GREEN since r12: the fit + assignment + probe choice are the same
+# integer-exact arithmetic as the cell-stats oracle, so the one float op
+# left is the reported per-pair round(cosine, 4) (the
+# dedup_embedding_cosine-proven expression). Approximation is by DESIGN
+# (probed cells only); recall vs the exact ball stays pinned in pytest.
 register(
     "simsearch_range_search",
     lambda spark, sf: simsearch.range_search(_emb_corpus(spark, sf)),
+    f"""WITH {corpus_mod.EMB_CORPUS_SQL.strip()},
+{simsearch.ivf_fit_sql("emb")},
+vv AS (SELECT vec_id, embedding, {_IVF_QUANT} AS vq FROM emb),
+assigned AS (SELECT vec_id AS neighbor_id, embedding AS v_vec,
+                    c_id AS bucket
+             FROM ({simsearch.ivf_assign_sql("vv")}) WHERE rn = 1),
+qv AS (SELECT vec_id AS q_id, embedding AS q_vec, vq FROM vv
+       WHERE vec_id % 100 = 0),
+probes AS (SELECT q_id, q_vec, c_id AS bucket
+           FROM ({simsearch.ivf_assign_sql("qv", id_col="q_id")})
+           WHERE rn <= {simsearch.IVF_NPROBE_DEFAULT}),
+pairs AS (SELECT p.q_id, a.neighbor_id,
+                 round(list_cosine_similarity(p.q_vec, a.v_vec), 4)
+                     AS cosine_sim
+          FROM probes p JOIN assigned a USING (bucket)
+          WHERE p.q_id <> a.neighbor_id)
+SELECT DISTINCT q_id, neighbor_id, cosine_sim
+FROM pairs WHERE cosine_sim >= {simsearch.RANGE_TAU}""",
 )
 
 # Content-keyed held-out split: exact clones share a split by
@@ -4435,13 +4477,60 @@ JOIN not_contaminated nc USING (doc_id)""",
 )
 
 # Bloom-filter twin of decontaminate_ngram: the membership test when the
-# benchmark shingle set outgrows a broadcast. Deterministic xxhash64
-# bit-probing has no DuckDB equivalent -> rows-only entry; the hard gate
-# is tests/test_training_ops.py::test_decontaminate_bloom (superset of
-# the exact semi-join + FP bound).
+# benchmark shingle set outgrows a broadcast. HASH-GREEN since r12: bit
+# positions are disjoint 20-bit md5 hex slices (text_dedup._bloom_pos),
+# so the oracle rebuilds the IDENTICAL filter words and probes them with
+# the same all-k test — the driver value-hashes the filter itself. The
+# no-false-negative + FP-bound gate stays in
+# tests/test_training_ops.py::test_decontaminate_bloom.
+_BLOOM_POS_LIST = ", ".join(
+    text_dedup._bloom_pos_sql(i) for i in range(text_dedup.BLOOM_K)
+)
+# Bit 63 needs the sign-bit literal: DuckDB's << is overflow-CHECKED
+# where Java's shiftleft(1L, 63) wraps to Long.MIN_VALUE.
+_BLOOM_BIT = (
+    "CASE WHEN {p} % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
+    "ELSE (CAST(1 AS BIGINT) << CAST({p} % 64 AS INT)) END"
+)
 register(
     "decontaminate_bloom",
     lambda spark, sf: text_dedup.decontaminate_bloom(_corpus(spark, sf)),
+    f"""WITH {_CORPUS},
+shn AS (
+    SELECT doc_id, UNNEST(list_distinct({_SHINGLE_LIST_N})) AS shingle
+    FROM corpus
+),
+bpos AS (
+    SELECT DISTINCT UNNEST([{_BLOOM_POS_LIST}]) AS pos
+    FROM (SELECT DISTINCT shingle FROM shn
+          WHERE doc_id % {_BM} = 0 AND doc_id < 1000000)
+),
+words AS (
+    SELECT pos // 64 AS word,
+           bit_or({_BLOOM_BIT.format(p="pos")}) AS mask
+    FROM bpos GROUP BY 1
+),
+csh AS (
+    SELECT doc_id, shingle, UNNEST([{_BLOOM_POS_LIST}]) AS pos
+    FROM shn WHERE NOT (doc_id % {_BM} = 0 AND doc_id < 1000000)
+),
+hitsh AS (
+    SELECT c.doc_id, c.shingle
+    FROM csh c JOIN words w
+      ON c.pos // 64 = w.word
+     AND (w.mask & ({_BLOOM_BIT.format(p="c.pos")})) <> 0
+    GROUP BY c.doc_id, c.shingle
+    HAVING count(*) = {text_dedup.BLOOM_K}
+),
+hits AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+    FROM hitsh GROUP BY 1
+)
+SELECT c.doc_id, coalesce(h.n_bloom_hits, 0) AS n_bloom_hits,
+       CAST(coalesce(h.n_bloom_hits, 0) > 0 AS INT) AS contaminated
+FROM (SELECT doc_id FROM corpus
+      WHERE NOT (doc_id % {_BM} = 0 AND doc_id < 1000000)) c
+LEFT JOIN hits h USING (doc_id)""",
 )
 
 # Corpus-mix report over the raw documents table: ONE ROLLUP pass over
@@ -5615,7 +5704,7 @@ _register_streaming()
 # rounds STRICTLY OLDER than this, so the gate stays green when THIS
 # round's record lands (the r04 lesson: a gate keyed on "all records" fails
 # on schedule the moment the round it shaped gets recorded).
-_WINDOW_ROUND = 11
+_WINDOW_ROUND = 12
 
 # Rows-only entries deliberately inside the checked window this round
 # (never-driver-executed first, then new/changed, then the stalest
@@ -5624,22 +5713,75 @@ _WINDOW_ROUND = 11
 # tools/rebuild_window.py; do not hand-edit.
 _WINDOW_ROWS_ONLY = {
     "dedup_embedding_semdedup",
-    "embedding_ivf_cell_stats",
-    "embedding_pca_project",
+    "multimodal_dedup_perceptual",
+    "simsearch_hard_negatives_ivf",
+    "simsearch_ivf_topk",
+    "simsearch_ivfpq_topk",
+    "streaming_ivf_search",
+    "text_bpe_tokenize",
 }
 
 _DRIVER_WINDOW = [
+    "embedding_ivf_cell_stats",
+    "decontaminate_bloom",
+    "simsearch_range_search",
+    "simsearch_ivf_topk",
+    "text_bpe_tokenize",
+    "multimodal_dedup_perceptual",
+    "simsearch_ivfpq_topk",
+    "simsearch_hard_negatives_ivf",
+    "streaming_ivf_search",
+    "dedup_embedding_semdedup",
+    "streaming_order_info_debounce",
+    "streaming_order_info_upsert_snapshot",
     "sink_mvcc_export_parquet",
     "sink_mvcc_export_zonemap_scan",
+    "dws_trade_order_window",
+    "join_salted_skew",
+    "join_activity_coupon_full_outer",
+    "interval_join_events",
+    "sink_dws_partitioned_roundtrip",
+    "sessionize_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sink_corpus_shards_roundtrip",
+    "text_bm25_topk",
+    "corpus_perplexity_buckets",
+    "corpus_token_length_histogram",
+    "embedding_random_projection",
+    "corpus_ngram_novelty",
+    "corpus_quality_gate",
+    "streaming_decontaminate",
+    "corpus_snapshot_diff",
+    "streaming_quality_gate",
+    "corpus_train_val_test_split",
+    "embedding_norm_stats",
+    "corpus_curation_funnel",
+    "events_new_users_daily",
+    "events_value_mad_anomalies",
+    "events_path_transitions_topk",
+    "corpus_multi_bench_decontaminate",
+    "text_lang_confusion",
+    "corpus_contamination_by_source",
+    "streaming_norm_stats",
+    "events_rolling_wau",
+    "corpus_quality_reasons_by_source",
+    "events_timeseries_gapfill",
+    "text_char_entropy",
+    "events_time_to_convert",
+    "sink_corpus_jsonl_roundtrip",
+    "sink_corpus_compacted_roundtrip",
+]
+
+# Proven in earlier rounds; rotated past the cutoff. The
+# rows-only-by-design entries (no oracle possible) sit strictly last.
+_DRIVER_TAIL = [
     "events_heavy_hitters_cms",
     "streaming_heavy_hitters_cms",
-    "dedup_embedding_semdedup",
-    "embedding_pca_project",
-    "embedding_ivf_cell_stats",
     "sink_pyds_jsonl_commit_roundtrip",
     "streaming_pyds_events",
     "source_pyds_events",
-    "streaming_order_info_upsert_snapshot",
     "events_retention_cohort",
     "events_type_day_cube",
     "events_user_gap_stats",
@@ -5679,14 +5821,6 @@ _DRIVER_WINDOW = [
     "dim_coupon_use_scd2",
     "dws_traffic_page_view_window",
     "dws_trade_user_spu_order_window",
-]
-
-# Proven in earlier rounds; rotated past the cutoff. The
-# rows-only-by-design entries (no oracle possible) sit strictly last.
-_DRIVER_TAIL = [
-    "dws_trade_order_window",
-    "join_salted_skew",
-    "join_activity_coupon_full_outer",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit",
     "tpch_q11_important_stock",
@@ -5731,8 +5865,6 @@ _DRIVER_TAIL = [
     "dws_traffic_keyword_cjk_window",
     "text_quality_top_quantile",
     "events_topn_per_group",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "tpch_q17_small_qty_revenue",
     "tpch_q20_dominant_suppliers",
     "tpch_q22_idle_rich_customers",
@@ -5804,7 +5936,6 @@ _DRIVER_TAIL = [
     "streaming_dim_user_info_evolve",
     "streaming_dim_coupon_scd2",
     "streaming_unique_visitor",
-    "streaming_order_info_debounce",
     "text_token_stats",
     "dwd_user_register",
     "dws_user_user_register_window",
@@ -5822,33 +5953,6 @@ _DRIVER_TAIL = [
     "dwd_traffic_user_jump_detail",
     "dws_traffic_source_keyword_page_view_window",
     "dws_traffic_vc_ch_ar_is_new_page_view_window",
-    "sink_corpus_shards_roundtrip",
-    "text_bm25_topk",
-    "corpus_perplexity_buckets",
-    "corpus_token_length_histogram",
-    "embedding_random_projection",
-    "corpus_ngram_novelty",
-    "corpus_quality_gate",
-    "streaming_decontaminate",
-    "corpus_snapshot_diff",
-    "streaming_quality_gate",
-    "corpus_train_val_test_split",
-    "embedding_norm_stats",
-    "corpus_curation_funnel",
-    "events_new_users_daily",
-    "events_value_mad_anomalies",
-    "events_path_transitions_topk",
-    "corpus_multi_bench_decontaminate",
-    "text_lang_confusion",
-    "corpus_contamination_by_source",
-    "streaming_norm_stats",
-    "events_rolling_wau",
-    "corpus_quality_reasons_by_source",
-    "events_timeseries_gapfill",
-    "text_char_entropy",
-    "events_time_to_convert",
-    "sink_corpus_jsonl_roundtrip",
-    "sink_corpus_compacted_roundtrip",
     "sink_corpus_partition_upsert",
     "sink_events_zorder_read",
     "corpus_shard_pack",
@@ -5863,22 +5967,11 @@ _DRIVER_TAIL = [
     "dws_trade_trademark_category_user_refund_window",
     "dws_trade_payment_suc_window",
     "dws_trade_cart_add_uu_window",
-    "interval_join_events",
-    "sink_dws_partitioned_roundtrip",
-    "sessionize_events",
-    "dedup_exact",
-    "simsearch_ivfpq_topk",
+    "embedding_pca_project",
     "tokenizer_bpe_merges",
-    "simsearch_hard_negatives_ivf",
-    "multimodal_dedup_perceptual",
-    "streaming_ivf_search",
     "streaming_multimodal_dhash",
     "dws_trade_province_order_window_approx",
-    "decontaminate_bloom",
     "events_profile_stats_approx",
-    "simsearch_range_search",
-    "simsearch_ivf_topk",
-    "text_bpe_tokenize",
 ]
 
 # Dataflow definition order (DWD -> DWS -> ops), captured before the driver

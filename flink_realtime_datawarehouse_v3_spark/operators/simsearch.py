@@ -89,6 +89,10 @@ def cosine_topk(embeddings: DataFrame, k: int = 10, every: int = 100) -> DataFra
 SAMPLE_CAP = 256_000
 
 
+KMEANS_Q = 1_000  # milli quantization of the fit sample (int64-exact Lloyd)
+KMEANS_SCORE_SCALE = 1_000  # assignment-score resolution (see _kmeans_score)
+
+
 def _fit_kmeans_centroids(
     embeddings: DataFrame,
     n_centroids: int = 54,
@@ -96,19 +100,39 @@ def _fit_kmeans_centroids(
     iters: int = 10,
     sample_cap: int = SAMPLE_CAP,
 ) -> list[list[float]]:
-    """Seeded spherical k-means fit on a deterministic BOUNDED sample
-    (driver-side Lloyd iterations; the IVF index-build step).
+    """Seeded k-means fit on a deterministic BOUNDED sample (driver-side
+    Lloyd iterations; the IVF index-build step) — INTEGER-EXACT since
+    r12 so an independent engine (the DuckDB oracle) rebuilds
+    bit-identical centroids from the same parquet:
+
+    - each sample vector is milli-quantized element-wise,
+      ``vq[i] = floor(v[i] * 1000 + 0.5)`` (int64; no summation in the
+      quantization step, so IEEE float multiply determinism is the only
+      float fact used — identical in numpy and SQL);
+    - assignment uses the scale-invariant integer score
+      ``sign(d) * (d*d*SCALE div dot(c,c))`` with ``d = dot(vq, c)``
+      (all int64, worst case |d| = 64e6 -> d*d*SCALE = 4.1e18 < 2^63;
+      ties -> lowest centroid id) — cross-multiplied cosine ordering,
+      no sqrt, no float sums;
+    - the update is an element-wise integer mean with truncating
+      division; empty cells keep their previous centroid.
+
+    Returned centroids are the integer millis as (exactly representable)
+    doubles — cosine is scale-invariant, so downstream float scoring
+    (:func:`_ivf_assignments`, probes, ADC pre-ranking) is unchanged.
 
     100 TB posture: an IVF coarse quantizer is always fit on a bounded
-    sample (FAISS trains on ~256k vectors regardless of corpus size), so a
-    driver-side fit over a deterministic capped sample is the honest
+    sample (FAISS trains on ~256k vectors regardless of corpus size), so
+    a driver-side fit over a deterministic capped sample is the honest
     production shape — ``sample_cap`` bounds what reaches the driver no
     matter the corpus size; the full corpus only pays the broadcast
-    assignment join.
-    Determinism: sample = first ``sample_cap`` rows of
-    vec_id % sample_every == 0 ordered by vec_id,
-    init = evenly spaced sample rows, argmax ties -> lowest centroid id,
-    fixed row order -> fixed summation order.
+    assignment join. Determinism: sample = first ``sample_cap`` rows of
+    vec_id % sample_every == 0 ordered by vec_id, init = evenly spaced
+    sample rows (pure-integer index arithmetic), integer Lloyd steps.
+    The DuckDB replica of this exact procedure is
+    ``flink_realtime_datawarehouse_v3_spark.api``'s ``_KMEANS_FIT_SQL``;
+    parity is driver-hash-gated via embedding_ivf_cell_stats and
+    simsearch_range_search.
     """
     import numpy as np
 
@@ -121,8 +145,8 @@ def _fit_kmeans_centroids(
     )
     if not rows:
         raise ValueError("kmeans_centroids: empty training sample")
-    x = np.array([r.embedding for r in rows], dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    v = np.array([r.embedding for r in rows], dtype=np.float64)
+    x = np.floor(v * KMEANS_Q + 0.5).astype(np.int64)
     # sqrt(N) coarse-quantizer sizing (the standard IVF rule): caps bucket
     # size ~sqrt(N) so probe cost ~ nprobe * sqrt(N) rows per query, while
     # keeping buckets populated at small scale factors. Estimated corpus
@@ -131,15 +155,161 @@ def _fit_kmeans_centroids(
     # evenly-spaced init never duplicates a row.
     n_centroids = max(4, min(n_centroids, int(round((len(x) * sample_every) ** 0.5))))
     n_centroids = min(n_centroids, len(x))
-    cen = x[np.linspace(0, len(x) - 1, n_centroids).astype(int)].copy()
+    init_idx = [
+        ((len(x) - 1) * k) // (n_centroids - 1) if n_centroids > 1 else 0
+        for k in range(n_centroids)
+    ]
+    cen = x[init_idx].copy()  # int64 millis
     for _ in range(iters):
-        assign = (x @ cen.T).argmax(axis=1)
+        assign = _kmeans_assign(x, cen)
         for j in range(n_centroids):
             members = x[assign == j]
             if len(members):
-                cen[j] = members.mean(axis=0)
-        cen /= np.linalg.norm(cen, axis=1, keepdims=True)
-    return [[float(v) for v in c] for c in cen]
+                s = members.sum(axis=0)  # int64-exact
+                cen[j] = np.sign(s) * (np.abs(s) // len(members))
+    return [[float(c) for c in row] for row in cen]
+
+
+def _sql_iscore(d: str, n: str) -> str:
+    """The integer assignment score as DuckDB SQL over named operands —
+    textual twin of :data:`_ISCORE_SQL` / :func:`_kmeans_assign`."""
+    s = KMEANS_SCORE_SCALE
+    return (
+        f"CASE WHEN {d} < 0 THEN -(({d} * {d} * {s}) // {n}) "
+        f"ELSE ({d} * {d} * {s}) // {n} END"
+    )
+
+
+def _sql_idot(a: str, b: str) -> str:
+    """Exact int64 dot product of two BIGINT[] as DuckDB SQL: the cast
+    to DOUBLE[] is exact (every product <= 334k, every partial sum
+    <= 6.4e7 — all integers < 2^53, so the double dot product is exact
+    regardless of accumulation order or FMA), and the final CAST back
+    is of an integral double."""
+    return (
+        f"CAST(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) AS BIGINT)"
+    )
+
+
+IVF_QUANT_SQL = (
+    "list_transform({col}::DOUBLE[], x -> "
+    f"CAST(floor(x * {KMEANS_Q} + 0.5) AS BIGINT))"
+)
+
+
+def ivf_fit_sql(
+    emb_cte: str = "emb",
+    sample_every: int = 3,
+    iters: int = 10,
+    sample_cap: int = SAMPLE_CAP,
+) -> str:
+    """DuckDB CTE chain that rebuilds :func:`_fit_kmeans_centroids`
+    BIT-FOR-BIT from the same parquet — the literal-injection move that
+    flips the IVF registry entries from rows-only to hash-green (the
+    count-min-sketch precedent: a trained artifact crosses engines when
+    every fit step is exact integer arithmetic).
+
+    Input: a prior CTE ``emb_cte`` with columns (vec_id, embedding
+    DOUBLE[]). Output: appendable CTE text (no leading WITH) ending in
+    ``cen_final(c_id, cq BIGINT[], c_vec DOUBLE[])`` — the fitted
+    centroids. Each Lloyd iteration is one unrolled assign/update CTE
+    pair; all arithmetic is int64 (see the fit's docstring for the
+    overflow budget), so there is no float-ordering freedom for the
+    engines to disagree on."""
+    e = emb_cte
+    q = IVF_QUANT_SQL.format(col="embedding")
+    # AS MATERIALIZED everywhere a CTE is referenced more than once:
+    # DuckDB inlines plain CTEs, and __cen{i} feeds both __asg{i+1} and
+    # __cen{i+1} — un-materialized, the 10-iteration chain expands
+    # 2^iters subtrees and never finishes.
+    parts = [
+        f"""__samp AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ri, {q} AS vq
+    FROM (SELECT vec_id, embedding FROM {e} WHERE vec_id % {sample_every} = 0
+          ORDER BY vec_id LIMIT {sample_cap})
+)""",
+        f"""__par AS MATERIALIZED (
+    SELECT L, LEAST(GREATEST(4, LEAST(nd, CAST(round(sqrt(L * {sample_every})) AS BIGINT))), L) AS nc
+    FROM (SELECT (SELECT count(*) FROM __samp) AS L,
+                 GREATEST(4, CAST(round(sqrt((SELECT count(*) FROM {e}))) AS BIGINT)) AS nd)
+)""",
+        """__cen0 AS MATERIALIZED (
+    SELECT kk.k AS c_id, s.vq AS c
+    FROM __par p, LATERAL (SELECT unnest(range(p.nc)) AS k) kk
+    JOIN __samp s ON s.ri = CASE WHEN p.nc > 1
+                                 THEN ((p.L - 1) * kk.k) // (p.nc - 1)
+                                 ELSE 0 END
+)""",
+    ]
+    for i in range(1, iters + 1):
+        d = _sql_idot("s.vq", "c.c")
+        n = f"GREATEST({_sql_idot('c.c', 'c.c')}, 1)"
+        parts.append(
+            f"""__asg{i} AS MATERIALIZED (
+    SELECT s.ri, s.vq, c.c_id,
+           {_sql_iscore(d, n)} AS score
+    FROM __samp s CROSS JOIN __cen{i - 1} c
+    QUALIFY row_number() OVER (PARTITION BY s.ri
+                               ORDER BY score DESC, c.c_id) = 1
+)""",
+        )
+        parts.append(
+            f"""__newc{i} AS MATERIALIZED (
+    SELECT c_id,
+           list(CASE WHEN s < 0 THEN -((-s) // cnt) ELSE s // cnt END
+                ORDER BY pos) AS c
+    FROM (SELECT a.c_id, u.pos, CAST(sum(u.val) AS BIGINT) AS s,
+                 count(*) AS cnt
+          FROM __asg{i} a,
+               LATERAL (SELECT unnest(a.vq) AS val,
+                               unnest(generate_series(1, len(a.vq))) AS pos) u
+          GROUP BY a.c_id, u.pos)
+    GROUP BY c_id
+)""",
+        )
+        parts.append(
+            f"""__cen{i} AS MATERIALIZED (
+    SELECT p.c_id, coalesce(n.c, p.c) AS c
+    FROM __cen{i - 1} p LEFT JOIN __newc{i} n USING (c_id)
+)""",
+        )
+    parts.append(
+        f"""cen_final AS MATERIALIZED (
+    SELECT c_id, c AS cq, c::DOUBLE[] AS c_vec FROM __cen{iters}
+)""",
+    )
+    return ",\n".join(parts)
+
+
+def ivf_assign_sql(
+    vec_cte: str, id_col: str = "vec_id", vq_col: str = "vq"
+) -> str:
+    """One CTE body assigning every row of ``vec_cte`` (which must carry
+    ``id_col`` and a quantized ``vq_col``) to its integer-score-nearest
+    ``cen_final`` centroid — the DuckDB twin of
+    :func:`_ivf_assignments` / the probe ranking. SELECTs every
+    ``vec_cte`` column plus c_id and rn (callers filter rn = 1 for
+    assignment or rn <= nprobe for probes)."""
+    d = _sql_idot(f"v.{vq_col}", "c.cq")
+    n = f"GREATEST({_sql_idot('c.cq', 'c.cq')}, 1)"
+    return f"""
+    SELECT v.*, c.c_id,
+           row_number() OVER (PARTITION BY v.{id_col}
+                              ORDER BY {_sql_iscore(d, n)} DESC, c.c_id) AS rn
+    FROM {vec_cte} v CROSS JOIN cen_final c
+"""
+
+
+def _kmeans_assign(x, cen):
+    """argmax_j of the integer assignment score (ties -> lowest j).
+    score(v, c) = sign(dot(v,c)) * (dot(v,c)^2 * SCALE div dot(c,c)) —
+    the cross-multiplied, sqrt-free cosine ordering, exact in int64."""
+    import numpy as np
+
+    d = x @ cen.T  # int64-exact
+    nc = np.maximum((cen * cen).sum(axis=1), 1)  # guard all-zero cell
+    score = np.sign(d) * ((d * d * KMEANS_SCORE_SCALE) // nc[None, :])
+    return score.argmax(axis=1)
 
 
 def derived_centroids(embeddings: DataFrame, n_centroids: int | None) -> int:
@@ -179,22 +349,73 @@ def kmeans_centroids(
     )
 
 
+def _ivq(col: Column) -> Column:
+    """Milli-quantized int64 vector, element-wise floor(x*1000 + 0.5) —
+    the SAME quantization the integer k-means fit applies to its sample
+    (:data:`KMEANS_Q`), so assignment scoring below is exact int64
+    arithmetic an independent engine reproduces bit-for-bit. The cast to
+    double FIRST matters: float32 * 1000 in float32 rounds differently
+    than the double multiply both numpy and DuckDB perform."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * KMEANS_Q + F.lit(0.5))
+    )
+
+
+_ISCORE_SQL = (
+    "CASE WHEN __d < 0 THEN -((__d * __d * {s}) DIV __n) "
+    "ELSE (__d * __d * {s}) DIV __n END"
+).format(s=KMEANS_SCORE_SCALE)
+
+
+def _with_iscore(df: DataFrame, vq: str, cq: str) -> DataFrame:
+    """Append ``__score``: the integer assignment score
+    sign(d) * (d^2 * SCALE DIV dot(c,c)) with d = dot(vq, cq) — the
+    sqrt-free cross-multiplied cosine ordering of :func:`_kmeans_assign`,
+    exact in int64 (worst case |d| = 64e6 -> d^2*SCALE = 4.1e18 < 2^63).
+    Ties are broken by the caller's ORDER BY c_id."""
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.withColumn("__d", dot(vq, cq))
+        .withColumn("__n", F.greatest(dot(cq, cq), F.lit(1).cast("long")))
+        .withColumn("__score", F.expr(_ISCORE_SQL))
+        .drop("__d", "__n")
+    )
+
+
+def _cen_q(cen: DataFrame) -> DataFrame:
+    """Centroid frame with the int64 twin of c_vec appended (centroids
+    are integral doubles since the r12 integer fit, so the cast is
+    exact)."""
+    return cen.withColumn(
+        "cq", F.transform("c_vec", lambda x: x.cast("long"))
+    )
+
+
 def _ivf_assignments(embeddings: DataFrame, cen: DataFrame) -> DataFrame:
     """(neighbor_id, v_vec, bucket): every vector assigned to its nearest
     coarse centroid — broadcast centroids, one bounded
     BroadcastNestedLoopJoin + a per-vector window (frame = n_centroids
     rows). Shared by the IVF candidate generator and the index health
-    report."""
+    report. Nearest = argmax of the INTEGER assignment score (r12) over
+    the milli-quantized vector — the same exact arithmetic as the fit,
+    so the full index build (fit + assignment) is reproducible by the
+    DuckDB oracle with zero float-ordering risk; the float v_vec rides
+    along for the exact per-pair cosine the search path reports."""
     v = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), _dvec(F.col("embedding")).alias("v_vec")
+        F.col("vec_id").alias("neighbor_id"),
+        _dvec(F.col("embedding")).alias("v_vec"),
+        _ivq(F.col("embedding")).alias("vq"),
     )
-    va = v.crossJoin(F.broadcast(cen)).select(
-        "neighbor_id",
-        "v_vec",
-        "c_id",
-        F.round(cosine(F.col("v_vec"), F.col("c_vec")), 4).alias("sim"),
+    va = _with_iscore(
+        v.crossJoin(F.broadcast(_cen_q(cen))), "vq", "cq"
+    ).select("neighbor_id", "v_vec", "c_id", "__score")
+    wv = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__score").desc(), F.col("c_id")
     )
-    wv = Window.partitionBy("neighbor_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
         va.withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
         .select("neighbor_id", "v_vec", F.col("c_id").alias("bucket"))
@@ -228,11 +449,15 @@ def _ivf_candidates(
     index (centroids + assignments) — the serving-side half of the IVF
     search, shared by the batch entries and the online (stream-static)
     serving pipeline, where ``q`` is one micro-batch of queries."""
-    # probe: nprobe nearest centroids per query.
-    qc = q.crossJoin(F.broadcast(cen)).select(
-        "q_id", "q_vec", "c_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
-    )
+    # probe: nprobe nearest centroids per query — same integer score as
+    # the assignment side (r12), so probed-cell choice is exactly
+    # reproducible cross-engine.
+    qc = _with_iscore(
+        q.withColumn("qq", _ivq(F.col("q_vec")))
+        .crossJoin(F.broadcast(_cen_q(cen))),
+        "qq",
+        "cq",
+    ).select("q_id", "q_vec", "c_id", F.col("__score").alias("sim"))
     wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     probes = (
         qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= nprobe)
@@ -1144,6 +1369,7 @@ def ivf_cell_stats(
 
 
 RANGE_TAU = 0.8  # report all probed pairs with round(cosine,4) >= TAU
+IVF_NPROBE_DEFAULT = 8  # shared by range_search and its oracle SQL
 
 
 def range_search(
@@ -1151,7 +1377,7 @@ def range_search(
     tau: float = RANGE_TAU,
     every: int = 100,
     n_centroids: int | None = None,
-    nprobe: int = 8,
+    nprobe: int = IVF_NPROBE_DEFAULT,
 ) -> DataFrame:
     """Radius (range) similarity search — the OTHER vector-search API
     beside top-k: every candidate within cosine >= tau of each query,

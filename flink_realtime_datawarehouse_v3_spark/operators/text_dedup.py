@@ -543,7 +543,10 @@ DECON_N = 8  # token-shingle width for the overlap test
 
 # Bloom-filter decontamination twin: m bits / k hashes, sized for a
 # benchmark-shingle set up to ~10^5 entries at <1% FP ((1-e^{-kn/m})^k).
-# Deterministic (xxhash64 with fixed per-hash seeds), so reruns agree.
+# Deterministic AND engine-portable (r12): hash i = md5 hex slice
+# [5i, 5i+5) as a 20-bit int — k disjoint slices of one md5 are k
+# independent uniform hashes over exactly [0, 2^20), so m MUST stay
+# 2^20 and k*5 <= 32 (guarded in decontaminate_bloom).
 BLOOM_BITS = 1 << 20
 BLOOM_K = 5
 
@@ -588,10 +591,29 @@ def decontaminate(corpus: DataFrame, n: int = DECON_N) -> DataFrame:
     )
 
 
+def _bloom_pos(i: int) -> str:
+    """Spark-SQL expression for hash i of ``shingle``: bits [5i, 5i+5)
+    of md5 as a 20-bit position — k DISJOINT md5 hex slices are k
+    independent uniform hashes over exactly [0, 2^20) = BLOOM_BITS, and
+    (unlike xxhash64) the identical value is one ``substr`` away in any
+    engine, which is what lets the DuckDB oracle rebuild the filter
+    bit-for-bit (r12; the xxhash64 form was the one thing keeping this
+    entry rows-only)."""
+    return f"CAST(conv(substring(md5(shingle), {1 + 5 * i}, 5), 16, 10) AS BIGINT)"
+
+
+def _bloom_pos_sql(i: int) -> str:
+    """DuckDB twin of :func:`_bloom_pos` — same md5 slice, same value."""
+    return (
+        f"CAST(CAST(concat('0x', substr(md5(shingle), {1 + 5 * i}, 5)) "
+        "AS UBIGINT) AS BIGINT)"
+    )
+
+
 def _bloom_hit(i: int, m: int) -> str:
     """SQL predicate: hash i of `shingle` finds its bit set in the staged
     `bloom_bits` array<long> column."""
-    pos = f"pmod(xxhash64(shingle, {i}), {m})"
+    pos = _bloom_pos(i)
     return (
         f"(element_at(bloom_bits, CAST({pos} DIV 64 AS INT) + 1) & "
         f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
@@ -612,24 +634,31 @@ def decontaminate_bloom(
 
     Probe: the packed bit array rides as ONE literal expression node
     (shared, not per-row state) and each candidate shingle tests its k
-    positions with xxhash64 / element_at / shiftleft — whole-stage-codegen
-    JVM expressions, no join against the benchmark at all. A corpus doc
-    is flagged when any of its shingles hits all k bits.
+    positions with md5-slice / element_at / shiftleft — whole-stage-
+    codegen JVM expressions, no join against the benchmark at all. A
+    corpus doc is flagged when any of its shingles hits all k bits.
 
     Guarantees (pytest-gated vs the exact semi-join twin,
     tests/test_training_ops.py::test_decontaminate_bloom):
     - NO false negatives: every exactly-contaminated doc is flagged;
     - false-positive docs bounded by the (1 - e^{-kn/m})^k shingle FP rate.
 
-    Deterministic hashing but not SQL-expressible in DuckDB (no xxhash64)
-    -> registered rows-only, with the parity pytest as the gate.
+    Hash-green since r12: positions are disjoint 20-bit md5 hex slices
+    (:func:`_bloom_pos`) instead of xxhash64, so the DuckDB oracle
+    rebuilds the identical filter and the driver value-hashes the whole
+    probe, bits and all (the CMS trained-artifact precedent).
     """
+    if m != 1 << 20 or k * 5 > 32:
+        raise ValueError(
+            "bloom md5-slice hashing requires m == 2^20 and k*5 <= 32 "
+            f"(got m={m}, k={k})"
+        )
     is_bench = (F.col("doc_id") % BENCH_MOD == 0) & (F.col("doc_id") < 1_000_000)
     bench_sh = (
         shingles_exploded(corpus.filter(is_bench), n=n).select("shingle").distinct()
     )
     pos = F.explode(
-        F.array(*[F.expr(f"pmod(xxhash64(shingle, {i}), {m})") for i in range(k)])
+        F.array(*[F.expr(_bloom_pos(i)) for i in range(k)])
     ).alias("pos")
     words = (
         bench_sh.select(pos)
