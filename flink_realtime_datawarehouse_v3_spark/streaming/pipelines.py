@@ -374,6 +374,19 @@ def stream_traffic_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
         saved = spark.conf.get(chk)
         spark.conf.set(chk, "false")
+        # With the check disabled Spark still WARN-logs the full analyzed
+        # plan + AnalysisException text from UnsupportedOperationChecker
+        # at every query start — pure noise once the safety argument
+        # above holds, and it pollutes committed sweep logs (r11 verdict
+        # cosmetic #2). Quiet exactly that logger for the run.
+        _uoc = "org.apache.spark.sql.catalyst.analysis.UnsupportedOperationChecker"
+        _jvm = spark._jvm
+        _saved_lvl = _jvm.org.apache.logging.log4j.LogManager.getLogger(
+            _uoc
+        ).getLevel()
+        _jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            _uoc, _jvm.org.apache.logging.log4j.Level.ERROR
+        )
         try:
             agg = (
                 tumble(unioned, F.col("rt"), *keys)
@@ -392,6 +405,9 @@ def stream_traffic_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = run_to_memory(agg, output_mode="append")
         finally:
             spark.conf.set(chk, saved)
+            _jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                _uoc, _saved_lvl
+            )
         return out.filter(F.col("vc").isNotNull())
 
 
