@@ -283,7 +283,14 @@ def stream_unique_visitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = stateful.first_per_day_stream(s, key="mid", dt_col="dt")
-        return run_to_memory(out, output_mode="append").drop("dt")
+        # Single stateful op, per-key Python work: run as wide as the box
+        # (the r12 debounce lesson; here a modest 21.2 -> 19.3 s at
+        # sf0.1 — this replay is scheduling-bound, not key-bound).
+        return run_to_memory(
+            out,
+            output_mode="append",
+            n_partitions=spark.sparkContext.defaultParallelism,
+        ).drop("dt")
 
 
 def stream_jump_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,7 +309,13 @@ def stream_jump_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         s = read_stream(spark, d.sub("in")).withColumn("rt", rt_from_ms(F.col("ts")))
         out = stateful.jump_detect_stream(s).filter(F.col("mid") != "__sentinel__")
-        return run_to_memory(out, output_mode="append")
+        # Single stateful op, per-key Python work: run as wide as the box
+        # (the r12 debounce lesson; here 15.5 -> 14.4 s at sf0.1).
+        return run_to_memory(
+            out,
+            output_mode="append",
+            n_partitions=spark.sparkContext.defaultParallelism,
+        )
 
 
 def stream_traffic_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1401,7 +1414,13 @@ def stream_value_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = stateful.trailing_window_stream(
             s, timeseries.TRAIL_WINDOW_SEC
         )
-        return run_to_memory(out).filter(F.col("user_id") >= 0)
+        # Single stateful op, per-key Python work: run as wide as the box
+        # (the r12 debounce lesson; ~flat here at sf0.1, 21.8 -> 21.2 s —
+        # 1.5k keys don't starve 8 partitions — kept for rig uniformity).
+        return run_to_memory(
+            out,
+            n_partitions=spark.sparkContext.defaultParallelism,
+        ).filter(F.col("user_id") >= 0)
 
 
 def stream_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
