@@ -159,7 +159,30 @@ def run_to_memory(
             .start()
         )
     _await_or_raise(q, timeout_s)
+    if n_partitions:
+        _unload_state_store_providers(sdf.sparkSession)
     return sdf.sparkSession.table(name)
+
+
+def _unload_state_store_providers(spark) -> None:
+    """Synchronously unload every cached state-store provider.
+
+    A WIDENED replay (n_partitions at the core count) leaves that many
+    RocksDB provider instances — native memory + background threads —
+    in the executor's provider cache after the query terminates; the
+    asynchronous maintenance task only evicts them on its next tick, so
+    the replays that follow in a bench lane pay the overhang (r12
+    freeze: untouched 8-partition entries after the widened debounce
+    read up to 2x slower). Safe between replays: every replay uses a
+    fresh checkpoint dir, so nothing reuses a dropped provider — the
+    next query lazily reloads its own."""
+    getattr(
+        getattr(
+            spark._jvm,
+            "org.apache.spark.sql.execution.streaming.state.StateStore$",
+        ),
+        "MODULE$",
+    ).stop()
 
 
 def run_foreach_batch(

@@ -1414,13 +1414,11 @@ def stream_value_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = stateful.trailing_window_stream(
             s, timeseries.TRAIL_WINDOW_SEC
         )
-        # Single stateful op, per-key Python work: run as wide as the box
-        # (the r12 debounce lesson; ~flat here at sf0.1, 21.8 -> 21.2 s —
-        # 1.5k keys don't starve 8 partitions — kept for rig uniformity).
-        return run_to_memory(
-            out,
-            n_partitions=spark.sparkContext.defaultParallelism,
-        ).filter(F.col("user_id") >= 0)
+        # NOT widened (r12): isolated A/B read flat (21.8 -> 21.2 s at
+        # sf0.1 — 1.5k keys don't starve 8 partitions) and the in-lane
+        # freeze read 2x WORSE with 32 RocksDB instances; the widening
+        # pays only when the replay is key-bound (see the debounce).
+        return run_to_memory(out).filter(F.col("user_id") >= 0)
 
 
 def stream_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
