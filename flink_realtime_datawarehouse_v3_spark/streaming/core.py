@@ -175,7 +175,11 @@ def _unload_state_store_providers(spark) -> None:
     freeze: untouched 8-partition entries after the widened debounce
     read up to 2x slower). Safe between replays: every replay uses a
     fresh checkpoint dir, so nothing reuses a dropped provider — the
-    next query lazily reloads its own."""
+    next query lazily reloads its own. Scoped to WIDENED runs only: an
+    r12 A/B of unloading after EVERY replay read 229.3 s vs 216.7 s
+    over the seven heaviest lane entries (the maintenance-pool restart
+    and cold provider caches cost multi-operator replays more than the
+    overhang saves)."""
     getattr(
         getattr(
             spark._jvm,
