@@ -64,6 +64,11 @@ def main() -> None:
                 list(cdc_mod.BUILDERS),
             )
         )
+    # The dirty branch is session-cached too since r13 (it was re-derived
+    # per topic_db_parsed call — an orders scan + parse that dominated the
+    # small dwd entries under ambient load, r12 verdict "what's wrong" #1);
+    # warm it with the rest so no query pays its first materialization.
+    cdc_mod._dirty_parsed(spark, sf_dir).count()
     ods_warm_sec = round(time.perf_counter() - t0, 3)
 
     # Classifier-artifact pre-warm (same rationale as ods_warm_sec): the

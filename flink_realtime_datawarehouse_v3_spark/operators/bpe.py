@@ -159,6 +159,71 @@ def bpe_merges(
     )
 
 
+def merges_sql(n_merges: int = N_MERGES, vocab_cap: int = VOCAB_CAP) -> str:
+    """Independent DuckDB replay of the ENTIRE fit — word count, bounded
+    top-``vocab_cap`` slice, and the ``n_merges``-step greedy merge loop —
+    as a MATERIALIZED CTE chain (the r12 trained-artifact pattern, but
+    stronger: nothing from the Spark fit is embedded; the oracle re-derives
+    the merge table from the raw corpus).
+
+    Per step i: (1) pair counts from the current segmentation via
+    ``UNNEST(list_transform(range(len(ss)-1), ...))`` — overlapping
+    adjacent positions weighted by word count, exactly the Python
+    trainer's multiset semantics; (2) argmin by (-count, pair) via
+    ``ORDER BY pc DESC, a, b LIMIT 1`` (DuckDB's binary UTF-8 collation ==
+    Python code-point tuple order); (3) left-to-right non-overlapping
+    merge application via ``replace()`` on a wrapped form where EVERY
+    symbol carries its own '|' delimiters (``|a||b||c|``) so consecutive
+    pairs never share a boundary char ('abab' merges to 'ab','ab', not
+    once).
+
+    Boundary: the wrapped form requires '|'-free symbols; the synthetic
+    corpus is printable-ASCII without '|' (asserted in
+    tests/test_training_ops.py). The Spark fit itself has no such limit.
+
+    Returns a WITH-extension body (starts with ", wc AS ...") for
+    ``_csql``-style composition after the corpus CTE.
+    """
+    ctes = [
+        f"""wc AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM corpus, UNNEST(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+       AS t(w)
+  GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT {vocab_cap})""",
+        "s0 AS MATERIALIZED (SELECT word, cnt, string_split(word, '') AS ss FROM wc)",
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT pr.a AS a, pr.b AS b, CAST(sum(cnt) AS BIGINT) AS pc
+  FROM s{p}, UNNEST(list_transform(range(len(ss)-1),
+       j -> {{'a': ss[j+1], 'b': ss[j+2]}})) AS t(pr)
+  GROUP BY 1, 2 ORDER BY pc DESC, a ASC, b ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT word, cnt, string_split(substr(r, 2, length(r) - 2), '||') AS ss
+  FROM (SELECT word, cnt,
+          replace('|' || array_to_string(ss, '||') || '|',
+                  '|' || b.a || '||' || b.b || '|',
+                  '|' || b.a || b.b || '|') AS r
+        FROM s{p}, b{i} AS b))"""
+        )
+    body = "\nUNION ALL\n".join(
+        f'SELECT {i} AS rank, a AS "left", b AS "right", a || b AS merged,'
+        f" pc AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        ", "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM (\n"
+        + body
+        + "\n) ORDER BY rank"
+    )
+
+
 def _apply_merges(
     word: str, merges: list[tuple[str, str]], cache: dict[str, tuple[str, ...]]
 ) -> tuple[str, ...]:

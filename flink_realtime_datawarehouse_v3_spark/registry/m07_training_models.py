@@ -30,10 +30,11 @@ from .m06_training_text import (  # noqa: F401
 )
 
 # BPE tokenizer induction (Sennrich 2016): merge learning on the bounded
-# word-frequency table (rows-only — the merge loop is iterative with
-# global argmax state, not single-SQL-expressible; determinism +
-# hand-computed merge sequence pinned in tests/test_training_ops.py) and
-# the distributed encode pass applying the learned merges corpus-wide.
+# word-frequency table (hash-green since r13 — the full fit replays in
+# DuckDB via bpe.merges_sql(); determinism + hand-computed merge sequence
+# additionally pinned in tests/test_training_ops.py) and the distributed
+# encode pass applying the learned merges corpus-wide (rows-only by
+# design: the apply side is Python mapInPandas).
 # Mixture sampling (data mixing): per-language char budgets -> binding-
 # language total budget -> deterministic hash40 keep thresholds, all
 # BIGINT floor arithmetic.
@@ -107,9 +108,15 @@ register(
     lambda spark, sf: simsearch.semdedup(_emb_corpus(spark, sf)),
 )
 
+# r13: hash-green — the oracle re-derives the WHOLE fit (word count ->
+# bounded top-vocab_cap slice -> 24-step greedy merge loop) in DuckDB as
+# a MATERIALIZED CTE chain; see bpe.merges_sql(). Nothing from the Spark
+# fit is embedded, so this is a fully independent replay (stronger than
+# the r12 embedded-artifact pattern).
 register(
     "tokenizer_bpe_merges",
     lambda spark, sf: bpe.bpe_merges(_corpus(spark, sf)),
+    _csql(bpe.merges_sql()),
 )
 register(
     "text_bpe_tokenize",

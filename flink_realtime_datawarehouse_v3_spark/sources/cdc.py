@@ -653,6 +653,37 @@ def _branch_parsed(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+def _dirty_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dirty (non-JSON) topic rows through the P1 parse, cached like
+    the per-table branches (r13): before this memo every
+    ``topic_db_parsed`` caller re-paid a fresh ``orders`` parquet scan +
+    ``from_json`` over ~1% of orderkeys PER CALL — invisible inside the
+    big trade pipelines but the dominant, ambient-load-sensitive cost of
+    small entries like ``dwd_user_register``/``dwd_tool_coupon_get``
+    (r12 verdict "what's wrong" #1). The rows all parse to null and are
+    dropped, so the cached artifact is an empty-after-filter branch that
+    still exercises the dirty-drop path once per session."""
+    key = (id(spark.sparkContext), sf_dir, "#dirty#")
+    cached = _ODS_CACHE.get(key)
+    if cached is None:
+        dirty = (
+            tables.load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 97 == 0)
+            .select(
+                F.concat(F.lit("#dirty-binlog#"), F.col("o_orderkey")).alias("value")
+            )
+        )
+        cached = dirty.select(
+            F.from_json("value", TOPIC_DB_SCHEMA).alias("j")
+        ).persist()
+        _ODS_CACHE[key] = cached
+    return (
+        cached.filter(F.col("j").isNotNull() & F.col("j.table").isNotNull())
+        .select("j.*")
+        .filter(F.col("type").isin("insert", "update", "bootstrap-insert"))
+    )
+
+
 def topic_db_parsed(spark: SparkSession, sf_dir: str, only: list[str] | None = None) -> DataFrame:
     """``topic_db`` after the P1 parse/dirty-filter, from the per-branch ODS
     cache (see :func:`_branch_parsed`)."""
@@ -660,12 +691,7 @@ def topic_db_parsed(spark: SparkSession, sf_dir: str, only: list[str] | None = N
     branches = [_branch_parsed(spark, sf_dir, n) for n in names]
     # Dirty (non-JSON) rows exercise the P1 filter once, not per branch; they
     # parse to null and are dropped, contributing an empty branch.
-    dirty = (
-        tables.load(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 97 == 0)
-        .select(F.concat(F.lit("#dirty-binlog#"), F.col("o_orderkey")).alias("value"))
-    )
-    branches.append(parse_topic_db(dirty))
+    branches.append(_dirty_parsed(spark, sf_dir))
     out = branches[0]
     for df in branches[1:]:
         out = out.unionByName(df)

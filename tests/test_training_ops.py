@@ -772,6 +772,24 @@ def test_bpe_entries(spark):
     assert sum(r.n_bpe_tokens for r in enc) < n_word_chars
 
 
+def test_bpe_oracle_separator_boundary(spark):
+    """The DuckDB merge-loop replay (bpe.merges_sql) encodes segmentations
+    as '|'-wrapped symbol strings, so it is only valid while corpus tokens
+    are '|'-free — asserted here so a corpus change that breaks the
+    boundary fails loudly instead of silently hash-mismatching. (The Spark
+    fit itself has no such limit.)"""
+    from pyspark.sql import functions as F
+    from flink_realtime_datawarehouse_v3_spark.operators.bpe import word_counts
+    from flink_realtime_datawarehouse_v3_spark.sources import corpus as cm
+
+    n_pipe = (
+        word_counts(cm.corpus(spark, SF_SMOKE))
+        .filter(F.col("word").contains("|"))
+        .count()
+    )
+    assert n_pipe == 0
+
+
 def test_semdedup_clone_recall(spark):
     """The +1M near-identical clones (dim0 shifted 0.05) must be dropped
     as semantic dups of their originals; originals stay kept."""
