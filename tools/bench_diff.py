@@ -28,22 +28,23 @@ import argparse
 import json
 import sys
 
-# BASELINE.md's documented ambient-swing exemptions: Arrow-Python-worker
-# entries whose wall time tracks box load, not plan changes (batch:
-# text_bpe_tokenize swung 8.1x across identical r10 runs; the CJK
-# keyword windows share the Arrow UDTF worker), and the two heavy
-# Python-state streaming replays (131-196 s and 83-148 s across five
-# identical r11 runs). An INTENTIONAL plan change to an exempt entry
-# still shows in the printed movers — exemption only silences the exit
-# code, not the report.
-DEFAULT_EXEMPT = {
-    "text_bpe_tokenize",
-    "dws_traffic_keyword_cjk_window",
-    "dws_keyword_window_udtf_sql",
-    "streaming_keyword_cjk_window",
-    "streaming_order_info_debounce",
-    "streaming_order_pre_process",
-}
+# EMPTY since r13 (r12 verdict #6): every former exemption was
+# re-measured across the r11/r12 freeze-day records and none swings
+# >=1.5x any more, so all six were dropped (rule: an exemption must
+# earn its place with a measured >=1.5x ambient swing on current code):
+#   text_bpe_tokenize              0.93-1.21 s  (max 1.30x; the 8.1x
+#                                  Arrow-worker swing was r10-era)
+#   dws_traffic_keyword_cjk_window 2.17-2.54 s  (max 1.17x)
+#   dws_keyword_window_udtf_sql    1.43-1.78 s  (max 1.24x)
+#   streaming_keyword_cjk_window   5.55-6.23 s  (max 1.12x)
+#   streaming_order_info_debounce  64.6-74.6 s  (max 1.15x post the r12
+#                                  state-partition fix; the 131-196 s
+#                                  r11 swings were the bug itself)
+#   streaming_order_pre_process    75.1-75.9 s  (max 1.01x r12-era)
+# A future exemption needs its measured-swing line here plus the
+# BASELINE.md paragraph. Exemption only silences the exit code, never
+# the printed movers report.
+DEFAULT_EXEMPT: set[str] = set()
 
 
 def lane(

@@ -8,9 +8,19 @@ primary/foreign key shifted by ``i * K_table`` (K = max key + 1), so
 FK joins resolve within each clone exactly as in the original —
 value distributions, date ranges, and status-code domains are
 preserved verbatim, which is what keeps every literal predicate in the
-TPC-H family selective at sf1. Fixed-size dims (region, nation) and
-the text/embedding tables (documents, embeddings — their clone
-structure is semantic, not scale) are copied unchanged.
+TPC-H family selective at sf1. Fixed-size dims (region, nation) are
+copied unchanged.
+
+Since r13 ``documents`` and ``embeddings`` scale the same way (doc_id
+/ vec_id shift by their strides, 5000 / 2000 at sf0.1 — far below the
++1M/+2M offsets ``sources/corpus.py`` uses for its synthesized clone
+families, so the derived corpus stays collision-free at factor 10).
+Text/vector payloads are preserved verbatim, which is exactly the
+clone-preserving property the sf1 dedup gate needs: every planted
+near/exact duplicate relationship from the corpus derivation recurs in
+each clone, and the cross-clone copies are themselves true duplicates
+the dedup family must find — recall is measurable, and the
+MAX_BAND_BUCKET clone-mass caps get 10x the stress they see at sf0.1.
 
 Cross-clone ties are real and intended: the repo's ranked queries all
 carry unique tie-break keys (the hash gate would have caught any that
@@ -43,6 +53,8 @@ KEYED = {
     "lineitem": {"l_orderkey": "ord", "l_partkey": "part",
                  "l_suppkey": "supp"},
     "events": {"event_id": "ev", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
 }
 # key family -> (table, column) the stride is measured on
 STRIDE_ON = {
@@ -52,8 +64,10 @@ STRIDE_ON = {
     "ord": ("orders", "o_orderkey"),
     "ev": ("events", "event_id"),
     "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
 }
-COPY_VERBATIM = ["region", "nation", "documents", "embeddings"]
+COPY_VERBATIM = ["region", "nation"]
 
 
 def scale(src: str, dst: str, factor: int) -> None:
