@@ -184,6 +184,24 @@ def merges_sql(n_merges: int = N_MERGES, vocab_cap: int = VOCAB_CAP) -> str:
     Returns a WITH-extension body (starts with ", wc AS ...") for
     ``_csql``-style composition after the corpus CTE.
     """
+    ctes = _merge_chain_ctes(n_merges, vocab_cap)
+    body = "\nUNION ALL\n".join(
+        f'SELECT {i} AS rank, a AS "left", b AS "right", a || b AS merged,'
+        f" pc AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        ", "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM (\n"
+        + body
+        + "\n) ORDER BY rank"
+    )
+
+
+def _merge_chain_ctes(n_merges: int, vocab_cap: int) -> list[str]:
+    """The shared fit-replay CTE chain (wc, s0, b1..bN, s1..sN) — see
+    :func:`merges_sql` for the semantics and the '|' boundary."""
     ctes = [
         f"""wc AS MATERIALIZED (
   SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
@@ -210,17 +228,62 @@ def merges_sql(n_merges: int = N_MERGES, vocab_cap: int = VOCAB_CAP) -> str:
                   '|' || b.a || b.b || '|') AS r
         FROM s{p}, b{i} AS b))"""
         )
-    body = "\nUNION ALL\n".join(
-        f'SELECT {i} AS rank, a AS "left", b AS "right", a || b AS merged,'
-        f" pc AS pair_count FROM b{i}"
-        for i in range(1, n_merges + 1)
+    return ctes
+
+
+def encode_sql(n_merges: int = N_MERGES, vocab_cap: int = VOCAB_CAP) -> str:
+    """Independent DuckDB replay of the ENCODE pass (r13): re-derives the
+    merge table via the :func:`merges_sql` chain, then applies the learned
+    merges to EVERY distinct corpus word (not just the capped fit slice —
+    exactly what the distributed ``encode`` does) as a rank-ordered
+    ``replace()`` chain on the same wrapped form, and finally joins each
+    doc's token multiset to its word's final segmentation length.
+
+    The oracle-side per-distinct-word apply is bounded by the TEST
+    corpus's vocabulary; the Spark side stays the scale path (Arrow
+    ``mapInPandas`` with a per-batch word cache). Empty-token docs keep
+    their (0, 0) row via the left join + coalesce.
+    """
+    ctes = _merge_chain_ctes(n_merges, vocab_cap)
+    # every distinct word in the corpus, char-split
+    ctes.append(
+        """aw0 AS MATERIALIZED (
+  SELECT DISTINCT w AS word, string_split(w, '') AS ss
+  FROM corpus, UNNEST(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+       AS t(w))"""
+    )
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""aw{i} AS MATERIALIZED (
+  SELECT word, string_split(substr(r, 2, length(r) - 2), '||') AS ss
+  FROM (SELECT word,
+          replace('|' || array_to_string(ss, '||') || '|',
+                  '|' || b.a || '||' || b.b || '|',
+                  '|' || b.a || b.b || '|') AS r
+        FROM aw{i - 1}, b{i} AS b))"""
+        )
+    ctes.append(
+        f"""seg AS MATERIALIZED (
+  SELECT word, CAST(len(ss) AS BIGINT) AS n_sub FROM aw{n_merges})"""
+    )
+    ctes.append(
+        """doc_words AS (
+  SELECT doc_id, w AS word
+  FROM corpus, UNNEST(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+       AS t(w)),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+  FROM doc_words JOIN seg USING (word) GROUP BY 1)"""
     )
     return (
         ", "
         + ",\n".join(ctes)
-        + "\nSELECT * FROM (\n"
-        + body
-        + "\n) ORDER BY rank"
+        + """
+SELECT c.doc_id,
+       COALESCE(p.n_words, 0) AS n_words,
+       COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM corpus c LEFT JOIN per_doc p USING (doc_id)"""
     )
 
 

@@ -300,6 +300,143 @@ def ivf_assign_sql(
 """
 
 
+def ivf_candidates_sql(
+    emb_cte: str = "emb", every: int = 100, nprobe: int = 8
+) -> str:
+    """CTE chain replaying the FULL IVF search path in DuckDB — fit
+    (:func:`ivf_fit_sql`), integer-score assignment, integer-score probe
+    choice, and exact ``round(cosine, 4)`` only inside probed cells —
+    ending in ``cand(q_id, neighbor_id, cosine_sim)``: the DuckDB twin of
+    :func:`_ivf_scored`. The r13 flip lever for the top-k / hard-negative
+    / streaming-serve entries: with the fit and cell choice integer-exact
+    (r12) the candidate SET is deterministic, and the one float op is the
+    proven per-pair rounded cosine (verified bit-identical over every
+    probed pair at sf0.01 — 937/937). Appendable after a prior CTE
+    ``emb_cte`` with (vec_id, embedding DOUBLE[]); no leading WITH."""
+    q = IVF_QUANT_SQL.format(col="embedding")
+    return f"""{ivf_fit_sql(emb_cte)},
+vv AS (SELECT vec_id, embedding, {q} AS vq FROM {emb_cte}),
+assigned AS (SELECT vec_id AS neighbor_id, embedding AS v_vec,
+                    c_id AS bucket
+             FROM ({ivf_assign_sql("vv")}) WHERE rn = 1),
+qv AS (SELECT vec_id AS q_id, embedding AS q_vec, vq FROM vv
+       WHERE vec_id % {every} = 0),
+probes AS (SELECT q_id, q_vec, c_id AS bucket
+           FROM ({ivf_assign_sql("qv", id_col="q_id")})
+           WHERE rn <= {nprobe}),
+cand AS (SELECT DISTINCT p.q_id, a.neighbor_id,
+                round(list_cosine_similarity(p.q_vec, a.v_vec), 4)
+                    AS cosine_sim
+         FROM probes p JOIN assigned a USING (bucket)
+         WHERE p.q_id <> a.neighbor_id)"""
+
+
+def _sql_il2(a: str, b: str) -> str:
+    """Exact int64 squared L2 of two BIGINT[] as DuckDB SQL via the
+    integer identity ||a-b||^2 = a.a - 2 a.b + b.b (each dot exact per
+    :func:`_sql_idot`'s argument: micro-unit products <= 1.3e12,
+    8-element sums <= 1.1e13 — integers < 2^53, so the double-valued dot
+    is exact in any accumulation order)."""
+    return (
+        f"({_sql_idot(a, a)} - 2 * {_sql_idot(a, b)} + {_sql_idot(b, b)})"
+    )
+
+
+def pq_unit_sql(vq: str = "vq") -> str:
+    """DuckDB twin of :func:`_uvq` over an existing milli-quantized
+    BIGINT[] column: micro-unit int64 vector. GREATEST(n2, 1) folds the
+    zero-vector case to floor(0.5) = 0 per element — the same value the
+    Spark/numpy twins produce."""
+    n2 = f"GREATEST(CAST(list_dot_product({vq}::DOUBLE[], {vq}::DOUBLE[]) AS BIGINT), 1)"
+    return (
+        f"list_transform({vq}, q -> CAST(floor("
+        f"q * {UNIT_Q}.0 / sqrt(({n2})::DOUBLE) + 0.5) AS BIGINT))"
+    )
+
+
+def pq_fit_sql(
+    m: int = 8,
+    k: int = 16,
+    dsub: int = 8,
+    emb_cte: str = "emb",
+    sample_every: int = 3,
+    iters: int = 10,
+    sample_cap: int = SAMPLE_CAP,
+) -> str:
+    """DuckDB CTE chain rebuilding :func:`_fit_pq_codebooks` BIT-FOR-BIT
+    from the same parquet — the r13 extension of :func:`ivf_fit_sql` to
+    the PQ codebooks: micro-unit quantized sample, per-subspace int64
+    Lloyd (exact squared-L2 assignment via :func:`_sql_il2`, ties ->
+    lowest centroid id, truncating-division integer means, empty cells
+    keep their centroid). All ``m`` subspaces iterate TOGETHER (one
+    assign/update CTE pair per Lloyd step, grouped by subspace), so the
+    chain stays ``O(iters)`` CTEs, not ``O(m * iters)``. Ends in
+    ``pq_books(s, c_id, c BIGINT[])``. Appendable after ``emb_cte``
+    (vec_id, embedding DOUBLE[]); no leading WITH."""
+    q = IVF_QUANT_SQL.format(col="embedding")
+    parts = [
+        f"""__psamp AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ri,
+           {pq_unit_sql("vq")} AS u
+    FROM (SELECT vec_id, {q} AS vq
+          FROM (SELECT vec_id, embedding FROM {emb_cte}
+                WHERE vec_id % {sample_every} = 0
+                ORDER BY vec_id LIMIT {sample_cap}))
+)""",
+        f"""__ppar AS MATERIALIZED (
+    SELECT count(*) AS L, LEAST({k}, count(*)) AS kk FROM __psamp
+)""",
+        f"""__psub AS MATERIALIZED (
+    SELECT ri, ss.s AS s, list_slice(u, ss.s * {dsub} + 1, ss.s * {dsub} + {dsub}) AS x
+    FROM __psamp, (SELECT unnest(range({m})) AS s) ss
+)""",
+        """__pcen0 AS MATERIALIZED (
+    SELECT t.s, kk.j AS c_id, t.x AS c
+    FROM __ppar p,
+         LATERAL (SELECT unnest(range(p.kk)) AS j) kk
+    JOIN __psub t ON t.ri = CASE WHEN p.kk > 1
+                                 THEN ((p.L - 1) * kk.j) // (p.kk - 1)
+                                 ELSE 0 END
+)""",
+    ]
+    for i in range(1, iters + 1):
+        d2 = _sql_il2("t.x", "c.c")
+        parts.append(
+            f"""__pasg{i} AS MATERIALIZED (
+    SELECT t.ri, t.s, t.x, c.c_id
+    FROM __psub t JOIN __pcen{i - 1} c USING (s)
+    QUALIFY row_number() OVER (PARTITION BY t.ri, t.s
+                               ORDER BY {d2} ASC, c.c_id) = 1
+)"""
+        )
+        parts.append(
+            f"""__pnewc{i} AS MATERIALIZED (
+    SELECT s, c_id,
+           list(CASE WHEN sm < 0 THEN -((-sm) // cnt) ELSE sm // cnt END
+                ORDER BY pos) AS c
+    FROM (SELECT a.s, a.c_id, u.pos, CAST(sum(u.val) AS BIGINT) AS sm,
+                 count(*) AS cnt
+          FROM __pasg{i} a,
+               LATERAL (SELECT unnest(a.x) AS val,
+                               unnest(generate_series(1, len(a.x))) AS pos) u
+          GROUP BY a.s, a.c_id, u.pos)
+    GROUP BY s, c_id
+)"""
+        )
+        parts.append(
+            f"""__pcen{i} AS MATERIALIZED (
+    SELECT p.s, p.c_id, coalesce(n.c, p.c) AS c
+    FROM __pcen{i - 1} p LEFT JOIN __pnewc{i} n USING (s, c_id)
+)"""
+        )
+    parts.append(
+        f"""pq_books AS MATERIALIZED (
+    SELECT s, c_id, c FROM __pcen{iters}
+)"""
+    )
+    return ",\n".join(parts)
+
+
 def _kmeans_assign(x, cen):
     """argmax_j of the integer assignment score (ties -> lowest j).
     score(v, c) = sign(dot(v,c)) * (dot(v,c)^2 * SCALE div dot(c,c)) —
@@ -661,13 +798,23 @@ def _fit_pq_codebooks(
     sample_every: int = 3,
     iters: int = 10,
     sample_cap: int = SAMPLE_CAP,
-) -> list[list[list[float]]]:
+) -> list[list[list[int]]]:
     """Per-subspace L2 k-means on the deterministic bounded sample (the PQ
     codebook training step; same bounded-sample posture as
     :func:`kmeans_centroids` — nothing driver-side scales with the
-    corpus). Vectors are L2-normalized first so ADC L2 ranking matches
-    cosine ranking (||q-v||^2 = 2 - 2cos on the unit sphere).
-    Returns codebooks[m][k][d_sub]."""
+    corpus). Vectors are unit-normalized so ADC L2 ranking matches cosine
+    ranking (||q-v||^2 = 2 - 2cos on the unit sphere).
+
+    INTEGER-EXACT since r13 (the r12 IVF-fit move applied to PQ): the
+    sample is micro-quantized on the unit sphere (:func:`_uvq` — the only
+    float facts used are element-wise IEEE multiply/divide/sqrt, never a
+    float sum), Lloyd runs in int64 (exact squared-L2 assignment, ties ->
+    lowest centroid id, truncating-division integer means, empty cells
+    keep their centroid), so the DuckDB oracle (:func:`pq_fit_sql`)
+    rebuilds bit-identical codebooks from the same parquet and every
+    downstream step (encode argmin, distance tables, ADC sums) is exact
+    integer arithmetic with zero float-ordering freedom.
+    Returns codebooks[m][k][d_sub] as int64 micro-unit values."""
     import numpy as np
 
     rows = (
@@ -679,23 +826,35 @@ def _fit_pq_codebooks(
     )
     if not rows:
         raise ValueError("pq_codebooks: empty training sample")
-    x = np.array([r.embedding for r in rows], dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
-    d = x.shape[1]
+    v = np.array([r.embedding for r in rows], dtype=np.float64)
+    vq = np.floor(v * KMEANS_Q + 0.5).astype(np.int64)
+    n2 = (vq * vq).sum(axis=1)  # int64-exact
+    safe = np.sqrt(np.maximum(n2, 1).astype(np.float64))
+    u = np.where(
+        (n2 == 0)[:, None],
+        0,
+        np.floor(vq.astype(np.float64) * UNIT_Q / safe[:, None] + 0.5),
+    ).astype(np.int64)
+    d = u.shape[1]
     dsub = d // m
     books = []
     for s in range(m):
-        xs = x[:, s * dsub : (s + 1) * dsub]
+        xs = u[:, s * dsub : (s + 1) * dsub]
         k_eff = min(k, len(xs))
-        cen = xs[np.linspace(0, len(xs) - 1, k_eff).astype(int)].copy()
+        init_idx = [
+            ((len(xs) - 1) * j) // (k_eff - 1) if k_eff > 1 else 0
+            for j in range(k_eff)
+        ]
+        cen = xs[init_idx].copy()  # int64 micro-units
         for _ in range(iters):
             d2 = ((xs[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            assign = d2.argmin(axis=1)  # first-min: ties -> lowest id
             for j in range(k_eff):
                 members = xs[assign == j]
                 if len(members):
-                    cen[j] = members.mean(axis=0)
-        books.append([[float(v) for v in c] for c in cen])
+                    ssum = members.sum(axis=0)  # int64-exact
+                    cen[j] = np.sign(ssum) * (np.abs(ssum) // len(members))
+        books.append([[int(c) for c in row] for row in cen])
     return books
 
 
@@ -706,7 +865,7 @@ def pq_codebooks(
     sample_every: int = 3,
     iters: int = 10,
     sample_cap: int = SAMPLE_CAP,
-) -> list[list[list[float]]]:
+) -> list[list[list[int]]]:
     """Memoized front of :func:`_fit_pq_codebooks`."""
     return _artifact(
         embeddings.sparkSession,
@@ -724,6 +883,41 @@ def _unit(col: Column) -> Column:
     return F.transform(col, lambda x: x / n)
 
 
+UNIT_Q = 1_000_000  # micro quantization of the unit-normalized vector (r13)
+
+
+def _uvq(col: Column) -> Column:
+    """Micro-quantized UNIT vector as int64 — the r13 lever that makes the
+    whole PQ path (fit, encode, distance tables, ADC ranking) exact
+    integer arithmetic, the same move r12 made for the IVF coarse
+    quantizer: ``u[i] = floor(vq[i] * 1e6 / sqrt(n2) + 0.5)`` where
+    ``vq`` is the milli-quantized raw vector (:func:`_ivq`) and
+    ``n2 = dot(vq, vq)``.
+
+    Deterministic cross-engine because no float SUMMATION feeds any
+    element: n2 is an exact int64 (every product and partial sum
+    < 2^53, so even a double-valued dot is exact regardless of fold
+    order), sqrt of an exactly-represented value is IEEE
+    correctly-rounded, and the remaining multiply/divide/floor are
+    element-wise. numpy (the fit), Spark (encode/search), and DuckDB
+    (the oracle) reproduce every element bit-for-bit."""
+    vq = _ivq(col)
+    n2 = F.aggregate(
+        F.zip_with(vq, vq, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.transform(
+        vq,
+        lambda q: F.when(n2 == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(
+                q.cast("double") * UNIT_Q / F.sqrt(n2.cast("double"))
+                + F.lit(0.5)
+            )
+        ),
+    )
+
+
 def _subvec(col: Column, s: int, dsub: int) -> Column:
     return F.slice(col, s * dsub + 1, dsub)
 
@@ -736,13 +930,25 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def _il2(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 distance of two bigint vectors (micro-unit
+    subvectors: |diff| <= ~2e6, squares <= 4e12, dsub-sums <= 3.2e13 —
+    far inside int64)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def _books_literal(books: list) -> Column:
-    """Codebooks as ONE array<array<array<double>>> literal built from a
+    """Codebooks as ONE array<array<array<bigint>>> literal built from a
     single SQL string (per-element F.lit = one py4j call each; the single
-    expr parses once and rides as one constant)."""
+    expr parses once and rides as one constant). Int64 micro-unit values
+    since the r13 integer-exact fit."""
     lit = "array(" + ",".join(
         "array(" + ",".join(
-            "array(" + ",".join(repr(float(v)) for v in cen) + ")"
+            "array(" + ",".join(f"{int(v)}L" for v in cen) + ")"
             for cen in book
         ) + ")"
         for book in books
@@ -751,22 +957,26 @@ def _books_literal(books: list) -> Column:
 
 
 def pq_encode(embeddings: DataFrame, books: list) -> DataFrame:
-    """(vec_id, code array<int>): per subspace, the index of the nearest
-    codebook centroid (argmin L2, ties -> lowest index via the first
+    """(vec_id, v, code array<int>): per subspace, the index of the
+    nearest codebook centroid (argmin of the EXACT int64 squared L2 over
+    the micro-unit vector since r13; ties -> lowest index via the first
     array_position match). Pure Catalyst, and deliberately a COMPACT
     expression tree: the codebooks ride as one literal and the m x k
     argmin is two nested ``transform``s — the naive m*k expansion of
-    _l2sq subtrees compiled to a ~MiB task binary whose codegen time
+    distance subtrees compiled to a ~MiB task binary whose codegen time
     dominated small-SF wall time."""
     dsub = len(books[0][0])
-    v = embeddings.select("vec_id", _unit(_dvec(F.col("embedding"))).alias("v"))
+    v = embeddings.select(
+        "vec_id",
+        _unit(_dvec(F.col("embedding"))).alias("v"),
+        _uvq(F.col("embedding")).alias("uq"),
+    )
 
     def code_for(book: Column, s: Column) -> Column:
         dists = F.transform(
             book,
-            lambda cen: F.round(
-                _l2sq(F.slice(F.col("v"), s * F.lit(dsub) + 1, F.lit(dsub)), cen),
-                10,
+            lambda cen: _il2(
+                F.slice(F.col("uq"), s * F.lit(dsub) + 1, F.lit(dsub)), cen
             ),
         )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
@@ -776,22 +986,21 @@ def pq_encode(embeddings: DataFrame, books: list) -> DataFrame:
     )
 
 
-def _dt_tables(qv: Column, books: list) -> Column:
-    """Per-query ADC distance table (array[m] of array[k] of double) as a
-    SMALL expression tree: the codebooks ride as ONE array literal (built
-    from a single SQL string — per-element F.lit would be one py4j call
-    each) and the m x k loop is two nested ``transform``s. The naive
-    expansion (m*k separate _l2sq sub-trees) compiled to a ~2 MiB task
-    binary and dominated wall time at small SF."""
+def _dt_tables(uqv: Column, books: list) -> Column:
+    """Per-query ADC distance table (array[m] of array[k] of EXACT int64
+    squared L2 over the micro-unit query vector, r13) as a SMALL
+    expression tree: the codebooks ride as ONE array literal (built from
+    a single SQL string — per-element F.lit would be one py4j call each)
+    and the m x k loop is two nested ``transform``s. The naive expansion
+    (m*k separate distance sub-trees) compiled to a ~2 MiB task binary
+    and dominated wall time at small SF."""
     dsub = len(books[0][0])
     bcol = _books_literal(books)
     return F.transform(
         bcol,
         lambda book, s: F.transform(
             book,
-            lambda cen: F.round(
-                _l2sq(F.slice(qv, s * F.lit(dsub) + 1, F.lit(dsub)), cen), 10
-            ),
+            lambda cen: _il2(F.slice(uqv, s * F.lit(dsub) + 1, F.lit(dsub)), cen),
         ),
     )
 
@@ -810,20 +1019,17 @@ def pq_topk(
     ints per vector instead of 64 doubles (the PQ memory/bandwidth win).
     The ``candidates`` best by ADC are re-ranked exactly; top-k returned.
 
-    Deterministic end-to-end (seeded codebooks, tie-breaks on ids), but
-    the two-stage argmin pipeline is not naturally one SQL query ->
-    registered rows-only with a recall pytest vs the exact baseline
-    (same contract as simsearch_ivf_topk).
+    Deterministic end-to-end (integer-exact codebooks, int64 ADC sums,
+    tie-breaks on ids) — but its flat ADC scan is an unbounded crossJoin,
+    so it stays a pytest-only recall reference; the registered (and since
+    r13 hash-green) PQ shape is :func:`ivfpq_topk`.
     """
     books = pq_codebooks(embeddings)
     m = len(books)
-    dsub = len(books[0][0])
     coded = pq_encode(embeddings, books).select("vec_id", "code")
-    q = _queries(embeddings, every).select(
-        "q_id", _unit(F.col("q_vec")).alias("q_vec")
-    )
-    # per-query distance tables: array[m] of array[k] of double
-    tables = _dt_tables(F.col("q_vec"), books)
+    q = _queries(embeddings, every)
+    # per-query distance tables: array[m] of array[k] of exact int64
+    tables = _dt_tables(_uvq(F.col("q_vec")), books)
     qt = q.select("q_id", "q_vec", tables.alias("dt"))
     # ADC scan: sum of m table lookups per (query, code) pair.
     scanned = (
@@ -850,7 +1056,9 @@ def pq_topk(
     rescored = cands.join(v, "neighbor_id").select(
         "q_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), _unit(F.col("v_vec"))), 4).alias("cosine_sim"),
+        # raw-vector cosine (scale-invariant == the unit-sphere value):
+        # the exact expression the hash-green cosine entries share.
+        F.round(cosine(F.col("q_vec"), F.col("v_vec")), 4).alias("cosine_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -898,9 +1106,13 @@ def ivfpq_topk(
     nibbles. Each query probes its ``nprobe`` nearest cells; the ADC scan
     is the ``bucket`` EQUI-JOIN of probes x coded vectors (no cross
     product anywhere — the plan gate in tests/test_training_ops.py
-    asserts no CartesianProduct / BroadcastNestedLoopJoin). Best ``candidates``
-    by ADC re-rank exactly; top-k returned. Same rows-only + recall-gate
-    contract as ivf_topk / pq_topk.
+    asserts no CartesianProduct). Best ``candidates`` by ADC re-rank
+    exactly; top-k returned. HASH-GREEN since r13 (same contract as
+    ivf_topk): the PQ fit is integer-exact (:func:`_fit_pq_codebooks`),
+    cell assignment/probing use the r12 integer score, ADC sums are
+    int64 — the DuckDB oracle replays fit + encode + scan bit-for-bit,
+    and the only float op is the proven per-pair round(cosine, 4)
+    re-rank. Recall vs the FLAT baseline stays pinned in pytest.
 
     Defaults probe wider than plain IVF (nprobe 12, candidates 80): the
     composition stacks two approximations (cell pruning x code
@@ -910,36 +1122,34 @@ def ivfpq_topk(
     spark = embeddings.sparkSession
     books = pq_codebooks(embeddings)
     m = len(books)
-    dsub = len(books[0][0])
     cen = spark.createDataFrame(
         [(j, c) for j, c in enumerate(kmeans_centroids(embeddings, n_centroids))],
         "c_id int, c_vec array<double>",
     )
     # db side: IVF cell + PQ code per vector (the stored index posture:
-    # the raw vector is NOT carried into the scan).
-    v = pq_encode(embeddings, books)  # vec_id, v (unit), code
-    va = v.crossJoin(F.broadcast(cen)).select(
-        "vec_id",
-        "code",
-        "c_id",
-        F.round(cosine(F.col("v"), F.col("c_vec")), 4).alias("sim"),
+    # the raw vector is NOT carried into the scan). Cell choice uses the
+    # INTEGER assignment score since r13 — the same exact arithmetic as
+    # ivf_topk's index build, so the oracle replays it bit-for-bit.
+    coded = _ivf_assignments(embeddings, cen).select(
+        "neighbor_id", "bucket"
+    ).join(
+        pq_encode(embeddings, books).select(
+            F.col("vec_id").alias("neighbor_id"), "code"
+        ),
+        "neighbor_id",
     )
-    wv = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("c_id"))
-    coded = (
-        va.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("vec_id").alias("neighbor_id"), F.col("c_id").alias("bucket"), "code"
-        )
-    )
-    # query side: nprobe nearest cells + per-query ADC distance table.
-    q = _queries(embeddings, every).select("q_id", _unit(F.col("q_vec")).alias("q_vec"))
-    qc = q.crossJoin(F.broadcast(cen)).select(
-        "q_id", "q_vec", "c_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
-    )
+    # query side: nprobe nearest cells (integer probe score) + per-query
+    # exact-int64 ADC distance table over the micro-unit query vector.
+    q = _queries(embeddings, every)
+    qc = _with_iscore(
+        q.withColumn("qq", _ivq(F.col("q_vec"))).crossJoin(
+            F.broadcast(_cen_q(cen))
+        ),
+        "qq",
+        "cq",
+    ).select("q_id", "q_vec", "c_id", F.col("__score").alias("sim"))
     wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
-    tables = _dt_tables(F.col("q_vec"), books)
+    tables = _dt_tables(_uvq(F.col("q_vec")), books)
     probes = (
         qc.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
@@ -964,7 +1174,9 @@ def ivfpq_topk(
     rescored = cands.join(ve, "neighbor_id").select(
         "q_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), _unit(F.col("v_vec"))), 4).alias("cosine_sim"),
+        # raw-vector cosine (scale-invariant == the unit-sphere value):
+        # the proven cross-engine expression of the hash-green entries.
+        F.round(cosine(F.col("q_vec"), F.col("v_vec")), 4).alias("cosine_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

@@ -93,11 +93,28 @@ WHERE r.rank BETWEEN 11 AND 20""",
 # The same miner riding the IVF index: candidate generation via the
 # probed-cell bucket equi-join, band selection unchanged — the per-
 # training-run shape (the exact fixture above is the one-time oracle
-# baseline, pytest-only). Approximate -> rows-only; overlap vs the
-# exact triplets at equal budget + no-cartesian plan gate in pytest.
+# baseline, pytest-only). Approximate vs FLAT truth (overlap + no-
+# cartesian gates in pytest) but HASH-GREEN since r13 vs an oracle
+# replaying the same IVF path (simsearch.ivf_candidates_sql, nprobe 12)
+# with the identical band selection.
 register(
     "simsearch_hard_negatives_ivf",
     lambda spark, sf: simsearch.hard_negative_triplets_ivf(_emb(spark, sf)),
+    f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS embedding
+             FROM embeddings),
+{simsearch.ivf_candidates_sql("emb", nprobe=12)},
+ranked AS (
+  SELECT q_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM cand
+),
+pos AS (SELECT q_id, neighbor_id AS pos_id, cosine_sim AS pos_sim
+        FROM ranked WHERE rank = 1)
+SELECT r.q_id, p.pos_id, p.pos_sim, r.neighbor_id AS neg_id,
+       r.cosine_sim AS neg_sim, CAST(r.rank AS INTEGER) AS neg_rank
+FROM ranked r JOIN pos p USING (q_id)
+WHERE r.rank BETWEEN 11 AND 20""",
 )
 
 # SemDeDup (Abbas 2023): within-k-means-cluster greedy cosine dedup over
@@ -118,9 +135,15 @@ register(
     lambda spark, sf: bpe.bpe_merges(_corpus(spark, sf)),
     _csql(bpe.merges_sql()),
 )
+# r13: hash-green — the oracle re-derives the merge table AND replays
+# the encode pass (learned merges applied per distinct corpus word as a
+# rank-ordered replace chain, joined to each doc's token multiset); see
+# bpe.encode_sql(). The Spark side stays the scale path (Arrow
+# mapInPandas, per-batch word cache).
 register(
     "text_bpe_tokenize",
     lambda spark, sf: bpe.encode(_corpus(spark, sf)),
+    _csql(bpe.encode_sql()),
 )
 
 # Token-budget shard packing (training-data sharding): greedy sequential

@@ -193,10 +193,15 @@ def _register_streaming() -> None:
     )
 
     # Online ANN serving: static IVF index probed per query micro-batch
-    # (stream-static bucket equi-join inside foreachBatch). Rows-only:
-    # approximate by construction; stream == batch ivf_topk pinned in
-    # test_streaming.
-    register("streaming_ivf_search", _sp.stream_ivf_search)
+    # (stream-static bucket equi-join inside foreachBatch). Each query
+    # id arrives exactly once and appends its ranked results, so the
+    # drained table equals the batch ivf_topk output row-for-row —
+    # HASH-GREEN since r13 against the same IVF-replay oracle
+    # (simsearch.ivf_candidates_sql; stream == batch additionally
+    # pinned in test_streaming).
+    from .m08_training_embed import _IVF_TOPK_SQL as _ivf_topk_sql
+
+    register("streaming_ivf_search", _sp.stream_ivf_search, _ivf_topk_sql)
 
     # Perceptual fingerprinting at ingestion: the dHash Arrow stage per
     # micro-batch (the online half of the near-dup pipeline; the banded
