@@ -195,6 +195,53 @@ def dhash_fingerprints(media: DataFrame) -> DataFrame:
     return images.mapInPandas(batches, DHASH_SCHEMA)
 
 
+def dhash_sql() -> str:
+    """DuckDB twin of the dHash Arrow stage (r13 flip lever): the
+    synthetic payload is the UTF-8 encoding of the document text, and
+    the corpus is printable ASCII (pinned in
+    tests/test_training_ops.py::test_bpe_oracle_separator_boundary's
+    char-inventory companion gates), so byte ``i`` of the payload IS
+    ``ascii(substr(text, i+1, 1))`` and ``len(payload) == length(text)``
+    — the byte-grid sampling becomes plain SQL. Bit ``k`` (row-major
+    over the 8x8 difference grid) lands at int64 bit ``63-k``
+    (numpy ``packbits`` big-endian, signed): bit 0 is the SIGN bit,
+    emitted as the -2^63 literal (DuckDB's ``<<`` is overflow-checked
+    at 63).
+
+    Returns a WITH-extension (starts with ", ") defining
+    ``dsig(doc_id, fmt, dhash)`` over a prior ``corpus`` CTE —
+    image rows only (the metadata format predicate)."""
+    n = DHASH_W * DHASH_H
+    g = (
+        "list_transform(range({n}), j -> ascii(substr(text, "
+        "CAST(j * length(text) // {n} AS INTEGER) + 1, 1)))"
+    ).format(n=n)
+    terms = []
+    for k in range(64):
+        r, c = divmod(k, 8)
+        a = r * DHASH_W + c
+        val = "-9223372036854775808" if k == 0 else str(1 << (63 - k))
+        terms.append(
+            f"CASE WHEN g[{a + 1}] > g[{a + 2}] "
+            f"THEN CAST({val} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    dhash = "\n         + ".join(terms)
+    return f""", __dg AS MATERIALIZED (
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' ELSE 'jpeg' END
+               AS fmt,
+           length(text) AS n, {g} AS g
+    FROM corpus WHERE doc_id % 4 IN (0, 1)
+),
+dsig AS MATERIALIZED (
+    SELECT doc_id, fmt,
+           CASE WHEN n = 0 THEN 0 ELSE
+           {dhash}
+           END AS dhash
+    FROM __dg
+)"""
+
+
 def dedup_perceptual(
     media: DataFrame,
     max_hamming: int = 3,

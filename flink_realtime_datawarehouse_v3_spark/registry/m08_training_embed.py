@@ -1325,14 +1325,21 @@ register(
     ).toDF("vec_id", "cluster_id", "keep"),
     f"""WITH RECURSIVE {_EMB_CORPUS},
 bucketed AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM emb),
+bkeep AS (SELECT bucket FROM bucketed GROUP BY bucket
+          HAVING count(*) <= {text_dedup.MAX_BAND_BUCKET}),
 epairs AS MATERIALIZED (
     SELECT a, b FROM (
         SELECT x.vec_id AS a, y.vec_id AS b,
                round(list_cosine_similarity(x.embedding, y.embedding), 4)
                    AS cosine_sim
         FROM bucketed x JOIN bucketed y
-          ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        JOIN bkeep k ON x.bucket = k.bucket)
     WHERE cosine_sim >= 0.97),
+    -- r13 sf1-gate fix: the clone-mass cap was MISSING here (present in
+    -- both the Spark operator and the dedup_embedding_cosine oracle) —
+    -- below the cap the omission was invisible; sf1's hot buckets made
+    -- this oracle over-merge clusters. DEDUP_SF1_r13.json caught it.
 edges AS MATERIALIZED (
     SELECT a AS src, b AS dst FROM epairs
     UNION ALL
@@ -1390,13 +1397,34 @@ register(
 # Perceptual near-dup image pairs: dHash over the deterministic fake
 # decode (Arrow stage), then Hamming-band LSH candidates verified by
 # bit_count(xor) — the banded join from text_dedup.simhash_pairs reused
-# on the image plane. Rows-only by design (the fingerprint is Python-side
-# byte sampling with no single-SQL DuckDB twin); correctness is pinned by
-# the planted-near-duplicate recall gate in tests/test_multimodal.py.
+# on the image plane. HASH-GREEN since r13: the synthetic payload is the
+# UTF-8 bytes of ASCII text, so the byte-grid sampling has an exact SQL
+# twin (multimodal.dhash_sql) and the banding/cap/verify replays the
+# proven dedup_simhash oracle shape. The planted-near-duplicate recall
+# gate in tests/test_multimodal.py stays.
 register(
     "multimodal_dedup_perceptual",
     lambda spark, sf: multimodal.dedup_perceptual(
         multimodal.with_binary_payload(_corpus(spark, sf))
+    ),
+    _csql(
+        f"""{multimodal.dhash_sql()},
+banded AS (
+    SELECT doc_id, dhash, g.band, (dhash >> (16 * g.band)) & 65535 AS v
+    FROM dsig
+    CROSS JOIN LATERAL (SELECT UNNEST(generate_series(0, 3)) AS band) g
+),
+bkeep AS (SELECT band, v FROM banded GROUP BY band, v
+          HAVING count(*) <= {text_dedup.MAX_BAND_BUCKET}),
+cands AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                    x.dhash AS ha, y.dhash AS hb
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+    JOIN bkeep k ON x.band = k.band AND x.v = k.v
+)
+SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+FROM cands WHERE bit_count(xor(ha, hb)) <= 3"""
     ),
 )
 

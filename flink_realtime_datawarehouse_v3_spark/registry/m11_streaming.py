@@ -208,7 +208,19 @@ def _register_streaming() -> None:
     # pair join stays a periodic batch job). Rows-only: the byte-grid
     # hash has no single-SQL twin; stream == batch fingerprints pinned
     # in test_streaming.
-    register("streaming_multimodal_dhash", _sp.stream_multimodal_dhash)
+    # HASH-GREEN since r13: the ASCII synthetic payload gives the
+    # byte-grid dHash an exact SQL twin (multimodal.dhash_sql); the
+    # stream appends one fingerprint row per image exactly once, so the
+    # drained table equals the batch fingerprints the oracle computes.
+    from ..operators import multimodal as _mm
+    from ..sources import corpus as _corpus_mod
+
+    register(
+        "streaming_multimodal_dhash",
+        _sp.stream_multimodal_dhash,
+        f"WITH {_corpus_mod.CORPUS_SQL.strip()}{_mm.dhash_sql()}\n"
+        "SELECT doc_id, fmt, dhash FROM dsig",
+    )
 
     # Watermark-correct ONLINE trailing time-window (the feature-store
     # "activity in the last hour" shape): emission waits for the
