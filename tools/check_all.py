@@ -14,7 +14,8 @@ Usage: python tools/check_all.py [sf_dir[,sf_dir2,...]] [name_filter ...]
 restricts the sweep to the first 50 registered entries — the driver's
 checked window — so the per-entry times bound the driver's budget for
 THIS round's window; the JSON
-written to /tmp/check_all.json then doubles as the committed window
+written to /tmp/check_all.json (override via CHECK_ALL_OUT, so two
+concurrent sweeps don't clobber each other) then doubles as the committed window
 telemetry (WINDOW_REPLICA_r{N}.json) future window rebuilds pack
 against.
 
@@ -26,6 +27,7 @@ dirs — this doubles as the regression gate for unbounded memo growth.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -203,7 +205,8 @@ def main() -> int:
         results, n_bad = run_sweep(spark, sf_dir, name_filter, window_only)
         bad += n_bad
         all_results[sf_dir] = results
-    with open("/tmp/check_all.json", "w") as f:
+    out_path = os.environ.get("CHECK_ALL_OUT", "/tmp/check_all.json")
+    with open(out_path, "w") as f:
         json.dump(
             all_results[sf_dirs[0]] if len(sf_dirs) == 1 else all_results,
             f,
