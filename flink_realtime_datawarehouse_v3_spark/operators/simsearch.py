@@ -886,6 +886,21 @@ def _unit(col: Column) -> Column:
 UNIT_Q = 1_000_000  # micro quantization of the unit-normalized vector (r13)
 
 
+def _let(val: Column, body) -> Column:
+    """Poor-man's let-binding: bind ``val`` to a lambda variable so it is
+    evaluated ONCE per enclosing evaluation no matter how many times (or
+    how deep inside other lambdas) ``body`` references it — Spark SQL has
+    no first-class ``let``; transforming a 1-element array is the
+    standard workaround. This matters twice over: higher-order functions
+    evaluate interpreted (outside whole-stage codegen), and
+    CollapseProject happily inlines a single-textual-reference alias into
+    a lambda body, where iteration re-evaluates it per element — the
+    combination turned the 240-row ivfpq probe stage into ~1.2e9
+    interpreted ops (measured 67 s vs 5 s at sf0.1) before r13 bound the
+    query vector with this."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
 def _uvq(col: Column) -> Column:
     """Micro-quantized UNIT vector as int64 — the r13 lever that makes the
     whole PQ path (fit, encode, distance tables, ADC ranking) exact
@@ -901,19 +916,27 @@ def _uvq(col: Column) -> Column:
     correctly-rounded, and the remaining multiply/divide/floor are
     element-wise. numpy (the fit), Spark (encode/search), and DuckDB
     (the oracle) reproduce every element bit-for-bit."""
-    vq = _ivq(col)
-    n2 = F.aggregate(
-        F.zip_with(vq, vq, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return F.transform(
-        vq,
-        lambda q: F.when(n2 == 0, F.lit(0).cast("long")).otherwise(
-            F.floor(
-                q.cast("double") * UNIT_Q / F.sqrt(n2.cast("double"))
-                + F.lit(0.5)
-            )
+    # vq and n2 are let-bound (see :func:`_let`): inlined, n2 (itself an
+    # aggregate over vq) would be re-evaluated per OUTPUT ELEMENT and vq
+    # per reference — O(d^2) interpreted ops per evaluation instead of
+    # O(d).
+    return _let(
+        _ivq(col),
+        lambda vq: _let(
+            F.aggregate(
+                F.zip_with(vq, vq, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            lambda n2: F.transform(
+                vq,
+                lambda q: F.when(n2 == 0, F.lit(0).cast("long")).otherwise(
+                    F.floor(
+                        q.cast("double") * UNIT_Q / F.sqrt(n2.cast("double"))
+                        + F.lit(0.5)
+                    )
+                ),
+            ),
         ),
     )
 
@@ -996,11 +1019,19 @@ def _dt_tables(uqv: Column, books: list) -> Column:
     and dominated wall time at small SF."""
     dsub = len(books[0][0])
     bcol = _books_literal(books)
-    return F.transform(
-        bcol,
-        lambda book, s: F.transform(
-            book,
-            lambda cen: _il2(F.slice(uqv, s * F.lit(dsub) + 1, F.lit(dsub)), cen),
+    # uqv let-bound: referenced from inside the m x k lambda nest, so an
+    # inlined expression (CollapseProject folds single-reference aliases
+    # into lambda bodies) would be re-evaluated per (subspace, centroid).
+    return _let(
+        uqv,
+        lambda uq: F.transform(
+            bcol,
+            lambda book, s: F.transform(
+                book,
+                lambda cen: _il2(
+                    F.slice(uq, s * F.lit(dsub) + 1, F.lit(dsub)), cen
+                ),
+            ),
         ),
     )
 
@@ -1028,9 +1059,19 @@ def pq_topk(
     m = len(books)
     coded = pq_encode(embeddings, books).select("vec_id", "code")
     q = _queries(embeddings, every)
-    # per-query distance tables: array[m] of array[k] of exact int64
-    tables = _dt_tables(_uvq(F.col("q_vec")), books)
-    qt = q.select("q_id", "q_vec", tables.alias("dt"))
+    # per-query distance tables: array[m] of array[k] of exact int64.
+    # ``uq`` MUST be a materialized column, not an inline expression:
+    # ``_dt_tables`` references the query vector once per (subspace,
+    # centroid) = m*k times, and CollapseProject would otherwise inline
+    # the whole _uvq subtree (itself an aggregate over 64 elements) into
+    # every reference — measured 67 s vs 5 s at sf0.1 for ivfpq_topk.
+    # As a named multi-referenced non-cheap alias it is evaluated once
+    # per row (the same materialize-first pattern as pq_encode's ``uq``).
+    qt = (
+        q.withColumn("uq", _uvq(F.col("q_vec")))
+        .withColumn("dt", _dt_tables(F.col("uq"), books))
+        .select("q_id", "q_vec", "dt")
+    )
     # ADC scan: sum of m table lookups per (query, code) pair.
     scanned = (
         qt.crossJoin(coded)
@@ -1149,12 +1190,19 @@ def ivfpq_topk(
         "cq",
     ).select("q_id", "q_vec", "c_id", F.col("__score").alias("sim"))
     wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
-    tables = _dt_tables(_uvq(F.col("q_vec")), books)
+    # ``uq`` materialized first (NOT inlined into _dt_tables): the
+    # distance table references the query vector m*k = 128 times, and an
+    # inline _uvq subtree (itself aggregate-bearing) would be re-evaluated
+    # per reference — measured 67 s vs 5 s at sf0.1 for this entry. As a
+    # named non-cheap alias CollapseProject keeps it one-eval-per-row
+    # (same pattern as pq_encode's ``uq``).
     probes = (
         qc.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
         .select("q_id", "q_vec", F.col("c_id").alias("bucket"))
-        .withColumn("dt", tables)
+        .withColumn("uq", _uvq(F.col("q_vec")))
+        .withColumn("dt", _dt_tables(F.col("uq"), books))
+        .drop("uq")
     )
     # ADC scan gated by the probed cells: bucket equi-join, not a cross.
     scanned = (
