@@ -1,7 +1,7 @@
 """Diff two committed bench records against the ±2x band contract.
 
 Usage: python tools/bench_diff.py BENCH_LOCAL_r10.json BENCH_LOCAL_r11.json
-         [--band 2.0] [--min-sec 0.5] [--exempt name ...]
+         [--band 2.0] [--min-sec 0.5] [--min-delta 1.5] [--exempt name ...]
 
 Prints, for the batch lane and (when both records carry one) the
 streaming lane:
@@ -10,9 +10,19 @@ streaming lane:
   - the largest movers above --min-sec (noise floor: sub-half-second
     entries swing with ambient load and are exempt per BASELINE.md),
   - BAND VIOLATIONS: common entries >= --min-sec whose ratio leaves
-    [1/band, band]. Exits 1 on any non-exempt REGRESSION (speedups are
-    reported but self-re-anchor: the newest freeze is the next base),
-    so the check can gate a round.
+    [1/band, band] AND whose absolute swing is >= --min-delta seconds.
+    Exits 1 on any non-exempt REGRESSION (speedups are reported but
+    self-re-anchor: the newest freeze is the next base), so the check
+    can gate a round.
+
+The two floors encode the measured noise model (r13): a pure ratio
+test flags 0.2 s -> 0.6 s, but sub-second entries swing 2-3x with
+ambient host I/O and Python-worker fork costs on code that has not
+changed since r10 (verified by standalone cold/warm A/Bs) — a 3x on
+0.3 s is not a regression signal, while a real one (ivfpq's r13
++47.5 s interpreted-eval bug) clears any sane delta floor by an order
+of magnitude. Ratio >= band catches big relative moves; delta >=
+min-delta keeps them material.
 
 The documented exemption lists (BASELINE.md) are encoded in
 ``DEFAULT_EXEMPT`` so the CLI and the pytest gate
@@ -44,7 +54,17 @@ import sys
 # A future exemption needs its measured-swing line here plus the
 # BASELINE.md paragraph. Exemption only silences the exit code, never
 # the printed movers report.
-DEFAULT_EXEMPT: set[str] = set()
+#
+# Re-seeded r13 (one entry) from the four-freeze matrix on the r13
+# closing night (BASELINE.md "Round-13 freeze matrix"):
+#   audit_fk_orphans  1.64 / 3.08 / 1.96 / 3.44 s across the four runs
+#                     on identical code (max same-night swing 1.76x,
+#                     2.10x vs the r12 anchor) — a 5-table FK anti-join
+#                     scan whose in-lane reading rides whichever tables
+#                     ambient host I/O left warm; standalone warm 7.6 s
+#                     proves the in-lane numbers are cache attribution,
+#                     not operator cost.
+DEFAULT_EXEMPT: set[str] = {"audit_fk_orphans"}
 
 
 def lane(
@@ -54,6 +74,7 @@ def lane(
     band: float = 2.0,
     min_sec: float = 0.5,
     exempt: frozenset | set = frozenset(),
+    min_delta: float = 1.5,
 ) -> list[str]:
     """Compare one lane; print the report; return the NON-EXEMPT band
     violations (entry names)."""
@@ -79,6 +100,8 @@ def lane(
     for r, n, x, y in scored:
         if 1 / band <= r <= band:
             continue
+        if abs(y - x) < min_delta:
+            continue  # ratio noise on a small entry, not a material move
         kind = "regression" if r > 1 else "speedup (self-re-anchors)"
         tag = " [exempt]" if n in exempt else ""
         print(
@@ -100,6 +123,7 @@ def main() -> None:
     ap.add_argument("new")
     ap.add_argument("--band", type=float, default=2.0)
     ap.add_argument("--min-sec", type=float, default=0.5)
+    ap.add_argument("--min-delta", type=float, default=1.5)
     ap.add_argument("--exempt", nargs="*", default=[])
     args = ap.parse_args()
     with open(args.old) as f:
@@ -107,8 +131,12 @@ def main() -> None:
     with open(args.new) as f:
         b = json.load(f)
     exempt = DEFAULT_EXEMPT | set(args.exempt)
-    bad = lane(a, b, "queries", args.band, args.min_sec, exempt)
-    bad += lane(a, b, "streaming", args.band, args.min_sec, exempt)
+    bad = lane(
+        a, b, "queries", args.band, args.min_sec, exempt, args.min_delta
+    )
+    bad += lane(
+        a, b, "streaming", args.band, args.min_sec, exempt, args.min_delta
+    )
     sys.exit(1 if bad else 0)
 
 
