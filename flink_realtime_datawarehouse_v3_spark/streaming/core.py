@@ -74,10 +74,24 @@ def stamp_file_order(path: str, extra_files: list[str] | None = None) -> None:
 
 
 def read_stream(
-    spark: SparkSession, path: str, schema=None, files_per_trigger: int = 1
+    spark: SparkSession, path: str, schema=None, files_per_trigger: int | None = None
 ) -> DataFrame:
     """Re-read a :func:`write_stream_input` directory as a file stream, one
-    micro-batch per ``files_per_trigger`` files."""
+    micro-batch per ``files_per_trigger`` files.
+
+    ``files_per_trigger=None`` (default) honors the ``_replay_meta.json``
+    marker the parallel replay writer leaves beside the part files (the
+    writer decides the trigger chunking that reproduces its intended
+    micro-batch boundaries — see ``pipelines._write_replay``), falling
+    back to the classic one-file-per-batch replay."""
+    if files_per_trigger is None:
+        meta = os.path.join(path, "_replay_meta.json")
+        files_per_trigger = 1
+        if os.path.exists(meta):
+            import json
+
+            with open(meta) as f:
+                files_per_trigger = int(json.load(f)["files_per_trigger"])
     if schema is None:
         schema = spark.read.parquet(path).schema
     return (

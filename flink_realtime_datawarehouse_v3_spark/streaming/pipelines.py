@@ -33,6 +33,7 @@ Pipelines covered (one per SURVEY.md streaming mechanism):
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +55,24 @@ from .core import (
 from .dim_app import dim_router, read_dim_table
 
 N_FILES = 4
+
+
+def _topic_db_cached(spark: SparkSession, sf_dir: str, only: list[str]) -> DataFrame:
+    """Structured topic rows for replay INPUT, served from the session's
+    per-branch ODS parse cache (:func:`..sources.cdc.topic_db_parsed`).
+
+    r13 optimization round (guide §1.2 "don't compute things twice"):
+    replay writers previously re-derived ``cdc.topic_db`` from the base
+    parquet per entry — and ``repartitionByRange``'s boundary-sampling
+    pass re-computed that derivation a SECOND time before the write even
+    started. The ODS cache already holds the identical rows (parsed,
+    in-memory columnar, pre-warmed by bench.py's ods_warm loop — exactly
+    the "topics already exist when the job starts" posture the batch lane
+    uses). Row-identity: the builders emit only insert/update envelopes,
+    and the ODS JSON round-trip is lossless for the envelope
+    (``parse(to_json(x)) == x`` field-by-field); the parsed union's extra
+    dirty branch is empty after the P1 filter."""
+    return cdc.topic_db_parsed(spark, sf_dir, only=only)
 
 
 # mtime-order stamping lives in core.stamp_file_order (shared with
@@ -81,6 +100,17 @@ def _max_from_footers(path: str, col: str) -> int:
     return mx
 
 
+def _pad_empty_like(src_file: str, dest: str) -> None:
+    """Write a ZERO-ROW parquet file with ``src_file``'s schema (a pyarrow
+    footer-only write — no Spark job). Pads fill a sentinel's trigger
+    chunk so the sentinel still gets a micro-batch of its own when the
+    replay reads >1 file per trigger (see :func:`_write_replay`)."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(src_file).read()
+    pq.write_table(t.slice(0, 0), dest)
+
+
 def _write_replay(
     df: DataFrame,
     path: str,
@@ -89,35 +119,66 @@ def _write_replay(
     max_col: str | None = None,
     n_files: int = N_FILES,
 ) -> None:
-    """Write ``df`` as N_FILES time-range parquet files (+ optional sentinel
-    rows, each as its own trailing file/micro-batch).
+    """Write ``df`` as ``n_files`` time-range MICRO-BATCH GROUPS of parquet
+    files (+ optional sentinel rows, each as its own trailing micro-batch).
+
+    Write parallelism (r13 optimization round, guide §2.6/§6): the batch
+    count contract is ``n_files`` micro-batches, but writing exactly
+    ``n_files`` part files pins the input-write job to that many tasks —
+    measured 36.5 s of streaming_order_pre_process's 142 s at sf0.1 on
+    local[32] with 2 write tasks. Instead the replay writes
+    ``n_files * files_per_trigger`` range-contiguous files (full-width
+    write job) and records ``files_per_trigger`` in a ``_replay_meta.json``
+    marker that :func:`..core.read_stream` picks up, so each trigger
+    consumes one contiguous range GROUP — identical batch boundaries in
+    event time, identical batch count, wider write and scan. With
+    ``SPARK_GRAFT_CPUS`` <= ``n_files`` (the driver's low-core scaling
+    bench) this degrades to exactly the old one-file-per-batch layout.
 
     Two trailing sentinels are the bounded-input flush protocol: the
     watermark computed from sentinel k only takes effect in batch k+1, so
     the first sentinel's batch closes every real-data window/timer and the
-    second's batch emits them before availableNow terminates.
+    second's batch emits them before availableNow terminates. Each
+    sentinel file is padded with zero-row files to a full trigger chunk so
+    the chunked reader never merges two sentinels into one batch.
 
     ``sentinels`` is either a list of DataFrames or a callable
     ``max_value -> list[DataFrame]``; the callable form gets the max of
     ``max_col`` from the written files' footer stats, so sentinel
     construction costs no extra input scan.
     """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    fpb = max(1, min(8, par // n_files))  # files per micro-batch group
+    total = n_files * fpb
     if order_by:
-        df = df.repartitionByRange(n_files, *[F.col(c) for c in order_by])
+        df = df.repartitionByRange(total, *[F.col(c) for c in order_by])
     else:
-        df = df.repartition(n_files)
+        df = df.repartition(total)
     df.write.mode("overwrite").parquet(path)
     if callable(sentinels):
         sentinels = sentinels(_max_from_footers(path, max_col))
     sent_files = []
     for i, sdf in enumerate(sentinels or []):
         tmp = f"{path}__sent{i}"
-        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # repartition(1), NOT coalesce(1): a coalesced single task over a
+        # parallelized local relation inherits 32 parent preferred
+        # locations and sits through the scheduler's locality-wait ladder
+        # — measured 5.8 s PER 1-ROW SENTINEL vs 0.7 s through the
+        # 1-partition shuffle (r13 optimization round, guide §7.4
+        # "scheduler delay"). Two sentinels per replay made this ~11 s of
+        # invisible per-entry overhead across the streaming lane.
+        sdf.repartition(1).write.mode("overwrite").parquet(tmp)
         (src,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
         dest = os.path.join(path, f"zzz-sentinel-{i}.parquet")
         os.replace(src, dest)
         sent_files.append(dest)
+        for j in range(fpb - 1):
+            pad = os.path.join(path, f"zzz-sentinel-{i}-pad{j}.parquet")
+            _pad_empty_like(dest, pad)
+            sent_files.append(pad)
     _stamp_file_order(path, sent_files)
+    with open(os.path.join(path, "_replay_meta.json"), "w") as f:
+        json.dump({"files_per_trigger": fpb}, f)
 
 
 def stream_favor_add(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,7 +489,7 @@ def stream_order_info_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 keyed upsert sink: order_info changelog MERGEd to one row per id
     (last writer wins)."""
     with TempStreamDir() as d:
-        structured = cdc.topic_db(spark, sf_dir, only=["order_info"])
+        structured = _topic_db_cached(spark, sf_dir, ["order_info"])
         flat = structured.select(
             F.col("data").getItem("id").alias("id"),
             F.col("data").getItem("order_status").alias("order_status"),
@@ -454,7 +515,7 @@ def stream_order_info_upsert_snapshot(
     import os
 
     with TempStreamDir() as d:
-        structured = cdc.topic_db(spark, sf_dir, only=["order_info"])
+        structured = _topic_db_cached(spark, sf_dir, ["order_info"])
         flat = structured.select(
             F.col("data").getItem("id").alias("id"),
             F.col("data").getItem("order_status").alias("order_status"),
@@ -534,7 +595,7 @@ def stream_order_pre_process(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import dic
 
     with TempStreamDir() as d:
-        structured = cdc.topic_db(spark, sf_dir, only=_PRE_TABLES).withColumn(
+        structured = _topic_db_cached(spark, sf_dir, _PRE_TABLES).withColumn(
             "__order", F.col("ts").cast("long")
         )
         # n_files=2: fewer real-data micro-batches for the heaviest
@@ -626,7 +687,7 @@ def stream_pay_detail_suc(spark: SparkSession, sf_dir: str) -> DataFrame:
     with TempStreamDir() as d:
         od_batch = QUERIES["dwd_trade_order_detail"](spark, sf_dir)
         _write_replay(od_batch, d.sub("od"), order_by=["create_time"])
-        pi_raw = cdc.topic_db(spark, sf_dir, only=["payment_info"]).select(
+        pi_raw = _topic_db_cached(spark, sf_dir, ["payment_info"]).select(
             F.to_json(
                 F.struct("database", "table", "type", "data", "old", "ts")
             ).alias("value")
@@ -654,7 +715,7 @@ def stream_order_info_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stateful import keep_latest_stream
 
     with TempStreamDir() as d:
-        flat = cdc.topic_db(spark, sf_dir, only=["order_info"]).select(
+        flat = _topic_db_cached(spark, sf_dir, ["order_info"]).select(
             F.col("data").getItem("id").alias("id"),
             F.col("data").getItem("order_status").alias("order_status"),
             F.col("data").getItem("operate_time").alias("operate_time"),
@@ -749,8 +810,8 @@ def stream_dim_app(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # order across micro-batches (the JSON parse path is exercised by
         # stream_favor_add; ts is a fixed-width epoch-seconds string, so
         # string range-partitioning preserves numeric order).
-        structured = cdc.topic_db(
-            spark, sf_dir, only=[c.source_table for c in DIM_CONFIG]
+        structured = _topic_db_cached(
+            spark, sf_dir, [c.source_table for c in DIM_CONFIG]
         )
         _write_replay(structured, d.sub("in"), order_by=["ts"])
         s = read_stream(spark, d.sub("in"))
@@ -945,7 +1006,7 @@ def stream_dim_coupon_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = DIM_CONFIG[1]
     with TempStreamDir() as d:
-        structured = cdc.topic_db(spark, sf_dir, only=[cfg.source_table])
+        structured = _topic_db_cached(spark, sf_dir, [cfg.source_table])
         _write_replay(structured, d.sub("in"), order_by=["ts"])
         s = read_stream(spark, d.sub("in"))
         out_dir = d.sub("dims")
@@ -1023,7 +1084,7 @@ def stream_dim_user_info_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1, v2 = USER_INFO_EVOLUTION
     t_switch = v2.effective_ts
     with TempStreamDir() as d:
-        structured = cdc.topic_db(spark, sf_dir, only=["user_info"])
+        structured = _topic_db_cached(spark, sf_dir, ["user_info"])
         early = structured.filter(F.col("ts").cast("long") < t_switch)
         late = structured.filter(F.col("ts").cast("long") >= t_switch)
         # Early era as the N_FILES range files; the late era rides the
@@ -1095,7 +1156,7 @@ def stream_activity_coupon_full_outer(spark: SparkSession, sf_dir: str) -> DataF
         )
 
     with TempStreamDir() as dirs:
-        raw = cdc.topic_db(spark, sf_dir, only=tables_).withColumn(
+        raw = _topic_db_cached(spark, sf_dir, tables_).withColumn(
             "__order", F.col("ts").cast("long")
         )
         _write_replay(
