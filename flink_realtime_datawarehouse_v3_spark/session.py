@@ -101,5 +101,18 @@ def get_spark(app_name: str = "flink_realtime_datawarehouse_v3_spark") -> SparkS
             "RocksDBStateStoreProvider",
         ),
     )
+    # RocksDB numRows tracking does a point-lookup per put/delete purely to
+    # keep the numRowsTotal METRIC exact; the stream-stream join stores put
+    # every input row, so the lookup is pure write-path overhead (Spark
+    # tuning guide documents false as the write-heavy setting). r13
+    # optimization round, interleaved A/B on the 3-join order_pre_process
+    # replay at sf0.1: +25.0/+20.7/-14.9 s per pair under ambient host
+    # noise — net positive, and the sporadic 90 s+ slow modes disappeared.
+    # Tests that assert numRowsTotal pin this back to true for their own
+    # query (conf is read at query start).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        os.environ.get("SPARK_GRAFT_ROCKSDB_TRACKROWS", "false"),
+    )
     spark.sparkContext.setLogLevel("WARN")
     return spark

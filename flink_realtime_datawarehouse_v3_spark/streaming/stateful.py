@@ -39,6 +39,10 @@ def _sorted_concat(pdfs: Iterator[pd.DataFrame], order: list[str]) -> pd.DataFra
     chunks = [p for p in pdfs]
     if not chunks:
         return pd.DataFrame()
+    if len(chunks) == 1:
+        # common case: one Arrow batch per group — skip the concat copy
+        # (r13 optimization round; same sort, same rows)
+        return chunks[0].sort_values(order, kind="mergesort")
     return pd.concat(chunks).sort_values(order, kind="mergesort")
 
 
@@ -132,42 +136,55 @@ def keep_latest_stream(
     arrival-proximity IS event-proximity, so event time is the faithful
     bounded mapping — and makes emissions deterministic: one per (key,
     5 s burst), independent of how files split into micro-batches.
+
+    Per-group hot path (r13 optimization round, guide §4.2): the state is
+    the buffered row's TYPED column values plus the anchor — not a JSON
+    blob — and rows cross the loop as plain tuples. The previous
+    json.dumps/loads per key per batch, pandas concat+mergesort per
+    group, and ``to_dict("records")`` were ~all of the Python-side time
+    once multiplied by one fn call per key per micro-batch (~25 k keys
+    here): A/B at sf0.1 read 50.6 -> 42.2 s min-of-3, identical value
+    hash. Tuple sort (timsort) is stable like the mergesort it replaces,
+    so burst tie-breaks are unchanged.
     """
     out_schema = df.drop(watermark_col).schema
     out_cols = [f.name for f in out_schema.fields]
+    oc_i = out_cols.index(order_col)
     state_schema = StructType(
-        [StructField("blob", StringType()), StructField("anchor_ms", LongType())]
+        list(out_schema.fields) + [StructField("__anchor_ms", LongType())]
     )
 
     def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        import json
-
-        best, anchor = None, None
-        if state.exists:
-            blob, anchor = state.get
-            best = json.loads(blob)
         if state.hasTimedOut:
+            vals = state.get
             state.remove()
-            if best is not None:
-                yield pd.DataFrame([best])[out_cols]
+            yield pd.DataFrame([vals[:-1]], columns=out_cols)
             return
-        pdf = _sorted_concat(pdfs, [order_col])
+        best = anchor = None
+        if state.exists:
+            vals = state.get
+            best, anchor = vals[:-1], vals[-1]
+        rows = []
+        for pdf in pdfs:
+            if len(pdf.index):
+                rows.extend(pdf[out_cols].itertuples(index=False, name=None))
         done = []
-        if not pdf.empty:
-            for row in pdf[out_cols].to_dict("records"):
-                row_ms = int(row[order_col]) * 1000
+        if rows:
+            rows.sort(key=lambda r: r[oc_i])
+            for row in rows:
+                row_ms = int(row[oc_i]) * 1000
                 if best is None:
                     best, anchor = row, row_ms
                 elif row_ms - anchor > DEBOUNCE_MS:
                     done.append(best)  # burst closed in-stream
                     best, anchor = row, row_ms
-                elif row[order_col] >= best[order_col]:
+                elif row[oc_i] >= best[oc_i]:
                     best = row
         if best is not None:
-            state.update((json.dumps(best, default=str), anchor))
+            state.update((*best, anchor))
             state.setTimeoutTimestamp(anchor + DEBOUNCE_MS)
         if done:
-            yield pd.DataFrame(done)[out_cols]
+            yield pd.DataFrame(done, columns=out_cols)
 
     return (
         df.withWatermark(watermark_col, "2 seconds")
@@ -201,30 +218,33 @@ def jump_detect_stream(
     order = order or [ts_col, "event_id"]
     out_schema = page.drop(watermark_col).schema
     out_cols = [f.name for f in out_schema.fields]
-    state_schema = StructType(
-        [StructField("pending", StringType()), StructField("pending_ts", LongType())]
-    )
+    ts_i = out_cols.index(ts_col)
+    lp_i = out_cols.index(last_page_col)
+    sort_is = [out_cols.index(c) for c in order]
+    # Typed pending-row state + tuple rows (r13 optimization round, guide
+    # §4.2): same rewrite as keep_latest_stream — the JSON blob round-trip
+    # and per-group pandas concat/to_dict were the Python-side cost, paid
+    # once per mid per micro-batch.
+    state_schema = StructType(list(out_schema.fields))
 
     def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        import json
-
-        pending = None
-        if state.exists:
-            blob, _ts = state.get
-            if blob:
-                pending = json.loads(blob)
+        pending = tuple(state.get) if state.exists else None
         if state.hasTimedOut:
             state.remove()
             if pending is not None:
-                yield pd.DataFrame([pending])[out_cols]
+                yield pd.DataFrame([pending], columns=out_cols)
             return
-        pdf = _sorted_concat(pdfs, order)
+        rows = []
+        for pdf in pdfs:
+            if len(pdf.index):
+                rows.extend(pdf[out_cols].itertuples(index=False, name=None))
         bounces = []
-        if not pdf.empty:
-            for row in pdf[out_cols].to_dict("records"):
-                is_start = pd.isna(row[last_page_col]) or row[last_page_col] is None
+        if rows:
+            rows.sort(key=lambda r: tuple(r[i] for i in sort_is))
+            for row in rows:
+                is_start = row[lp_i] is None or pd.isna(row[lp_i])
                 if pending is not None:
-                    gap = row[ts_col] - pending[ts_col]
+                    gap = row[ts_i] - pending[ts_i]
                     if gap > JUMP_GAP_MS:
                         bounces.append(pending)  # timed out in-stream
                         pending = row if is_start else None
@@ -236,12 +256,12 @@ def jump_detect_stream(
                 elif is_start:
                     pending = row
         if pending is not None:
-            state.update((json.dumps(pending, default=str), int(pending[ts_col])))
-            state.setTimeoutTimestamp(int(pending[ts_col]) + JUMP_GAP_MS)
+            state.update(tuple(pending))
+            state.setTimeoutTimestamp(int(pending[ts_i]) + JUMP_GAP_MS)
         else:
             state.remove()
         if bounces:
-            yield pd.DataFrame(bounces)[out_cols]
+            yield pd.DataFrame(bounces, columns=out_cols)
 
     return (
         page.withWatermark(watermark_col, "2 seconds")
@@ -275,29 +295,37 @@ def uv_jump_contrib_stream(
         "vc string, ch string, ar string, is_new string, ts long, "
         "uv long, sv long, pv long, dur long, uj long"
     )
+    out_cols = ["vc", "ch", "ar", "is_new", "ts", "uv", "sv", "pv", "dur", "uj"]
+    # Typed pending state + tuple rows (r13 optimization round, guide
+    # §4.2, same rewrite as keep_latest_stream): the pending row is
+    # stored as the 5 columns contrib() actually emits — the JSON blob
+    # kept the whole input row (event_id, last_page_id, dt included) for
+    # no reason.
     state_schema = StructType(
         [
             StructField("last_uv_dt", StringType()),
-            StructField("pending", StringType()),
-            StructField("pending_ts", LongType()),
+            StructField("p_vc", StringType()),
+            StructField("p_ch", StringType()),
+            StructField("p_ar", StringType()),
+            StructField("p_is_new", StringType()),
+            StructField("p_ts", LongType()),
         ]
     )
     in_cols = ["vc", "ch", "ar", "is_new", "ts", "event_id", "last_page_id", "dt"]
+    # tuple indexes into in_cols rows
+    VC, CH, AR, ISN, TS, EID, LP, DT = range(8)
 
-    def contrib(row, uv, uj):
-        return {
-            "vc": row["vc"], "ch": row["ch"], "ar": row["ar"],
-            "is_new": row["is_new"], "ts": row["ts"],
-            "uv": uv, "sv": 0, "pv": 0, "dur": 0, "uj": uj,
-        }
+    def contrib(p5, uv, uj):
+        # p5 = (vc, ch, ar, is_new, ts)
+        return (*p5, uv, 0, 0, 0, uj)
 
     def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        import json
-
-        last_uv_dt, pending, pending_ts = (
-            state.get if state.exists else (None, None, None)
-        )
-        pend = json.loads(pending) if pending else None
+        last_uv_dt, pend = None, None
+        if state.exists:
+            vals = state.get
+            last_uv_dt = vals[0]
+            if vals[5] is not None:
+                pend = tuple(vals[1:6])
         if state.hasTimedOut:
             state.remove()
             out = []
@@ -305,41 +333,41 @@ def uv_jump_contrib_stream(
                 out.append(contrib(pend, 0, 1))
             if last_uv_dt is not None:
                 # keep the UV state alive past the bounce timer
-                state.update((last_uv_dt, None, None))
+                state.update((last_uv_dt, None, None, None, None, None))
             if out:
-                yield pd.DataFrame(out)
+                yield pd.DataFrame(out, columns=out_cols)
             return
-        pdf = _sorted_concat(pdfs, order)
+        rows = []
+        for pdf in pdfs:
+            if len(pdf.index):
+                rows.extend(pdf[in_cols].itertuples(index=False, name=None))
         out = []
-        if not pdf.empty:
-            for row in pdf[in_cols].to_dict("records"):
-                is_start = pd.isna(row["last_page_id"]) or row["last_page_id"] is None
-                if is_start and row["dt"] != last_uv_dt:
-                    out.append(contrib(row, 1, 0))
-                    last_uv_dt = row["dt"]
+        if rows:
+            rows.sort(key=lambda r: (r[TS], r[EID]))
+            for row in rows:
+                is_start = row[LP] is None or pd.isna(row[LP])
+                if is_start and row[DT] != last_uv_dt:
+                    out.append(contrib(row[:TS + 1], 1, 0))
+                    last_uv_dt = row[DT]
                 if pend is not None:
-                    gap = row["ts"] - pend["ts"]
+                    gap = row[TS] - pend[4]
                     if gap > JUMP_GAP_MS:
                         out.append(contrib(pend, 0, 1))
-                        pend = row if is_start else None
+                        pend = row[:TS + 1] if is_start else None
                     elif is_start:
                         out.append(contrib(pend, 0, 1))
-                        pend = row
+                        pend = row[:TS + 1]
                     else:
                         pend = None
                 elif is_start:
-                    pend = row
-        state.update(
-            (
-                last_uv_dt,
-                json.dumps(pend, default=str) if pend is not None else None,
-                int(pend["ts"]) if pend is not None else None,
-            )
-        )
+                    pend = row[:TS + 1]
         if pend is not None:
-            state.setTimeoutTimestamp(int(pend["ts"]) + JUMP_GAP_MS)
+            state.update((last_uv_dt, *pend))
+            state.setTimeoutTimestamp(int(pend[4]) + JUMP_GAP_MS)
+        else:
+            state.update((last_uv_dt, None, None, None, None, None))
         if out:
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out, columns=out_cols)
 
     return (
         page.withWatermark(watermark_col, "2 seconds")

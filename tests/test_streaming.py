@@ -801,6 +801,13 @@ def test_stateful_hot_key_bounded_state(spark, tmp_path):
     )
     core.write_stream_input(df, str(tmp_path / "in"), n_files=4, order_by=["ts"])
     s = core.read_stream(spark, str(tmp_path / "in"))
+    # This gate asserts the state ROW COUNT via the numRowsTotal metric,
+    # which RocksDB only maintains under trackTotalNumberOfRows — the
+    # session default is false (write-path perf, r13); pin it true for
+    # this query (read at query start) and restore after.
+    _track_conf = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    _track_saved = spark.conf.get(_track_conf, "false")
+    spark.conf.set(_track_conf, "true")
     q = (
         stateful.first_per_day_stream(s)
         .writeStream.format("memory")
@@ -815,6 +822,7 @@ def test_stateful_hot_key_bounded_state(spark, tmp_path):
         lp = q.lastProgress
     finally:
         q.stop()
+        spark.conf.set(_track_conf, _track_saved)
     n_keys = 201  # mid_hot + mid_0..mid_199
     assert lp["stateOperators"][0]["numRowsTotal"] == n_keys
     got = {
