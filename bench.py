@@ -69,6 +69,14 @@ def main() -> None:
     # small dwd entries under ambient load, r12 verdict "what's wrong" #1);
     # warm it with the rest so no query pays its first materialization.
     cdc_mod._dirty_parsed(spark, sf_dir).count()
+    # Raw LOG topic cache (r13 optimization round): the log-side analogue
+    # of the CDC branch caches — synthesized + persisted once; the
+    # repaired-log memo, the dirty-log complement, and the streaming
+    # base-log replay all read it instead of re-paying the events scan +
+    # to_json render each. Cost reported here — moved, not hidden.
+    from flink_realtime_datawarehouse_v3_spark.sources import logs as logs_mod
+
+    logs_mod.topic_log_json_cached(spark, sf_dir).count()
     ods_warm_sec = round(time.perf_counter() - t0, 3)
 
     # Classifier-artifact pre-warm (same rationale as ods_warm_sec): the

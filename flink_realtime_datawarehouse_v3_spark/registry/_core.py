@@ -89,6 +89,11 @@ def reset_session_caches() -> None:
     for df in _cdc._ODS_CACHE.values():
         df.unpersist()
     _cdc._ODS_CACHE.clear()
+    from ..sources import logs as _logs
+
+    for df in _logs._RAW_LOG_CACHE.values():
+        df.unpersist()
+    _logs._RAW_LOG_CACHE.clear()
     _bucketed._READY.clear()
     from ..operators import simsearch as _ss
 

@@ -315,7 +315,7 @@ def _log(spark: SparkSession, sf: str) -> DataFrame:
         "dwd_log_repaired",
         sf,
         lambda: dwd_traffic.repair_is_new(
-            logs.parse_topic_log(logs.topic_log_json(spark, sf))
+            logs.parse_topic_log(logs.topic_log_json_cached(spark, sf))
         ),
     )
 
@@ -411,7 +411,7 @@ register(
 # oracle is a direct projection over events.
 register(
     "dwd_traffic_dirty_log",
-    lambda spark, sf: logs.dirty_topic_log(logs.topic_log_json(spark, sf)),
+    lambda spark, sf: logs.dirty_topic_log(logs.topic_log_json_cached(spark, sf)),
     """SELECT '#dirty-log#' || CAST(event_id AS VARCHAR) AS value
        FROM events WHERE event_id % 101 = 0""",
 )

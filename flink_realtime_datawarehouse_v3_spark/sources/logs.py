@@ -149,6 +149,28 @@ def _actions() -> Column:
     )
 
 
+_RAW_LOG_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def topic_log_json_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`topic_log_json` synthesized + persisted ONCE per (session,
+    sf_dir) — the log-topic analogue of the CDC side's per-branch ODS
+    parse cache (``cdc._branch_parsed``): the topic pre-exists a job run,
+    so every consumer re-paying the events-parquet scan + struct
+    synthesis + ``to_json`` render (~2.7 s at sf0.1) was redundant work
+    (r13 optimization round, guide §1.2). Consumers: the repaired-log
+    memo build, the dirty-log complement, and the streaming base-log
+    replay writer. Cleared by ``api.reset_session_caches``; pre-warmed
+    (and the cost reported) by bench.py's warm loop."""
+    key = (id(spark.sparkContext), sf_dir)
+    cached = _RAW_LOG_CACHE.get(key)
+    if cached is None:
+        par = spark.sparkContext.defaultParallelism
+        cached = topic_log_json(spark, sf_dir).repartition(par).persist()
+        _RAW_LOG_CACHE[key] = cached
+    return cached
+
+
 def topic_log_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``topic_log`` as raw JSON strings + deterministic dirty rows."""
     e = enriched_events(spark, sf_dir)
