@@ -334,6 +334,61 @@ def test_debounce_emissions_split_invariant(spark):
     assert run(2) == run(6)
 
 
+def test_debounce_anchor_semantics_typed_state(spark, tmp_path):
+    """Pin the burst-ANCHOR debounce semantics through the r13 typed-state
+    hot path: the 5 s timer anchors at the burst's FIRST row (a row >5 s
+    after the anchor closes the burst), NOT at the last row (session-gap
+    semantics would merge a 0 s/3 s/6 s chain into one burst). Also
+    exercises None values round-tripping through the typed state columns
+    (the JSON-blob encoding this replaced stringified them)."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_datawarehouse_v3_spark.streaming.core import (
+        read_stream,
+        run_to_memory,
+        write_stream_input,
+    )
+    from flink_realtime_datawarehouse_v3_spark.streaming.stateful import (
+        keep_latest_stream,
+    )
+
+    base = 1_700_000_000
+    rows = [
+        # key a: rows at +0s, +3s, +6s. Anchor at +0 -> +6 exceeds the
+        # 5s debounce from the ANCHOR, so burst1={0,3} (keep-latest: +3),
+        # burst2={6}. Session-gap semantics would emit only one row.
+        ("a", "s0", None, base + 0),
+        ("a", None, "op3", base + 3),
+        ("a", "s6", None, base + 6),
+        # key b: single row, None payloads survive the typed state.
+        ("b", None, None, base + 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, order_status string, operate_time string, ts long"
+    )
+    sent = spark.createDataFrame(
+        [("__sentinel__", None, None, base + 7200)],
+        "id string, order_status string, operate_time string, ts long",
+    )
+    write_stream_input(df.union(sent), str(tmp_path / "in"), n_files=2, order_by=["ts"])
+    s = read_stream(spark, str(tmp_path / "in")).withColumn(
+        "rt", F.to_timestamp(F.from_unixtime("ts"))
+    )
+    out = keep_latest_stream(s, keys=["id"], order_col="ts").filter(
+        F.col("id") != "__sentinel__"
+    )
+    got = sorted(
+        ((r.id, r.order_status, r.operate_time, r.ts)
+         for r in run_to_memory(out, output_mode="append").collect()),
+        key=lambda t: tuple("" if v is None else str(v) for v in t),
+    )
+    assert got == [
+        ("a", None, "op3", base + 3),   # burst1 survivor (latest of 0,3)
+        ("a", "s6", None, base + 6),    # burst2 opened by the +6s row
+        ("b", None, None, base + 1),
+    ]
+
+
 def test_checkpoint_recovery_exactly_once(spark):
     """K2/W11: kill a checkpointed query mid-stream, restart from the same
     checkpoint, and the parquet sink holds every input row exactly once —
