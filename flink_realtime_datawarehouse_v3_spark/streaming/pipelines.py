@@ -637,7 +637,7 @@ def stream_base_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.dwd_traffic import _COMMON
 
     with TempStreamDir() as d:
-        raw = logs.topic_log_json(spark, sf_dir).select(
+        raw = logs.topic_log_json_cached(spark, sf_dir).select(
             "value",
             F.coalesce(
                 F.get_json_object("value", "$.ts").cast("long"), F.lit(0)
