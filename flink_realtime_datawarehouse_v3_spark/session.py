@@ -114,5 +114,23 @@ def get_spark(app_name: str = "flink_realtime_datawarehouse_v3_spark") -> SparkS
         "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
         os.environ.get("SPARK_GRAFT_ROCKSDB_TRACKROWS", "false"),
     )
+    # Stream-stream join state format v3 (r14 optimization round): ONE
+    # RocksDB store with virtual column families per join partition
+    # instead of FOUR instances (keyToNumValues/keyWithIndexToValue x 2
+    # sides) — 4x fewer per-batch store commits and maintenance units.
+    # RocksDB-only by Spark's own contract, so guarded on the provider.
+    # Interleaved A/B with per-batch metrics on the 3-join
+    # streaming_order_pre_process replay at sf0.1 (3 pairs, one session):
+    # summed commitTimeMs 80.4-114.7 s -> 42.2-49.3 s (halved), wall
+    # 70.0/59.8/44.9 -> 47.2/49.0/39.5 s (v3 won every pair). State
+    # format is an on-disk layout choice read at query start; results
+    # are byte-identical (full 38-entry streaming hash sweep re-run).
+    if "RocksDB" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    ):
+        spark.conf.set(
+            "spark.sql.streaming.join.stateFormatVersion",
+            os.environ.get("SPARK_GRAFT_JOIN_STATE_FORMAT", "3"),
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

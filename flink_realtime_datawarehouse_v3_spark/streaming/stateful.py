@@ -32,7 +32,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StructField, StructType, StringType, LongType
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def _sorted_concat(pdfs: Iterator[pd.DataFrame], order: list[str]) -> pd.DataFrame:
@@ -51,27 +57,43 @@ def first_per_day_stream(
     key: str = "mid",
     dt_col: str = "dt",
     order: list[str] | None = None,
+    n_buckets: int = 256,
 ) -> DataFrame:
-    """Emit each key's first row per calendar day (streaming D1)."""
+    """Emit each key's first row per calendar day (streaming D1).
+
+    Bucketed grouping (r14 optimization round, same scheme as
+    :func:`keep_latest_stream`): groups are hash buckets of ``key``; the
+    pickled dict state maps key -> last emitted date. Rows are
+    bucket-sorted stably by ``order`` so each key's subsequence is the
+    per-key sorted order; the per-key last-date transition is unchanged,
+    so the emitted row set is identical.
+    """
+    import pickle
+
     order = order or ["ts", "event_id"]
     out_schema = df.schema
-    state_schema = StructType([StructField("last_dt", StringType())])
+    out_cols = [f.name for f in out_schema.fields]
+    state_schema = StructType([StructField("last_dts", BinaryType())])
 
-    def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    def fn(bucket_, pdfs: Iterator[pd.DataFrame], state: GroupState):
         pdf = _sorted_concat(pdfs, order)
         if pdf.empty:
             return
-        (last_dt,) = state.get if state.exists else (None,)
+        last = pickle.loads(bytes(state.get[0])) if state.exists else {}
         keep = []
-        for i, row_dt in enumerate(pdf[dt_col]):
-            if row_dt != last_dt:
+        for i, (k, row_dt) in enumerate(zip(pdf[key], pdf[dt_col])):
+            if row_dt != last.get(k):
                 keep.append(i)
-                last_dt = row_dt
-        state.update((last_dt,))
-        yield pdf.iloc[keep]
+                last[k] = row_dt
+        state.update((pickle.dumps(last),))
+        yield pdf[out_cols].iloc[keep]
 
-    return df.groupBy(key).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    return (
+        df.withColumn("__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+        .groupBy("__bucket")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
     )
 
 
@@ -81,33 +103,48 @@ def is_new_repair_stream(
     dt_col: str = "dt",
     is_new_col: str = "is_new",
     order: list[str] | None = None,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Repair the is_new flag with per-key first-visit-date state (P8).
 
     State holds the first-visit date when the key's first event claimed
     is_new=1, else the sentinel '' (visitor known old). is_new stays 1 only
     while raw=1 and the event date equals the stored first-visit date.
+
+    Bucketed grouping (r14 optimization round, same scheme as
+    :func:`keep_latest_stream`): groups are hash buckets of ``key``; the
+    pickled dict state maps key -> first-visit date (or the '' sentinel).
+    The per-key transition below is unchanged.
     """
+    import pickle
+
     order = order or ["ts", "event_id"]
     out_schema = df.schema
-    state_schema = StructType([StructField("first_dt", StringType())])
+    out_cols = [f.name for f in out_schema.fields]
+    state_schema = StructType([StructField("first_dts", BinaryType())])
 
-    def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    def fn(bucket_, pdfs: Iterator[pd.DataFrame], state: GroupState):
         pdf = _sorted_concat(pdfs, order)
         if pdf.empty:
             return
-        (first_dt,) = state.get if state.exists else (None,)
+        first = pickle.loads(bytes(state.get[0])) if state.exists else {}
         fixed = []
-        for raw, row_dt in zip(pdf[is_new_col], pdf[dt_col]):
+        for k, raw, row_dt in zip(pdf[key], pdf[is_new_col], pdf[dt_col]):
+            first_dt = first.get(k)
             if first_dt is None:
                 first_dt = row_dt if raw == "1" else ""
+                first[k] = first_dt
             fixed.append("1" if (raw == "1" and row_dt == first_dt) else "0")
-        state.update((first_dt,))
-        pdf = pdf.assign(**{is_new_col: fixed})
+        state.update((pickle.dumps(first),))
+        pdf = pdf[out_cols].assign(**{is_new_col: fixed})
         yield pdf
 
-    return df.groupBy(key).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    return (
+        df.withColumn("__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+        .groupBy("__bucket")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
     )
 
 
@@ -119,6 +156,7 @@ def keep_latest_stream(
     keys: list[str],
     order_col: str,
     watermark_col: str = "rt",
+    n_buckets: int = 2048,
 ) -> DataFrame:
     """D4/W6 keep-LATEST per key with a 5 s debounce timer (reference:
     RT/app/dws/DwsTradePaymentSucWindow.java:85-121,
@@ -137,58 +175,109 @@ def keep_latest_stream(
     bounded mapping — and makes emissions deterministic: one per (key,
     5 s burst), independent of how files split into micro-batches.
 
-    Per-group hot path (r13 optimization round, guide §4.2): the state is
-    the buffered row's TYPED column values plus the anchor — not a JSON
-    blob — and rows cross the loop as plain tuples. The previous
-    json.dumps/loads per key per batch, pandas concat+mergesort per
-    group, and ``to_dict("records")`` were ~all of the Python-side time
-    once multiplied by one fn call per key per micro-batch (~25 k keys
-    here): A/B at sf0.1 read 50.6 -> 42.2 s min-of-3, identical value
-    hash. Tuple sort (timsort) is stable like the mergesort it replaces,
-    so burst tie-breaks are unchanged.
+    Bucketed grouping (r14 optimization round, guide §4.2/§2.3 "one
+    Python call per key per batch is the API floor — so group by fewer
+    keys"): the operator groups by a deterministic hash BUCKET of the
+    key (``pmod(xxhash64(keys), n_buckets)``) and keeps a dict of
+    per-key (buffered row, anchor) entries inside one pickled state
+    value, instead of one state row + one Python call per key. With
+    ~150 k order ids over 4 micro-batches the per-key form paid ~450 k
+    Python fn calls and state-store puts; the bucketed form pays
+    ``n_buckets`` per batch. Per-KEY semantics are unchanged:
+
+    - rows are bucket-sorted stably by ``order_col``, so each key's
+      subsequence is exactly the per-key sorted order (same tie-breaks);
+    - the per-key burst/anchor/keep-latest transitions below are the
+      r13 per-key loop verbatim;
+    - Spark fires a key's event-time timer when ``timeout < watermark``
+      (strict); the bucket keeps its timer at the MIN pending
+      ``anchor + 5 s`` and, on every call, emits exactly the keys with
+      ``anchor + 5 s < getCurrentWatermarkMs()`` — the same watermark
+      value (eventTimeWatermarkForEviction) the per-key firing predicate
+      used, so every key emits in the same micro-batch with the same
+      buffered row as the per-key form. Parity gates: the TWS
+      row-identity test, the split-invariance test, the anchor-semantics
+      test, and the registry oracle hash.
     """
+    import pickle
+
     out_schema = df.drop(watermark_col).schema
     out_cols = [f.name for f in out_schema.fields]
     oc_i = out_cols.index(order_col)
-    state_schema = StructType(
-        list(out_schema.fields) + [StructField("__anchor_ms", LongType())]
-    )
+    key_is = [out_cols.index(k) for k in keys]
+    state_schema = StructType([StructField("pending", BinaryType())])
 
-    def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    def fn(bucket_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            vals = state.get
-            state.remove()
-            yield pd.DataFrame([vals[:-1]], columns=out_cols)
+            pending = pickle.loads(bytes(state.get[0]))
+            done, keep = [], {}
+            for k, (best, anchor) in pending.items():
+                if anchor + DEBOUNCE_MS < wm:
+                    done.append(best)
+                else:
+                    keep[k] = (best, anchor)
+            if keep:
+                state.update((pickle.dumps(keep),))
+                state.setTimeoutTimestamp(
+                    max(wm, min(a + DEBOUNCE_MS for _, a in keep.values()))
+                )
+            else:
+                state.remove()
+            if done:
+                yield pd.DataFrame(done, columns=out_cols)
             return
-        best = anchor = None
-        if state.exists:
-            vals = state.get
-            best, anchor = vals[:-1], vals[-1]
+        pending = pickle.loads(bytes(state.get[0])) if state.exists else {}
         rows = []
         for pdf in pdfs:
             if len(pdf.index):
                 rows.extend(pdf[out_cols].itertuples(index=False, name=None))
         done = []
+        touched = set()
         if rows:
             rows.sort(key=lambda r: r[oc_i])
             for row in rows:
+                k = tuple(row[i] for i in key_is)
+                touched.add(k)
                 row_ms = int(row[oc_i]) * 1000
-                if best is None:
-                    best, anchor = row, row_ms
-                elif row_ms - anchor > DEBOUNCE_MS:
+                ent = pending.get(k)
+                if ent is None:
+                    pending[k] = (row, row_ms)
+                    continue
+                best, anchor = ent
+                if row_ms - anchor > DEBOUNCE_MS:
                     done.append(best)  # burst closed in-stream
-                    best, anchor = row, row_ms
+                    pending[k] = (row, row_ms)
                 elif row[oc_i] >= best[oc_i]:
-                    best = row
-        if best is not None:
-            state.update((*best, anchor))
-            state.setTimeoutTimestamp(anchor + DEBOUNCE_MS)
+                    pending[k] = (row, anchor)
+        if wm > 0 and len(touched) < len(pending):
+            # keys with no data this batch whose per-key timer would have
+            # fired (the per-key form's hasTimedOut call; suppressed here
+            # because the BUCKET received data).
+            for k in list(pending):
+                if k in touched:
+                    continue
+                best, anchor = pending[k]
+                if anchor + DEBOUNCE_MS < wm:
+                    done.append(best)
+                    del pending[k]
+        if pending:
+            state.update((pickle.dumps(pending),))
+            state.setTimeoutTimestamp(
+                max(wm, min(a + DEBOUNCE_MS for _, a in pending.values()))
+            )
+        else:
+            state.remove()
         if done:
             yield pd.DataFrame(done, columns=out_cols)
 
     return (
         df.withWatermark(watermark_col, "2 seconds")
-        .groupBy(*keys)
+        .withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)),
+        )
+        .groupBy("__bucket")
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append",
             GroupStateTimeout.EventTimeTimeout,
@@ -206,6 +295,7 @@ def jump_detect_stream(
     last_page_col: str = "last_page_id",
     watermark_col: str = "rt",
     order: list[str] | None = None,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Bounce detection (D5): a session start (last_page_id IS NULL) is a
     bounce unless a non-session-start event follows within 10 s.
@@ -214,50 +304,89 @@ def jump_detect_stream(
     at pending_ts + 10 s; the watermark (driven by ``watermark_col``)
     closes it when no successor arrives — the CEP ``within(10s)`` timeout
     side-output of the reference.
+
+    Bucketed grouping (r14 optimization round): same scheme as
+    :func:`keep_latest_stream` — groups are hash BUCKETS of ``key``, the
+    state is a pickled dict of per-key pending rows, the bucket timer
+    sits at the MIN pending ``ts + 10 s``, and on every call keys whose
+    per-key timer would have fired (``ts + 10 s < watermark``, the
+    per-key firing predicate verbatim) emit their pending row. Rows are
+    bucket-sorted stably by ``order`` so each key sees its rows in the
+    per-key order; the per-key transitions are the r13 loop verbatim.
     """
+    import pickle
+
     order = order or [ts_col, "event_id"]
     out_schema = page.drop(watermark_col).schema
     out_cols = [f.name for f in out_schema.fields]
     ts_i = out_cols.index(ts_col)
     lp_i = out_cols.index(last_page_col)
+    key_i = out_cols.index(key)
     sort_is = [out_cols.index(c) for c in order]
-    # Typed pending-row state + tuple rows (r13 optimization round, guide
-    # §4.2): same rewrite as keep_latest_stream — the JSON blob round-trip
-    # and per-group pandas concat/to_dict were the Python-side cost, paid
-    # once per mid per micro-batch.
-    state_schema = StructType(list(out_schema.fields))
+    state_schema = StructType([StructField("pending", BinaryType())])
 
-    def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        pending = tuple(state.get) if state.exists else None
+    def fn(bucket_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            state.remove()
-            if pending is not None:
-                yield pd.DataFrame([pending], columns=out_cols)
+            pending = pickle.loads(bytes(state.get[0]))
+            done, keep = [], {}
+            for k, row in pending.items():
+                if int(row[ts_i]) + JUMP_GAP_MS < wm:
+                    done.append(row)
+                else:
+                    keep[k] = row
+            if keep:
+                state.update((pickle.dumps(keep),))
+                state.setTimeoutTimestamp(
+                    max(wm, min(int(r[ts_i]) + JUMP_GAP_MS for r in keep.values()))
+                )
+            else:
+                state.remove()
+            if done:
+                yield pd.DataFrame(done, columns=out_cols)
             return
+        pending = pickle.loads(bytes(state.get[0])) if state.exists else {}
         rows = []
         for pdf in pdfs:
             if len(pdf.index):
                 rows.extend(pdf[out_cols].itertuples(index=False, name=None))
         bounces = []
+        touched = set()
         if rows:
             rows.sort(key=lambda r: tuple(r[i] for i in sort_is))
             for row in rows:
+                k = row[key_i]
+                touched.add(k)
                 is_start = row[lp_i] is None or pd.isna(row[lp_i])
-                if pending is not None:
-                    gap = row[ts_i] - pending[ts_i]
+                p = pending.get(k)
+                if p is not None:
+                    gap = row[ts_i] - p[ts_i]
                     if gap > JUMP_GAP_MS:
-                        bounces.append(pending)  # timed out in-stream
-                        pending = row if is_start else None
+                        bounces.append(p)  # timed out in-stream
+                        if is_start:
+                            pending[k] = row
+                        else:
+                            del pending[k]
                     elif is_start:
-                        bounces.append(pending)  # matched: start -> start
-                        pending = row
+                        bounces.append(p)  # matched: start -> start
+                        pending[k] = row
                     else:
-                        pending = None  # successor page: not a bounce
+                        del pending[k]  # successor page: not a bounce
                 elif is_start:
-                    pending = row
-        if pending is not None:
-            state.update(tuple(pending))
-            state.setTimeoutTimestamp(int(pending[ts_i]) + JUMP_GAP_MS)
+                    pending[k] = row
+        if wm > 0:
+            for k in list(pending):
+                if k in touched:
+                    continue
+                row = pending[k]
+                if int(row[ts_i]) + JUMP_GAP_MS < wm:
+                    bounces.append(row)
+                    del pending[k]
+        if pending:
+            state.update((pickle.dumps(pending),))
+            state.setTimeoutTimestamp(
+                max(wm, min(int(r[ts_i]) + JUMP_GAP_MS for r in pending.values()))
+            )
         else:
             state.remove()
         if bounces:
@@ -265,7 +394,8 @@ def jump_detect_stream(
 
     return (
         page.withWatermark(watermark_col, "2 seconds")
-        .groupBy(key)
+        .withColumn("__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+        .groupBy("__bucket")
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
@@ -275,6 +405,7 @@ def jump_detect_stream(
 def uv_jump_contrib_stream(
     page: DataFrame,
     watermark_col: str = "rt",
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Combined D1 + D5 keyed operator for the 3-stream union window job:
     ONE applyInPandasWithState per mid computes both the first-visit-
@@ -289,89 +420,112 @@ def uv_jump_contrib_stream(
     state machines into one keyed pass is the idiomatic answer anyway:
     one shuffle on mid, one state store, both flags from the same sorted
     scan.
+
+    Bucketed grouping (r14 optimization round, same scheme as
+    :func:`keep_latest_stream`): groups are hash buckets of mid; the
+    pickled dict state maps mid -> [last_uv_dt, pending-5-tuple-or-None].
+    The bucket timer is the MIN pending ``ts + 10 s``; on every call,
+    un-touched keys whose per-key timer would have fired (strict
+    ``< watermark``) emit their bounce contribution and keep their UV
+    date alive — exactly the per-key form's timeout branch. An entry
+    whose parts are both None mirrors the per-key form's kept empty
+    state row.
     """
+    import pickle
+
     order = ["ts", "event_id"]
     out_schema = (
         "vc string, ch string, ar string, is_new string, ts long, "
         "uv long, sv long, pv long, dur long, uj long"
     )
     out_cols = ["vc", "ch", "ar", "is_new", "ts", "uv", "sv", "pv", "dur", "uj"]
-    # Typed pending state + tuple rows (r13 optimization round, guide
-    # §4.2, same rewrite as keep_latest_stream): the pending row is
-    # stored as the 5 columns contrib() actually emits — the JSON blob
-    # kept the whole input row (event_id, last_page_id, dt included) for
-    # no reason.
-    state_schema = StructType(
-        [
-            StructField("last_uv_dt", StringType()),
-            StructField("p_vc", StringType()),
-            StructField("p_ch", StringType()),
-            StructField("p_ar", StringType()),
-            StructField("p_is_new", StringType()),
-            StructField("p_ts", LongType()),
-        ]
-    )
-    in_cols = ["vc", "ch", "ar", "is_new", "ts", "event_id", "last_page_id", "dt"]
+    state_schema = StructType([StructField("pending", BinaryType())])
+    in_cols = ["mid", "vc", "ch", "ar", "is_new", "ts", "event_id", "last_page_id", "dt"]
     # tuple indexes into in_cols rows
-    VC, CH, AR, ISN, TS, EID, LP, DT = range(8)
+    MID, VC, CH, AR, ISN, TS, EID, LP, DT = range(9)
 
     def contrib(p5, uv, uj):
         # p5 = (vc, ch, ar, is_new, ts)
         return (*p5, uv, 0, 0, 0, uj)
 
-    def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        last_uv_dt, pend = None, None
-        if state.exists:
-            vals = state.get
-            last_uv_dt = vals[0]
-            if vals[5] is not None:
-                pend = tuple(vals[1:6])
+    def fn(bucket_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            state.remove()
+            ent = pickle.loads(bytes(state.get[0]))
             out = []
-            if pend is not None:
-                out.append(contrib(pend, 0, 1))
-            if last_uv_dt is not None:
-                # keep the UV state alive past the bounce timer
-                state.update((last_uv_dt, None, None, None, None, None))
+            for k, (last_uv_dt, pend) in list(ent.items()):
+                if pend is not None and int(pend[4]) + JUMP_GAP_MS < wm:
+                    out.append(contrib(pend, 0, 1))
+                    if last_uv_dt is not None:
+                        ent[k] = (last_uv_dt, None)
+                    else:
+                        del ent[k]
+            _save(state, ent, wm)
             if out:
                 yield pd.DataFrame(out, columns=out_cols)
             return
+        ent = pickle.loads(bytes(state.get[0])) if state.exists else {}
         rows = []
         for pdf in pdfs:
             if len(pdf.index):
                 rows.extend(pdf[in_cols].itertuples(index=False, name=None))
         out = []
+        touched = set()
         if rows:
             rows.sort(key=lambda r: (r[TS], r[EID]))
             for row in rows:
+                k = row[MID]
+                touched.add(k)
+                last_uv_dt, pend = ent.get(k, (None, None))
                 is_start = row[LP] is None or pd.isna(row[LP])
                 if is_start and row[DT] != last_uv_dt:
-                    out.append(contrib(row[:TS + 1], 1, 0))
+                    out.append(contrib(row[VC:TS + 1], 1, 0))
                     last_uv_dt = row[DT]
                 if pend is not None:
                     gap = row[TS] - pend[4]
                     if gap > JUMP_GAP_MS:
                         out.append(contrib(pend, 0, 1))
-                        pend = row[:TS + 1] if is_start else None
+                        pend = row[VC:TS + 1] if is_start else None
                     elif is_start:
                         out.append(contrib(pend, 0, 1))
-                        pend = row[:TS + 1]
+                        pend = row[VC:TS + 1]
                     else:
                         pend = None
                 elif is_start:
-                    pend = row[:TS + 1]
-        if pend is not None:
-            state.update((last_uv_dt, *pend))
-            state.setTimeoutTimestamp(int(pend[4]) + JUMP_GAP_MS)
-        else:
-            state.update((last_uv_dt, None, None, None, None, None))
+                    pend = row[VC:TS + 1]
+                ent[k] = (last_uv_dt, pend)
+        if wm > 0:
+            for k, (last_uv_dt, pend) in list(ent.items()):
+                if k in touched or pend is None:
+                    continue
+                if int(pend[4]) + JUMP_GAP_MS < wm:
+                    out.append(contrib(pend, 0, 1))
+                    if last_uv_dt is not None:
+                        ent[k] = (last_uv_dt, None)
+                    else:
+                        del ent[k]
+        _save(state, ent, wm)
         if out:
             yield pd.DataFrame(out, columns=out_cols)
 
+    def _save(state, ent, wm):
+        if not ent:
+            if state.exists:
+                state.remove()
+            return
+        state.update((pickle.dumps(ent),))
+        timers = [
+            int(pend[4]) + JUMP_GAP_MS
+            for _, pend in ent.values()
+            if pend is not None
+        ]
+        if timers:
+            state.setTimeoutTimestamp(max(wm, min(timers)))
+
     return (
         page.withWatermark(watermark_col, "2 seconds")
-        .groupBy("mid")
+        .withColumn("__bucket", F.pmod(F.xxhash64(F.col("mid")), F.lit(n_buckets)))
+        .groupBy("__bucket")
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )

@@ -823,12 +823,13 @@ def test_stateful_hot_key_bounded_state(spark, tmp_path):
 
     - completion: the replay drains within the timeout (the hot key costs
       one task's CPU for its event share, never a wedged query);
-    - bounded state: keyed state is one row per DISTINCT KEY — the
-      state-operator row count equals |keys| regardless of how many
-      events the hot key contributes (O(1) state per key is what makes
-      this operator class skew-tolerant at 100 TB; see SCALE.md
-      'Streaming skew posture' for the salting recipe for operators
-      whose state grows with events);
+    - bounded state: state volume is O(1) per DISTINCT KEY — since the
+      r14 bucketed-grouping rewrite the store holds one row per
+      occupied hash BUCKET (a pickled dict of per-key entries), so the
+      row count equals the number of distinct buckets the keys hash to
+      (<= |keys|, independent of how many events the hot key
+      contributes; see SCALE.md 'Streaming skew posture' for the
+      salting recipe for operators whose state grows with events);
     - correctness: output equals the batch first-per-(key, day) answer.
     """
     from flink_realtime_datawarehouse_v3_spark.streaming import core, stateful
@@ -879,7 +880,17 @@ def test_stateful_hot_key_bounded_state(spark, tmp_path):
         q.stop()
         spark.conf.set(_track_conf, _track_saved)
     n_keys = 201  # mid_hot + mid_0..mid_199
-    assert lp["stateOperators"][0]["numRowsTotal"] == n_keys
+    # one state row per OCCUPIED bucket (r14 bucketed grouping), computed
+    # from the keys with the operator's own bucket expression
+    n_buckets_occupied = (
+        df.select(
+            F.pmod(F.xxhash64(F.col("mid")), F.lit(256)).alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_buckets_occupied <= n_keys
+    assert lp["stateOperators"][0]["numRowsTotal"] == n_buckets_occupied
     got = {
         (r.mid, r.dt)
         for r in spark.table("hot_key_gate").collect()
