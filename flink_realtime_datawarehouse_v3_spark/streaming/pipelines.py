@@ -344,14 +344,13 @@ def stream_unique_visitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = stateful.first_per_day_stream(s, key="mid", dt_col="dt")
-        # Single stateful op, per-key Python work: run as wide as the box
-        # (the r12 debounce lesson; here a modest 21.2 -> 19.3 s at
-        # sf0.1 — this replay is scheduling-bound, not key-bound).
-        return run_to_memory(
-            out,
-            output_mode="append",
-            n_partitions=spark.sparkContext.defaultParallelism,
-        ).drop("dt")
+        # r14: back to the 8-partition replay default. The r12 widening
+        # existed because Python ran once per KEY per batch; the bucketed
+        # operator runs once per BUCKET, so the per-batch cost is now the
+        # stateful-stage floor (store open/commit x partitions) and fewer
+        # partitions win: A/B wide-vs-8 at sf0.1 read 5.9 -> 4.2 s
+        # min-of-3 (8 won all three interleaved pairs).
+        return run_to_memory(out, output_mode="append").drop("dt")
 
 
 def stream_jump_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,13 +369,12 @@ def stream_jump_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         s = read_stream(spark, d.sub("in")).withColumn("rt", rt_from_ms(F.col("ts")))
         out = stateful.jump_detect_stream(s).filter(F.col("mid") != "__sentinel__")
-        # Single stateful op, per-key Python work: run as wide as the box
-        # (the r12 debounce lesson; here 15.5 -> 14.4 s at sf0.1).
-        return run_to_memory(
-            out,
-            output_mode="append",
-            n_partitions=spark.sparkContext.defaultParallelism,
-        )
+        # r14: back to the 8-partition replay default (see
+        # stream_unique_visitor) — per-batch decomposition showed a
+        # ~1.2 s stateful-stage floor per batch at 32 partitions once
+        # bucketing removed the per-key Python cost; A/B wide-vs-8 at
+        # sf0.1 read 11.8 -> 9.2 s min-of-3 (8 won all three pairs).
+        return run_to_memory(out, output_mode="append")
 
 
 def stream_traffic_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,13 +741,13 @@ def stream_order_info_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = keep_latest_stream(s, keys=["id"], order_col="ts").filter(
             F.col("id") != "__sentinel__"
         )
-        # Single stateful operator, per-key Python work (one group per
-        # order id + one timer firing per id): parallelism == state
-        # partition count, so run as wide as the box instead of the
-        # 8-partition multi-operator replay default (r12 A/B at sf0.1:
-        # 156.7s -> 58.0s, same hash).
-        n_parts = spark.sparkContext.defaultParallelism
-        return run_to_memory(out, output_mode="append", n_partitions=n_parts)
+        # r14: back to the 8-partition replay default. The r12 widening
+        # (156.7 -> 58.0 s then) compensated for one Python call per
+        # order id per batch; the bucketed operator makes Python cheap
+        # and the A/B now reads wide 10.2 vs 8-partition 9.7 s min-of-3
+        # (a wash) — the default also skips the widened-replay
+        # state-store-provider unload the following entries paid for.
+        return run_to_memory(out, output_mode="append")
 
 
 def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1463,6 +1463,7 @@ def trailing_window_stream(
     ts_col: str = "ts_s",
     val_col: str = "v_micro",
     watermark_col: str = "rt",
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Watermark-correct ONLINE trailing time-window aggregate — the
     feature-store shape ("user's count/sum/mean over the last hour")
@@ -1484,8 +1485,21 @@ def trailing_window_stream(
     timeout at ``last_ts + window_sec`` self-cleans idle keys' state —
     the idle-TTL a 100 TB deployment needs so state tracks the ACTIVE
     key set, not the historical one.
+
+    Bucketed grouping (r14 optimization round, same scheme as
+    :func:`keep_latest_stream`): groups are hash buckets of ``key``; the
+    pickled dict state maps key -> [hist, pend]. A bucket call processes
+    EVERY key in the bucket with the current watermark — safe because
+    emission readiness (``ts < watermark``) and the emitted frame are
+    functions of (arrived rows, watermark) alone: a row's RANGE frame is
+    complete the moment the watermark passes its timestamp (any later
+    arrival with ts <= the row's ts would be dropped as late), so
+    processing a key earlier than its per-key timer would have fired
+    emits the same rows with the same aggregates. The bucket timer is
+    the MIN of the per-key timers (max pending ts + 1, or the idle-TTL
+    ``max hist ts + window + 1``).
     """
-    import json as _json
+    import pickle
 
     out_fields = [f for f in df.schema.fields if f.name != watermark_col]
     out_schema = StructType(
@@ -1497,59 +1511,70 @@ def trailing_window_stream(
         ]
     )
     out_cols = [f.name for f in out_fields]
-    state_schema = StructType(
-        [StructField("hist", StringType()), StructField("pend", StringType())]
-    )
+    state_schema = StructType([StructField("pending", BinaryType())])
 
-    def fn(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        hist: list = []
-        pend: list = []
-        if state.exists:
-            hist_blob, pend_blob = state.get
-            hist = _json.loads(hist_blob)
-            pend = _json.loads(pend_blob)
+    def fn(bucket_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        ent = pickle.loads(bytes(state.get[0])) if state.exists else {}
         if not state.hasTimedOut:
             pdf = _sorted_concat(pdfs, [ts_col])
             if not pdf.empty:
-                pend.extend(
-                    {
+                for rec in pdf[out_cols].to_dict("records"):
+                    rec = {
                         k: (v.item() if hasattr(v, "item") else v)
                         for k, v in rec.items()
                     }
-                    for rec in pdf[out_cols].to_dict("records")
-                )
+                    e = ent.get(rec[key])
+                    if e is None:
+                        ent[rec[key]] = e = [[], []]
+                    e[1].append(rec)
         wm_s = state.getCurrentWatermarkMs() // 1000
-        pend.sort(key=lambda r: (r[ts_col], str(r)))
-        ready = [r for r in pend if r[ts_col] < wm_s]
-        pend = [r for r in pend if r[ts_col] >= wm_s]
-        if ready:
-            values = hist + [[r[ts_col], r[val_col]] for r in ready]
-            out = []
-            for r in ready:
-                lo = r[ts_col] - window_sec
-                frame = [v for t, v in values if lo <= t <= r[ts_col]]
-                row = dict(r)
-                row["trail_n"] = len(frame)
-                row["trail_sum_micro"] = sum(frame)
-                row["trail_avg_micro"] = _trunc_div(sum(frame), len(frame))
-                out.append(row)
-            hist = [tv for tv in values if tv[0] >= wm_s - window_sec]
-            yield pd.DataFrame(out)[[f.name for f in out_schema.fields]]
-        else:
-            hist = [tv for tv in hist if tv[0] >= wm_s - window_sec]
-        if pend:
-            state.update((_json.dumps(hist), _json.dumps(pend)))
-            state.setTimeoutTimestamp((max(r[ts_col] for r in pend) + 1) * 1000)
-        elif hist:
-            state.update((_json.dumps(hist), "[]"))
-            # idle-TTL: one more callback once no future event can need it
-            state.setTimeoutTimestamp((max(t for t, _ in hist) + window_sec + 1) * 1000)
+        out = []
+        drop = []
+        for k, (hist, pend) in ent.items():
+            pend.sort(key=lambda r: (r[ts_col], str(r)))
+            ready = [r for r in pend if r[ts_col] < wm_s]
+            pend = [r for r in pend if r[ts_col] >= wm_s]
+            if ready:
+                values = hist + [[r[ts_col], r[val_col]] for r in ready]
+                for r in ready:
+                    lo = r[ts_col] - window_sec
+                    frame = [v for t, v in values if lo <= t <= r[ts_col]]
+                    row = dict(r)
+                    row["trail_n"] = len(frame)
+                    row["trail_sum_micro"] = sum(frame)
+                    row["trail_avg_micro"] = _trunc_div(sum(frame), len(frame))
+                    out.append(row)
+                hist = [tv for tv in values if tv[0] >= wm_s - window_sec]
+            else:
+                hist = [tv for tv in hist if tv[0] >= wm_s - window_sec]
+            if pend or hist:
+                ent[k] = [hist, pend]
+            else:
+                drop.append(k)
+        for k in drop:
+            del ent[k]
+        if ent:
+            state.update((pickle.dumps(ent),))
+            tmr = min(
+                (max(r[ts_col] for r in p) + 1)
+                if p
+                else (max(t for t, _ in h) + window_sec + 1)
+                for h, p in ent.values()
+            )
+            state.setTimeoutTimestamp(
+                max(state.getCurrentWatermarkMs(), tmr * 1000)
+            )
         else:
             state.remove()
+        if out:
+            yield pd.DataFrame(out)[[f.name for f in out_schema.fields]]
 
     return (
         df.withWatermark(watermark_col, "2 seconds")
-        .groupBy(key)
+        .withColumn(
+            "__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+        )
+        .groupBy("__bucket")
         .applyInPandasWithState(
             fn,
             out_schema,
