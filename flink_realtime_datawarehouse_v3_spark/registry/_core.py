@@ -63,7 +63,7 @@ _MATERIALIZED: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def _memo_df(spark: SparkSession, name: str, sf_dir: str, build) -> DataFrame:
-    key = (id(spark.sparkContext), name, sf_dir)
+    key = (*cdc.ctx_key(spark), name, sf_dir)
     df = _MATERIALIZED.get(key)
     if df is None:
         df = build().persist()

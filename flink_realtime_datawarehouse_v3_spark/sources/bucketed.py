@@ -23,7 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import tables
+from . import cdc, tables
 
 N_BUCKETS = 8
 
@@ -38,7 +38,7 @@ def order_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Create (once per session+sf) the bucketed order facts; return the
     two table names: (detail side, info side), both bucketed N_BUCKETS by
     ``order_key``."""
-    key = (id(spark.sparkContext), sf_dir)
+    key = (*cdc.ctx_key(spark), sf_dir)
     if key in _READY:
         return _READY[key]
     tag = _tag(sf_dir)

@@ -607,7 +607,17 @@ def parse_topic_db(raw: DataFrame) -> DataFrame:
     )
 
 
-_ODS_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_ODS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def ctx_key(spark: SparkSession) -> tuple:
+    """Context-unique session-cache key component. ``id(sparkContext)``
+    (the pre-r14 key) can be RECYCLED by the allocator after a context is
+    stopped and collected, letting a new context read a persisted
+    DataFrame bound to the dead one (r13 advisory); (applicationId,
+    startTime) cannot recur."""
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
 
 
 def _branch_parsed(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -630,7 +640,7 @@ def _branch_parsed(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       to the parsed value), so ``table = 'x'`` filters constant-fold and
       prune whole cached branches out of multi-table plans.
     """
-    key = (id(spark.sparkContext), sf_dir, name)
+    key = (*ctx_key(spark), sf_dir, name)
     cached = _ODS_CACHE.get(key)
     if cached is None:
         par = spark.sparkContext.defaultParallelism
@@ -663,7 +673,7 @@ def _dirty_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r12 verdict "what's wrong" #1). The rows all parse to null and are
     dropped, so the cached artifact is an empty-after-filter branch that
     still exercises the dirty-drop path once per session."""
-    key = (id(spark.sparkContext), sf_dir, "#dirty#")
+    key = (*ctx_key(spark), sf_dir, "#dirty#")
     cached = _ODS_CACHE.get(key)
     if cached is None:
         dirty = (

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import tables
+from . import cdc, tables
 
 WORDS = ["spark", "flink", "kafka", "hudi", "iceberg", "delta", "doris", "paimon"]
 
@@ -149,7 +149,7 @@ def _actions() -> Column:
     )
 
 
-_RAW_LOG_CACHE: dict[tuple[int, str], DataFrame] = {}
+_RAW_LOG_CACHE: dict[tuple, DataFrame] = {}
 
 
 def topic_log_json_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,7 +162,7 @@ def topic_log_json_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo build, the dirty-log complement, and the streaming base-log
     replay writer. Cleared by ``api.reset_session_caches``; pre-warmed
     (and the cost reported) by bench.py's warm loop."""
-    key = (id(spark.sparkContext), sf_dir)
+    key = (*cdc.ctx_key(spark), sf_dir)
     cached = _RAW_LOG_CACHE.get(key)
     if cached is None:
         par = spark.sparkContext.defaultParallelism

@@ -153,11 +153,13 @@ class MockEventsDataSource(DataSource):
         return _MockStreamReader(self.options)
 
 
-_REGISTERED: set[int] = set()
+from . import cdc  # noqa: E402
+
+_REGISTERED: set = set()
 
 
 def ensure_registered(spark) -> None:
-    key = id(spark.sparkContext)
+    key = cdc.ctx_key(spark)
     if key not in _REGISTERED:
         spark.dataSource.register(MockEventsDataSource)
         _REGISTERED.add(key)
@@ -261,7 +263,7 @@ class JsonlCommitDataSource(DataSource):
 
 
 def ensure_writer_registered(spark) -> None:
-    key = ("w", id(spark.sparkContext))
+    key = ("w", *cdc.ctx_key(spark))
     if key not in _REGISTERED:
         spark.dataSource.register(JsonlCommitDataSource)
         _REGISTERED.add(key)
